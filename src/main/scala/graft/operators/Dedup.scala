@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a large-scale training-data pipeline:
+  * exact (hash-groupBy), MinHash + LSH banding, SimHash, and blocked
+  * n-gram Jaccard.
+  *
+  * Scale notes (the 100 TB design point):
+  *   - exact dedup is one shuffle on a 128-bit content hash — map-side
+  *     partial aggregation collapses duplicates before the exchange;
+  *   - MinHash/LSH turns all-pairs O(n²) into a band-bucket equi-join;
+  *     mega-buckets (degenerate near-identical content) are capped, the
+  *     standard LSH skew guard — without it one hot key serializes a
+  *     whole executor;
+  *   - Jaccard verification only runs inside blocking keys
+  *     (lang, source, length bucket), never globally.
+  *
+  * All hashing is md5-based so the DuckDB oracles compute the identical
+  * signatures.
+  */
+object Dedup {
+
+  /** Distinct-word array of a document's text. */
+  private def wordSet(text: Column): Column = array_distinct(split(text, " "))
+
+  // ---- q22: exact dedup via content hash (hash-groupBy) ------------------
+  private def q22(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  private val o22 =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  // ---- q23: MinHash signatures + LSH band join → candidate pairs ---------
+  // One md5 per distinct word; its 32 hex chars are sliced into 8
+  // independent 16-bit hash functions (4 hex chars each). Signature =
+  // per-slice lexicographic min over the word set. 4 bands × 2 rows;
+  // docs sharing any band are candidate near-duplicates.
+  private val MinhashK = 8
+  private val BandCap = 100
+
+  private def bandedDocs(s: SparkSession, d: String): DataFrame = {
+    val sigs = (0 until MinhashK).map { i =>
+      array_min(transform(col("wh"), h => substring(h, i * 4 + 1, 4))).as(s"s$i")
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        transform(wordSet(col("text")), w => md5(w.cast("binary"))).as("wh"))
+      .select((col("doc_id") +: sigs): _*)
+      .select(col("doc_id"), posexplode(array(
+        concat(col("s0"), col("s1")), concat(col("s2"), col("s3")),
+        concat(col("s4"), col("s5")), concat(col("s6"), col("s7")))))
+      .select(col("doc_id"),
+        concat(col("pos").cast("string"), lit(":"), col("col")).as("bk"))
+  }
+
+  private def q23(s: SparkSession, d: String): DataFrame = {
+    val bands = bandedDocs(s, d)
+    val small = bands.groupBy("bk").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= BandCap).select("bk")
+    val capped = bands.join(small, Seq("bk"))
+    val a = capped.select(col("bk"), col("doc_id").as("doc_a"))
+    val b = capped.select(col("bk"), col("doc_id").as("doc_b"))
+    a.join(b, "bk").where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  private val o23 =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |         list_transform(list_distinct(string_split(text, ' ')), x -> md5(x)) AS wh
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |         list_aggregate(list_transform(wh, h -> substr(h, 1, 4)), 'min') AS s0,
+      |         list_aggregate(list_transform(wh, h -> substr(h, 5, 4)), 'min') AS s1,
+      |         list_aggregate(list_transform(wh, h -> substr(h, 9, 4)), 'min') AS s2,
+      |         list_aggregate(list_transform(wh, h -> substr(h, 13, 4)), 'min') AS s3,
+      |         list_aggregate(list_transform(wh, h -> substr(h, 17, 4)), 'min') AS s4,
+      |         list_aggregate(list_transform(wh, h -> substr(h, 21, 4)), 'min') AS s5,
+      |         list_aggregate(list_transform(wh, h -> substr(h, 25, 4)), 'min') AS s6,
+      |         list_aggregate(list_transform(wh, h -> substr(h, 29, 4)), 'min') AS s7
+      |  FROM w),
+      |b AS (
+      |  SELECT doc_id,
+      |         unnest(['0:' || s0 || s1, '1:' || s2 || s3,
+      |                 '2:' || s4 || s5, '3:' || s6 || s7]) AS bk
+      |  FROM s),
+      |small AS (SELECT bk FROM b GROUP BY bk HAVING count(*) <= 100)
+      |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      |FROM b a JOIN small USING (bk) JOIN b c ON a.bk = c.bk AND a.doc_id < c.doc_id""".stripMargin
+
+  // ---- q24: SimHash fingerprint (16-bit) ---------------------------------
+  // Frequency-weighted: every word occurrence votes. Bit j of a word's
+  // hash = top bit of hex digit j of md5(word) (digit >= '8'); fingerprint
+  // bit j is set when set-votes outnumber clear-votes (strict majority).
+  private def q24(s: SparkSession, d: String): DataFrame = {
+    val bitTerms: Seq[Column] = (1 to 16).map { j =>
+      when(size(filter(col("wh"), h => substring(h, j, 1) >= "8")) * 2 > size(col("wh")),
+        lit(1L << (j - 1))).otherwise(lit(0L))
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        transform(split(col("text"), " "), w => md5(w.cast("binary"))).as("wh"))
+      .select(col("doc_id"), bitTerms.reduce(_ + _).as("simhash"))
+  }
+
+  private val o24 = {
+    val terms = (1 to 16).map { j =>
+      s"CASE WHEN 2 * len(list_filter(wh, h -> substr(h, $j, 1) >= '8')) > len(wh) " +
+        s"THEN CAST(${1L << (j - 1)} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+    s"""SELECT doc_id, $terms AS simhash
+       |FROM (SELECT doc_id, list_transform(string_split(text, ' '), x -> md5(x)) AS wh
+       |      FROM documents)""".stripMargin
+  }
+
+  // ---- q25: blocked n-gram (word-set) Jaccard similarity -----------------
+  // Pairs only within (lang, source, length-bucket) blocks; |A∩B| / |A∪B|
+  // over distinct word sets, thresholded.
+  private val JaccardThreshold = 0.6
+
+  private def q25(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"), col("lang"), col("source"),
+      floor(col("n_chars") / 50).as("lb"),
+      wordSet(col("text")).as("ws"))
+    val a = docs.select(col("lang"), col("source"), col("lb"),
+      col("doc_id").as("doc_a"), col("ws").as("ws_a"))
+    val b = docs.select(col("lang"), col("source"), col("lb"),
+      col("doc_id").as("doc_b"), col("ws").as("ws_b"))
+    a.join(b, Seq("lang", "source", "lb"))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("ws_a"), col("ws_b"))) /
+          size(array_union(col("ws_a"), col("ws_b"))))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  private val o25 =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, source, floor(n_chars / 50) AS lb,
+       |         list_distinct(string_split(text, ' ')) AS ws
+       |  FROM documents)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       len(list_intersect(a.ws, b.ws)) /
+       |       len(list_distinct(list_concat(a.ws, b.ws))) AS jaccard
+       |FROM d a JOIN d b
+       |  ON a.lang = b.lang AND a.source = b.source AND a.lb = b.lb
+       | AND a.doc_id < b.doc_id
+       |WHERE len(list_intersect(a.ws, b.ws)) /
+       |      len(list_distinct(list_concat(a.ws, b.ws))) >= $JaccardThreshold""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q22_dedup_exact", "exact dedup via content-hash groupBy", q22, Some(o22)),
+    GraftQuery("q23_minhash_lsh", "MinHash+LSH band join candidate pairs", q23, Some(o23)),
+    GraftQuery("q24_simhash", "16-bit frequency-weighted SimHash", q24, Some(o24)),
+    GraftQuery("q25_jaccard_pairs", "blocked word-set Jaccard pairs", q25, Some(o25)))
+}

@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: language ID
+  * (marker-word heuristic), quality scoring, token counting, and document
+  * fingerprinting. All pure column expressions — codegen-friendly, no
+  * UDFs, embarrassingly parallel at 100 TB (no shuffle at all).
+  */
+object TextAnalysis {
+
+  /** Per-language marker-word sets for the n-gram/stopword language-ID
+    * heuristic. Ordered — ties resolve to the earliest entry.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("batch", "stream", "hash"),
+    "en" -> Seq("the", "data", "row"),
+    "es" -> Seq("table", "scan", "fast"),
+    "fr" -> Seq("join", "merge", "sort"),
+    "zh" -> Seq("query", "window", "filter"))
+
+  private def wordSet(text: Column): Column = array_distinct(split(text, " "))
+
+  // ---- q27: language identification (marker-hit argmax) ------------------
+  private def q27(s: SparkSession, d: String): DataFrame = {
+    val withScores = LangMarkers.foldLeft(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), wordSet(col("text")).as("ws"))) {
+      case (df, (code, markers)) =>
+        df.withColumn(s"hits_$code",
+          size(array_intersect(col("ws"), array(markers.map(lit): _*))))
+    }
+    // Ordered argmax: first language whose hit count is >= all later ones.
+    val pred = LangMarkers.map(_._1).foldRight(lit("und"): Column) {
+      case (code, elseCol) =>
+        val ge = LangMarkers.map(_._1).filter(_ != code)
+          .map(other => col(s"hits_$code") >= col(s"hits_$other"))
+          .reduce(_ && _)
+        when(ge, lit(code)).otherwise(elseCol)
+    }
+    withScores
+      .withColumn("pred_lang", pred)
+      .select(col("doc_id"), col("lang"), col("pred_lang"),
+        (col("lang") === col("pred_lang")).as("agrees"))
+  }
+
+  private val o27 = {
+    val scoreCols = LangMarkers.map { case (code, markers) =>
+      val lst = markers.map(m => s"'$m'").mkString(", ")
+      s"len(list_intersect(ws, [$lst])) AS hits_$code"
+    }.mkString(",\n         ")
+    val codes = LangMarkers.map(_._1)
+    val cases = codes.map { code =>
+      val conds = codes.filter(_ != code)
+        .map(o => s"hits_$code >= hits_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$code'"
+    }.mkString("\n              ")
+    s"""WITH w AS (
+       |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ws
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id, lang,
+       |         $scoreCols
+       |  FROM w),
+       |p AS (
+       |  SELECT doc_id, lang,
+       |         CASE $cases
+       |              ELSE 'und' END AS pred_lang
+       |  FROM sc)
+       |SELECT doc_id, lang, pred_lang, lang = pred_lang AS agrees FROM p""".stripMargin
+  }
+
+  // ---- q28: quality scoring ----------------------------------------------
+  // Length, mean word length, type-token (uniqueness) ratio, stopword
+  // ratio → weighted quality in [0, 100]. Same expression shape both
+  // engines → bit-identical doubles.
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  private def q28(s: SparkSession, d: String): DataFrame = {
+    val stops = array(Stopwords.map(lit): _*)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("w"))
+      .withColumn("n_words", size(col("w")))
+      .withColumn("n_uniq", size(array_distinct(col("w"))))
+      .withColumn("n_stop", size(filter(col("w"), x => x.isInCollection(Stopwords))))
+      .withColumn("avg_word_len", col("n_chars") / (lit(1.0) + col("n_words")))
+      .withColumn("uniq_ratio", col("n_uniq") / (lit(1.0) + col("n_words")))
+      .withColumn("stop_ratio", col("n_stop") / (lit(1.0) + col("n_words")))
+      .withColumn("quality",
+        lit(100.0) * (col("uniq_ratio") * lit(0.5) +
+          (lit(1.0) / (lit(1.0) + col("stop_ratio"))) * lit(0.3) +
+          least(lit(1.0), col("n_words") / lit(100.0)) * lit(0.2)))
+      .select("doc_id", "n_words", "n_uniq", "n_stop",
+        "avg_word_len", "uniq_ratio", "stop_ratio", "quality")
+  }
+
+  private val o28 = {
+    val lst = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH w AS (
+       |  SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
+       |m AS (
+       |  SELECT doc_id, n_chars,
+       |         len(w) AS n_words,
+       |         len(list_distinct(w)) AS n_uniq,
+       |         len(list_filter(w, x -> x IN ($lst))) AS n_stop
+       |  FROM w),
+       |r AS (
+       |  SELECT doc_id, n_words, n_uniq, n_stop,
+       |         n_chars / (1.0 + n_words) AS avg_word_len,
+       |         n_uniq / (1.0 + n_words) AS uniq_ratio,
+       |         n_stop / (1.0 + n_words) AS stop_ratio
+       |  FROM m)
+       |SELECT doc_id, n_words, n_uniq, n_stop, avg_word_len, uniq_ratio, stop_ratio,
+       |       100.0 * (uniq_ratio * 0.5 + (1.0 / (1.0 + stop_ratio)) * 0.3 +
+       |                least(1.0, n_words / 100.0) * 0.2) AS quality
+       |FROM r""".stripMargin
+  }
+
+  // ---- q29: token counting (whitespace + regex tokenizer) ----------------
+  private val TokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  private def q29(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("ws_tokens"),
+      size(expr(s"regexp_extract_all(text, '$TokenPattern', 0)")).as("re_tokens"))
+
+  private val o29 =
+    s"""SELECT doc_id,
+       |       len(string_split(text, ' ')) AS ws_tokens,
+       |       len(regexp_extract_all(text, '$TokenPattern', 0)) AS re_tokens
+       |FROM documents""".stripMargin
+
+  // ---- q30: document fingerprinting --------------------------------------
+  // Two canonical-form hashes: whitespace-normalized text, and the sorted
+  // distinct word set (order-insensitive near-dup key).
+  private def q30(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary")).as("fp_norm"),
+      md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")
+        .cast("binary")).as("fp_wordset"))
+
+  private val o30 =
+    """SELECT doc_id,
+      |       md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_norm,
+      |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_wordset
+      |FROM documents""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q27_langid", "marker-word language identification", q27, Some(o27)),
+    GraftQuery("q28_quality", "document quality scoring", q28, Some(o28)),
+    GraftQuery("q29_token_count", "whitespace + regex token counts", q29, Some(o29)),
+    GraftQuery("q30_fingerprint", "canonical-form document fingerprints", q30, Some(o30)))
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Window and event-time operators. The reference has no window functions
+  * (SURVEY.md §2.9: no event-time windows), but a scale-grade engine needs
+  * them: per-key recency ranking replaces the reference's sort-then-head
+  * per key, and tumbling event-time aggregation is the batch twin of the
+  * Structured Streaming path.
+  */
+object Windowed {
+
+  // ---- q19: per-key top-N by recency + lag (row_number / lag) ------------
+  private def q19(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rk", row_number().over(w))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .filter(col("rk") <= 3)
+      .select("user_id", "event_id", "rk", "prev_value")
+  }
+
+  private val o19 =
+    """SELECT user_id, event_id, rk, prev_value FROM (
+      |  SELECT user_id, event_id,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk,
+      |         lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS prev_value
+      |  FROM events)
+      |WHERE rk <= 3""".stripMargin
+
+  // ---- q20: tumbling event-time window aggregate (hourly) ----------------
+  private def q20(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(18, 2)
+    Tables.events(s, d)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(dec)).cast(DoubleType).as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  private val o20 =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1""".stripMargin
+
+  // ---- q21: sessionization by inactivity gap (30 min) --------------------
+  // Classic large-scale pattern: lag → gap flag → cumulative sum as
+  // session id. One shuffle on user_id; all window work stays within the
+  // partition.
+  private def q21(s: SparkSession, d: String): DataFrame = {
+    val byTs = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byTs))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"))
+  }
+
+  private val o21 =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |         lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, event_id, ts,
+      |         CASE WHEN prev_ts IS NULL
+      |                   OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM g),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM f)
+      |SELECT user_id, session_seq,
+      |       count(*) AS n_events,
+      |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+      |FROM sess GROUP BY user_id, session_seq""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q19_window_rank", "row_number/lag per-key recency window", q19, Some(o19)),
+    GraftQuery("q20_window_time", "tumbling hourly event-time aggregate", q20, Some(o20)),
+    GraftQuery("q21_sessionize", "gap-based sessionization (lag + cumsum)", q21, Some(o21)))
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.operators.Normalize
+import graft.sources.Schemas
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured-Streaming re-expression of the reference's ingest pipeline
+  * (SURVEY.md §2.9, §3.1-3.2).
+  *
+  * Reference architecture: a websocket thread dumps one JSON file per
+  * message to S3 (my_websocket.py:31-45); a 5-second poll loop lists,
+  * projects and deletes ≤999 files per pass (cleandata1.py:11-13,62-77);
+  * dedup state is a hand-persisted JSON map (my_websocket.py:71-87).
+  *
+  * Spark mapping:
+  *   - drop-directory file source with `maxFilesPerTrigger` (ST1/ST2);
+  *   - `Trigger.ProcessingTime` for the poll cadence (ST1/ST4);
+  *   - `cleanSource=delete` replaces destructive consume (S10);
+  *   - watermarked `dropDuplicates` replaces the ever-growing dedup
+  *     state file (ST5/J1) — state is bounded by the watermark instead
+  *     of growing forever like processed_transactions.json;
+  *   - stage chaining (ST6) is one application with dependent queries —
+  *     no subprocess boundary.
+  *
+  * At scale each micro-batch is a normal Spark job: the normalization
+  * select is embarrassingly parallel, and the dedup is a streaming
+  * state-store aggregation partitioned by key.
+  */
+object StreamingIngest {
+
+  /** ST1/ST2/S3: stream raw websocket-event JSON files from a drop dir. */
+  def readEventStream(spark: SparkSession, dropDir: String,
+      maxFilesPerTrigger: Int = 999): DataFrame =
+    spark.readStream
+      .schema(Schemas.rawEvent)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toLong)
+      .json(dropDir)
+
+  /** P1 projection of the raw stream (cleandata1.py:27-33). */
+  def projectRaw(raw: DataFrame): DataFrame =
+    raw.select("mint", "txType", "solAmount", "name", "symbol")
+
+  /** ST5/J1: bounded-state dedup on (mint, signature)-like keys.
+    * `eventTime` must be an event-time column; duplicates arriving more
+    * than `retention` late are the documented divergence from the
+    * reference's unbounded state (SURVEY.md §7 hard-part 5).
+    */
+  def dedupWithinWatermark(df: DataFrame, eventTime: String,
+      retention: String, keys: String*): DataFrame =
+    df.withWatermark(eventTime, retention)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Canonicalize a micro-batched Helius shape-2 stream. */
+  def normalizeShape2Stream(spark: SparkSession, dropDir: String): DataFrame =
+    Normalize.fromShape2(
+      spark.readStream.schema(Schemas.heliusShape2).json(dropDir))
+
+  /** S2/S8 sink: write a streaming stage with checkpointing (ST7 restart
+    * recovery comes from the checkpoint).
+    */
+  def sink(df: DataFrame, format: String, outDir: String,
+      checkpointDir: String, trigger: Trigger): DataStreamWriter[Row] =
+    df.writeStream
+      .format(format)
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+
+  /** ST6 chained pipeline: raw events → projection → parquet, driven by
+    * an AvailableNow trigger (batch-like catch-up, used by tests).
+    */
+  def runIngestOnce(spark: SparkSession, dropDir: String, outDir: String,
+      checkpointDir: String, maxFilesPerTrigger: Int = 999): StreamingQuery =
+    sink(projectRaw(readEventStream(spark, dropDir, maxFilesPerTrigger)),
+      "parquet", outDir, checkpointDir, Trigger.AvailableNow())
+      .start()
+}

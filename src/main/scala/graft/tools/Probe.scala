@@ -1,0 +1,32 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** One-off environment probe: ANSI default, parquet timestamp type,
+  * behavior of element_at / casts under the session defaults.
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    println("ansi=" + spark.conf.get("spark.sql.ansi.enabled"))
+    println("ntzInfer=" + spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val e0 = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    e0.printSchema()
+    val e = e0.selectExpr("event_id", "timestamp_micros(ts div 1000) AS ts", "event_type", "props")
+    e.printSchema()
+    e.selectExpr(
+      "date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS s",
+      "date_format(from_utc_timestamp(cast(ts as timestamp), 'America/Los_Angeles'), 'yyyy-MM-dd HH:mm:ss') AS pst",
+      "try_cast(event_type AS BIGINT) AS tc"
+    ).show(3, false)
+    spark.sql("SELECT md5('abc') AS m, element_at(array(1,2), 1) AS ea, 1/2 AS div, regexp_extract('abc','([0-9]+)',1) AS nomatch").show(false)
+    spark.stop()
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the dedup / similarity operators on controlled inputs. */
+class DedupSimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: Seq[(Long, String)]) =
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("s").as("source"), length(col("text")).cast("long").as("n_chars"))
+
+  test("minhash LSH: identical texts are candidate pairs; disjoint texts are not") {
+    val d = docs(Seq(
+      (1L, "spark shuffles the big table"),
+      (2L, "spark shuffles the big table"),
+      (3L, "completely different words entirely unrelated")))
+    val dir = java.nio.file.Files.createTempDirectory("mh").toString
+    d.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Registry.byName("q23_minhash_lsh").run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("simhash: identical docs get identical fingerprints") {
+    val d = docs(Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "zeta eta theta iota kappa")))
+    val dir = java.nio.file.Files.createTempDirectory("sh").toString
+    d.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fp = Registry.byName("q24_simhash").run(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp.values.forall(v => v >= 0 && v < (1 << 16)))
+  }
+
+  test("jaccard: identical word sets → 1.0; disjoint below threshold → absent") {
+    val d = docs(Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),
+      (3L, "q r s t u v w x")))
+    val dir = java.nio.file.Files.createTempDirectory("jc").toString
+    d.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Registry.byName("q25_jaccard_pairs").run(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(rows((1L, 2L)) == 1.0)
+    assert(!rows.contains((1L, 3L)))
+  }
+
+  test("cosine: identical vectors rank first with sim == 1.0") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),     // duplicate of query
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.70710678f, 0.70710678f, 0.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(df, col("vec_id") === 0, 3).collect()
+    val byRank = top.sortBy(_.getAs[Int]("rk"))
+      .map(r => (r.getAs[Long]("nid"), r.getAs[Double]("sim"))).toSeq
+    assert(byRank.head._1 == 1L)
+    assert(byRank.head._2 == 1.0)
+    assert(byRank(1)._1 == 3L) // 45° vector before orthogonal
+    assert(byRank(2)._2 == 0.0)
+  }
+
+  test("exact dedup groups identical content") {
+    val d = docs(Seq((1L, "same text"), (2L, "same text"), (3L, "other text")))
+    val dir = java.nio.file.Files.createTempDirectory("ex").toString
+    d.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Registry.byName("q22_dedup_exact").run(spark, dir)
+      .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies")))
+    assert(rows.toSet == Set((1L, 2L), (3L, 1L)))
+  }
+}

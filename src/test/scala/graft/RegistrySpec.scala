@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract checks over the whole query registry on sf0.001: every query
+  * runs, and every oracle-bearing query has stable column names (the
+  * driver hashes by sorted column name — SURVEY.md §5).
+  */
+class RegistrySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("registry names are unique and all have oracles") {
+    val names = Registry.all.map(_.name)
+    assert(names.distinct.size == names.size)
+    assert(Registry.all.forall(_.oracle.nonEmpty))
+  }
+
+  Registry.all.foreach { q =>
+    test(s"${q.name} runs on sf0.001 and returns rows") {
+      val df = q.run(spark, TestSpark.sf0001)
+      assert(df.columns.nonEmpty)
+      assert(df.count() > 0, s"${q.name} returned no rows")
+    }
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle SQL mentions only fixture tables and has matching keys") {
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.streaming.StreamingIngest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Streaming semantics ST1-ST7 (SURVEY.md §2.9) via drop-directory and
+  * MemoryStream micro-batch tests.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def writeEventFile(dir: String, name: String, lines: String*): Unit =
+    Files.write(java.nio.file.Paths.get(dir, name),
+      lines.mkString("\n").getBytes)
+
+  test("ST1/ST2: drop-dir ingest projects and caps files per trigger") {
+    val drop = Files.createTempDirectory("drop").toString
+    val out = Files.createTempDirectory("out").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    (1 to 5).foreach { i =>
+      writeEventFile(drop, s"e$i.json",
+        s"""{"mint":"M$i","txType":"create","solAmount":$i.5,"name":"T$i","symbol":"S$i","junk":1}""")
+    }
+    val q = StreamingIngest.runIngestOnce(spark, drop, out, ckpt, maxFilesPerTrigger = 2)
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(out)
+    assert(got.count() == 5)
+    assert(got.columns.toSet == Set("mint", "txType", "solAmount", "name", "symbol"))
+    // ST2: with cap 2 and 5 files, AvailableNow needed >= 3 micro-batches
+    assert(q.recentProgress.length >= 3)
+  }
+
+  test("ST5: incremental restart processes only new files (checkpoint offsets)") {
+    val drop = Files.createTempDirectory("drop2").toString
+    val out = Files.createTempDirectory("out2").toString
+    val ckpt = Files.createTempDirectory("ckpt2").toString
+    writeEventFile(drop, "a.json", """{"mint":"A","txType":"create","solAmount":1.0,"name":"a","symbol":"a"}""")
+    StreamingIngest.runIngestOnce(spark, drop, out, ckpt).awaitTermination(120000)
+    assert(spark.read.parquet(out).count() == 1)
+    // second run with one more file: only the new one is consumed
+    writeEventFile(drop, "b.json", """{"mint":"B","txType":"buy","solAmount":2.0,"name":"b","symbol":"b"}""")
+    StreamingIngest.runIngestOnce(spark, drop, out, ckpt).awaitTermination(120000)
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 2)
+    assert(rows.select("mint").collect().map(_.getString(0)).toSet == Set("A", "B"))
+  }
+
+  test("ST5/J1: watermarked dedup drops in-window duplicate signatures") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val df = mem.toDF().toDF("signature", "sec")
+      .select(col("signature"), timestamp_seconds(col("sec")).as("ts"))
+    val deduped = StreamingIngest.dedupWithinWatermark(df, "ts", "10 minutes", "signature")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    mem.addData(("sig1", 1000L), ("sig1", 1010L), ("sig2", 1020L))
+    q.processAllAvailable()
+    mem.addData(("sig1", 1030L), ("sig3", 1040L)) // sig1 again within window
+    q.processAllAvailable()
+    q.stop()
+    val sigs = spark.table("dedup_out").select("signature")
+      .collect().map(_.getString(0)).toSeq
+    assert(sigs.sorted == Seq("sig1", "sig2", "sig3"))
+  }
+
+  test("normalization works on a streamed shape-2 drop dir") {
+    val drop = Files.createTempDirectory("drop3").toString
+    writeEventFile(drop, "h.json",
+      """{"signature":"s1","slot":1,"blockTime":1742601600,"meta":{"fee":5},"transaction":{"message":{"accountKeys":["FP"]}},"tokenTransfers":[{"fromUserAccount":"A","toUserAccount":"B","tokenAmount":1.0,"mint":"M","tokenStandard":"F"}]}""",
+      """{"signature":"s2","slot":2,"blockTime":1742601660,"meta":{"fee":5},"transaction":{"message":{"accountKeys":[]}},"tokenTransfers":[]}""")
+    val q = StreamingIngest.normalizeShape2Stream(spark, drop)
+      .writeStream.format("memory").queryName("norm_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("norm_out")
+    assert(rows.count() == 2) // F1: empty transfers row preserved
+    assert(rows.filter(col("signature") === "s2").count() == 1)
+  }
+}
