@@ -36,7 +36,10 @@ object Registry {
       Windowed.queries ++
       Dedup.queries ++
       Similarity.queries ++
-      TextAnalysis.queries
+      TextAnalysis.queries ++
+      RiskExplain.queries ++
+      ScaleVariants.queries ++
+      Multimodal.queries
 
   lazy val byName: Map[String, GraftQuery] =
     all.map(q => q.name -> q).toMap

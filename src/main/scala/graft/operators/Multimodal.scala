@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling for a training-data pipeline: media
+  * payloads are opaque `binary` columns with a typed metadata struct;
+  * decode / feature-extraction runs batched per partition.
+  *
+  * Container note: no image/audio codecs ship in this environment, so
+  * the decode kernel is a clearly-marked deterministic STUB
+  * ([[StubCodec.decode]]). Everything around it — the schema contract,
+  * the Dataset[MediaRecord] → Dataset[MediaFeatures] signature, the
+  * per-partition batching, the partition-count control — is the real
+  * 100 TB plumbing: swap StubCodec for a JNI/JavaCV codec and nothing
+  * else changes. Binary payloads never shuffle here; features are
+  * extracted map-side and only the (tiny) feature rows flow on.
+  *
+  * The metadata-level operators (q33) are pure column expressions and
+  * are oracle-checked like any other query (payload := utf8 bytes of
+  * documents.text in the fixtures).
+  */
+object Multimodal {
+
+  /** One media payload: id + opaque bytes + typed metadata. */
+  final case class MediaRecord(media_id: Long, content: Array[Byte],
+      media_type: String, source: String)
+
+  /** Extracted features (what a real codec would emit). */
+  final case class MediaFeatures(media_id: Long, media_type: String,
+      byte_len: Int, sample_rate_hz: Int, n_frames: Int,
+      frame_digest: String)
+
+  /** STUB CODEC — deterministic stand-in for an image/audio decoder.
+    * Real implementation would decode `content` with a native codec;
+    * this derives the same-shaped features from the raw bytes so the
+    * pipeline is testable end-to-end in this container.
+    */
+  object StubCodec {
+    def decode(r: MediaRecord): MediaFeatures = {
+      val len = r.content.length
+      // ??? real codec goes here — fake "frames" = 1KiB chunks, fake
+      // digest = hex of a rolling byte xor per frame.
+      val frames = math.max(1, len / 1024)
+      val xor = r.content.foldLeft(0)((a, b) => (a ^ b) & 0xff)
+      MediaFeatures(r.media_id, r.media_type, len,
+        sample_rate_hz = if (r.media_type == "audio") 16000 else 0,
+        n_frames = frames,
+        frame_digest = f"$xor%02x")
+    }
+  }
+
+  /** Batched per-partition decode: the Scala twin of a pandas
+    * `mapInPandas` decode stage. Control parallelism with
+    * `repartition(n)` upstream; each partition decodes its batch
+    * without touching the driver.
+    */
+  def extractFeatures(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map(StubCodec.decode))
+  }
+
+  /** Fixture adapter: documents.text as an opaque binary payload. */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("content"),
+      when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("media_type"),
+      col("source"))
+
+  // ---- q33: metadata extraction over opaque payloads (pure columns) ------
+  // byte length, full-content digest, head-window digest ("thumbnail"),
+  // and a strided frame sample — all computable without decoding.
+  private def q33(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d).select(
+      col("media_id"),
+      col("media_type"),
+      length(col("content")).cast("long").as("byte_len"),
+      md5(col("content")).as("content_digest"),
+      md5(substring(col("content"), 1, 64)).as("head_digest"),
+      expr("array_join(transform(sequence(0, 7), " +
+        "i -> substring(cast(content AS STRING), i * 97 + 1, 1)), '')")
+        .as("frame_sample"))
+
+  private val o33 =
+    """SELECT doc_id AS media_id,
+      |       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+      |       strlen(text) AS byte_len,
+      |       md5(text) AS content_digest,
+      |       md5(substr(text, 1, 64)) AS head_digest,
+      |       array_to_string(list_transform(range(0, 8),
+      |                                      i -> substr(text, i * 97 + 1, 1)), '') AS frame_sample
+      |FROM documents""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q33_media_meta", "opaque-payload metadata extraction", q33, Some(o33)))
+}

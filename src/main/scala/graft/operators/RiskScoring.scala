@@ -68,7 +68,8 @@ object RiskScoring {
   private def q10(s: SparkSession, d: String): DataFrame =
     riskTable(Tables.events(s, d))
 
-  private val riskSql =
+  /** Shared oracle CTE for the risk table (reused by q11/q31). */
+  val riskSql: String =
     """WITH agg AS (
       |  SELECT user_id,
       |         count(*) AS n_events,

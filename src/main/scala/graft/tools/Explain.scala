@@ -1,0 +1,31 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dumps formatted physical plans for registry queries — the
+  * scale-review loop: check pushdown (PushedFilters/ReadSchema), join
+  * strategies (BroadcastHashJoin for dims), and WholeStageCodegen spans.
+  *
+  * Usage: Explain [queryName ...]  (default: a scale-critical subset)
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq
+    else Seq("q01_project", "q04_filter_eq", "q09_broadcast_enrich",
+      "q10_risk_agg", "q11_topk_risk", "q12_sort_limit", "q14_group_agg",
+      "q23_minhash_lsh", "q26_cosine_topk")
+    names.foreach { n =>
+      println(s"\n================ $n ================")
+      graft.Registry.byName(n).run(spark, "/root/testdata/sf0.001")
+        .explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import graft.functions.RiskVectorAgg
+import graft.operators.{Multimodal, RiskScoring, ScaleVariants}
+import graft.sources.FileCatalog
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Typed aggregator, approx-distinct accuracy, multimodal plumbing, and
+  * file-catalog pruning.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("typed RiskVectorAgg matches the declarative risk table") {
+    val events = Tables.events(spark, TestSpark.sf0001)
+    val typed = events
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+      .as[RiskVectorAgg.EventRow]
+      .groupByKey(_.user_id)
+      .agg(RiskVectorAgg.agg.toColumn.name("risk"))
+      .map { case (uid, v) => (uid, v.n_events, v.n_types, v.n_purchases, v.safety_score) }
+      .collect().map(t => t._1 -> t).toMap
+    val declarative = RiskScoring.riskTable(events)
+      .select("user_id", "n_events", "n_types", "n_purchases", "safety_score")
+      .collect()
+    assert(declarative.nonEmpty)
+    declarative.foreach { r =>
+      val (_, n, t, p, s) = typed(r.getLong(0))
+      assert(n == r.getAs[Long]("n_events"))
+      assert(t == r.getAs[Long]("n_types"))
+      assert(p == r.getAs[Long]("n_purchases"))
+      assert(math.abs(s - r.getAs[Double]("safety_score")) < 1e-9)
+    }
+  }
+
+  test("approx_count_distinct stays within 5% of exact") {
+    val events = Tables.events(spark, TestSpark.sf0001)
+    val exact = RiskScoring.riskTable(events)
+      .select("user_id", "n_types", "n_purchases")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = ScaleVariants.approxRisk(events).collect()
+    approx.foreach { r =>
+      val (et, ep) = exact(r.getAs[Long]("user_id"))
+      val (at, ap) = (r.getAs[Long]("n_types_approx"), r.getAs[Long]("n_purchases_approx"))
+      // rsd=0.05 is a relative std-dev, not a hard bound — allow 3σ-ish
+      assert(math.abs(at - et) <= math.max(3, 0.15 * et), s"types: $at vs $et")
+      assert(math.abs(ap - ep) <= math.max(3, 0.15 * ep), s"purchases: $ap vs $ep")
+    }
+  }
+
+  test("multimodal: batched stub decode preserves ids and emits frame counts") {
+    val media = Multimodal.mediaTable(spark, TestSpark.sf0001)
+      .as[Multimodal.MediaRecord]
+    val feats = Multimodal.extractFeatures(media.repartition(4)).collect()
+    assert(feats.length == 500)
+    assert(feats.forall(f => f.n_frames >= 1))
+    assert(feats.filter(_.media_type == "audio").forall(_.sample_rate_hz == 16000))
+    assert(feats.filter(_.media_type == "image").forall(_.sample_rate_hz == 0))
+    // deterministic: same input → same digest
+    val again = Multimodal.extractFeatures(media.repartition(2)).collect()
+    assert(feats.sortBy(_.media_id).map(_.frame_digest).toSeq ==
+      again.sortBy(_.media_id).map(_.frame_digest).toSeq)
+  }
+
+  test("file catalog: suffix filter and newest-N pruning") {
+    val dir = Files.createTempDirectory("cat").toString
+    Files.write(java.nio.file.Paths.get(dir, "a.csv"), "x".getBytes)
+    Files.write(java.nio.file.Paths.get(dir, "b.json"), "y".getBytes)
+    val f1 = java.nio.file.Paths.get(dir, "old.parquet"); Files.write(f1, "1".getBytes)
+    val f2 = java.nio.file.Paths.get(dir, "new.parquet"); Files.write(f2, "2".getBytes)
+    f1.toFile.setLastModified(1000000L)
+    f2.toFile.setLastModified(2000000L)
+    assert(FileCatalog.list(spark, dir).size == 4)
+    assert(FileCatalog.list(spark, dir, ".json").map(_.path).head.endsWith("b.json"))
+    assert(FileCatalog.newestFile(spark, dir, ".parquet").get.endsWith("new.parquet"))
+    assert(FileCatalog.newestN(spark, dir, 1, ".parquet").head.endsWith("new.parquet"))
+    assert(FileCatalog.list(spark, "/nonexistent/path").isEmpty)
+  }
+
+  test("canonical table CSV sink/source round-trip (S4/S5)") {
+    import graft.operators.Normalize
+    import graft.sources.Schemas
+    val src = Normalize.fromShape2(
+      spark.read.schema(Schemas.heliusShape2).json(Seq(
+        """{"signature":"s1","slot":9,"blockTime":1742601600,"meta":{"fee":5},"transaction":{"message":{"accountKeys":["FP"]}},"tokenTransfers":[{"fromUserAccount":"A","toUserAccount":"B","tokenAmount":1.25,"mint":"M","tokenStandard":"F"}]}""").toDS))
+    val dir = Files.createTempDirectory("csv").toString
+    src.write.mode("overwrite").option("header", true).csv(dir)
+    val back = spark.read.schema(Schemas.cleaned).option("header", true).csv(dir)
+    val (a, b) = (src.collect().head, back.collect().head)
+    assert(b.getAs[String]("signature") == a.getAs[String]("signature"))
+    assert(b.getAs[Long]("fee") == a.getAs[Long]("fee"))
+    assert(b.getAs[Double]("token_amount") == a.getAs[Double]("token_amount"))
+    assert(b.getAs[java.sql.Timestamp]("ts") == a.getAs[java.sql.Timestamp]("ts"))
+  }
+}

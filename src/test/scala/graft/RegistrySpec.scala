@@ -9,10 +9,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  test("registry names are unique and all have oracles") {
+  test("registry names are unique; only approx/sketch ops lack oracles") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.size == names.size)
-    assert(Registry.all.forall(_.oracle.nonEmpty))
+    val noOracle = Registry.all.filter(_.oracle.isEmpty).map(_.name).toSet
+    assert(noOracle == Set("q32_approx_distinct"))
   }
 
   Registry.all.foreach { q =>
@@ -27,7 +28,8 @@ class RegistrySpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("oracle SQL mentions only fixture tables and has matching keys") {
-    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
+  test("oracle SQL covers every query except the declared sketch ops") {
+    assert(SparkEntry.oracleSql.keySet ==
+      SparkEntry.queries.keySet - "q32_approx_distinct")
   }
 }

@@ -68,6 +68,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(sigs.sorted == Seq("sig1", "sig2", "sig3"))
   }
 
+  test("ST9: two concurrent streaming queries share one session") {
+    val dropA = Files.createTempDirectory("ca").toString
+    val dropB = Files.createTempDirectory("cb").toString
+    val outA = Files.createTempDirectory("oa").toString
+    val outB = Files.createTempDirectory("ob").toString
+    writeEventFile(dropA, "a.json", """{"mint":"A","txType":"create","solAmount":1.0,"name":"a","symbol":"a"}""")
+    writeEventFile(dropB, "b.json", """{"mint":"B","txType":"buy","solAmount":2.0,"name":"b","symbol":"b"}""")
+    // reference runs websocket ingest ∥ 3h batch loop as threads
+    // (my_websocket.py:149-152); here: two concurrent queries
+    val qA = StreamingIngest.runIngestOnce(spark, dropA, outA,
+      Files.createTempDirectory("cka").toString)
+    val qB = StreamingIngest.runIngestOnce(spark, dropB, outB,
+      Files.createTempDirectory("ckb").toString)
+    qA.awaitTermination(120000); qB.awaitTermination(120000)
+    assert(spark.read.parquet(outA).select("mint").collect().head.getString(0) == "A")
+    assert(spark.read.parquet(outB).select("mint").collect().head.getString(0) == "B")
+  }
+
   test("normalization works on a streamed shape-2 drop dir") {
     val drop = Files.createTempDirectory("drop3").toString
     writeEventFile(drop, "h.json",
