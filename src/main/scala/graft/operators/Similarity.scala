@@ -24,12 +24,18 @@ object Similarity {
 
   private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  private def sumFold(arr: Column): Column =
-    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+  /** Composable-form dot product (interpreted higher-order functions);
+    * kept as the semantic reference for ArrayDot.
+    */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  def dot(a: Column, b: Column): Column = sumFold(zip_with(a, b, (x, y) => x * y))
+  /** Codegen'd native dot product (graft.functions.ArrayDot) — same
+    * semantics and summation order, whole-stage-codegen friendly.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.ArrayDot(a, b)
 
-  def norm(v: Column): Column = sqrt(sumFold(transform(v, x => x * x)))
+  def norm(v: Column): Column = sqrt(dot(v, v))
 
   /** Exact top-k cosine neighbors for each query vector. */
   def cosineTopK(embeddings: DataFrame, queryPred: Column, k: Int): DataFrame = {
@@ -70,6 +76,64 @@ object Similarity {
        |  FROM p)
        |WHERE rk <= $TopK""".stripMargin
 
+  // ---- q34: LSH-bucketed cosine near-dup (the scale path) ----------------
+  // Random-hyperplane LSH: 4 fixed integer-weight hyperplanes hash each
+  // vector to a 4-bit bucket; cosine runs only within buckets — the
+  // all-pairs O(n²) becomes an equi-join on the bucket key. At real
+  // density, raise the plane count (finer buckets) and band like the
+  // MinHash LSH. Plane weights are a fixed deterministic formula so the
+  // DuckDB oracle derives identical buckets.
+  //
+  // The fixture embeddings are isotropic noise (no planted near-dups),
+  // so the demo threshold is 0.15; production near-dup would use ~0.9.
+  private val NumPlanes = 4
+  private val NearDupThreshold = 0.15
+
+  private def planeWeight(j: Int, i: Int): Int = ((i * 31 + j * 17) % 7) - 3
+
+  private def planeCol(j: Int): Column =
+    array((1 to 64).map(i => lit(planeWeight(j, i).toDouble)): _*)
+
+  private def q34(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("bucket", concat((0 until NumPlanes).map { j =>
+        when(dot(col("v"), planeCol(j)) >= 0, lit("1")).otherwise(lit("0"))
+      }: _*))
+    val a = base.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = base.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, "bucket").where(col("vec_a") < col("vec_b"))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= NearDupThreshold)
+      .select("vec_a", "vec_b", "sim")
+  }
+
+  private val o34 = {
+    def planeList(j: Int): String =
+      (1 to 64).map(i => s"${planeWeight(j, i)}.0").mkString("[", ", ", "]")
+    val bits = (0 until NumPlanes).map { j =>
+      s"CASE WHEN list_reduce(list_transform(range(1, 65), i -> v[i] * (${planeList(j)})[i]), (a, b) -> a + b) >= 0 THEN '1' ELSE '0' END"
+    }.mkString(" || ")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm,
+       |         $bits AS bucket
+       |  FROM v)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
+       |                   (x, y) -> x + y) / (a.nrm * b.nrm) AS sim
+       |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
+       |                  (x, y) -> x + y) / (a.nrm * b.nrm) >= $NearDupThreshold""".stripMargin
+  }
+
   val queries: Seq[GraftQuery] = Seq(
-    GraftQuery("q26_cosine_topk", "brute-force cosine top-k (broadcast queries)", q26, Some(o26)))
+    GraftQuery("q26_cosine_topk", "brute-force cosine top-k (broadcast queries)", q26, Some(o26)),
+    GraftQuery("q34_ann_lsh", "hyperplane-LSH bucketed cosine near-dup", q34, Some(o34)))
 }

@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions.ArrayDot
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ArrayDot must be bit-identical to the composable
+  * zip_with+aggregate form it replaces (the DuckDB oracle parity
+  * depends on the exact summation order).
+  */
+class ArrayDotSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("matches the higher-order-function form bit-for-bit on random data") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextDouble() - 0.5),
+        Array.fill(64)(rnd.nextDouble() - 0.5))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val out = df.select(
+      ArrayDot(col("a"), col("b")).as("native"),
+      Similarity.dotHof(col("a"), col("b")).as("hof")).collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("null array, null element, and length mismatch all yield null") {
+    val df = Seq(
+      (1L, Seq[Option[Double]](Some(1.0), Some(2.0)), Seq[Option[Double]](Some(3.0), Some(4.0))),
+      (2L, Seq[Option[Double]](Some(1.0), None), Seq[Option[Double]](Some(3.0), Some(4.0))),
+      (3L, Seq[Option[Double]](Some(1.0)), Seq[Option[Double]](Some(3.0), Some(4.0))))
+      .toDF("id", "a", "b")
+    val got = df.select(col("id"), ArrayDot(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L).contains(11.0))
+    assert(got(2L).isEmpty)
+    assert(got(3L).isEmpty)
+    val withNullArr = df.select(ArrayDot(lit(null).cast("array<double>"), col("b")).as("d"))
+      .collect().head
+    assert(withNullArr.isNullAt(0))
+  }
+
+  test("participates in codegen (no fallback) and works under it") {
+    val rows = (0 until 1000).map(i => (i.toLong, Array.fill(8)(i * 0.5)))
+    val df = rows.toDF("id", "v")
+    val total = df.select(sum(ArrayDot(col("v"), col("v"))).as("s")).collect().head.getDouble(0)
+    val expected = rows.map(r => r._2.map(x => x * x).sum).sum
+    assert(math.abs(total - expected) / expected < 1e-12)
+  }
+}
