@@ -86,6 +86,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(outB).select("mint").collect().head.getString(0) == "B")
   }
 
+  test("watermarked tumbling window aggregate emits finalized windows (append)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("sec", "etype")
+      .select(timestamp_seconds(col("sec")).as("ts"), col("etype"))
+    val agg = df.withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "60 seconds"), col("etype"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    mem.addData((5L, "a"), (15L, "a"), (30L, "b"))
+    q.processAllAvailable()
+    // nothing finalized yet: watermark = 30 - 10 < window end 60
+    assert(spark.table("win_out").count() == 0)
+    mem.addData((200L, "a")) // watermark 190 → [0, 60) finalized
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_out")
+      .select(col("etype"), col("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("ST6: foreachBatch chains normalization + load inside one stream") {
+    val drop = Files.createTempDirectory("fb").toString
+    val out = Files.createTempDirectory("fbout").toString
+    writeEventFile(drop, "e.json",
+      """{"mint":"MM","txType":"create","solAmount":3.0,"name":"N","symbol":"S"}""")
+    val q = StreamingIngest.readEventStream(spark, drop)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // stage chain (reference: subprocess clean_data.py) in one app:
+        graft.operators.Normalize.fromRawEvents(batch)
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .option("checkpointLocation", Files.createTempDirectory("fbc").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 1)
+    assert(rows.select("mint").collect().head.getString(0) == "MM")
+    assert(rows.columns.length == 15) // canonical table
+  }
+
   test("normalization works on a streamed shape-2 drop dir") {
     val drop = Files.createTempDirectory("drop3").toString
     writeEventFile(drop, "h.json",
