@@ -36,12 +36,16 @@ object Windowed {
   // ---- q20: tumbling event-time window aggregate (hourly) ----------------
   private def q20(s: SparkSession, d: String): DataFrame = {
     val dec = DecimalType(18, 2)
+    // group on the truncated timestamp (8-byte key), render the string
+    // only after aggregation — narrower shuffle than a string group key
     Tables.events(s, d)
-      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour"))
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
       .agg(
         count(lit(1)).as("n"),
         sum(col("value").cast(dec)).cast(DoubleType).as("total_value"),
         countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("h"), "yyyy-MM-dd HH:mm").as("hour"),
+        col("n"), col("total_value"), col("n_users"))
   }
 
   private val o20 =

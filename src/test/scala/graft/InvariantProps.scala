@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Normalize
+import graft.sources.Schemas
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** ScalaCheck property suite (SURVEY.md §5.4): structural invariants of
+  * the normalization kernel over generated Helius shape-2 inputs.
+  * Datasets are generated as JSON strings, pushed through the real
+  * reader + kernel.
+  */
+object InvariantProps extends Properties("graft") {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val word: Gen[String] = Gen.alphaLowerStr.map(_.take(8)).suchThat(_.nonEmpty)
+
+  private val transferGen: Gen[String] = for {
+    from <- word; to <- word
+    amt <- Gen.choose(0, 100000).map(_ / 100.0)
+    mint <- word
+  } yield s"""{"fromUserAccount":"$from","toUserAccount":"$to","tokenAmount":$amt,"mint":"$mint","tokenStandard":"Fungible"}"""
+
+  private val txGen: Gen[(String, Int)] = for {
+    sig <- word
+    slot <- Gen.choose(1, 1000000)
+    bt <- Gen.choose(1600000000L, 1800000000L)
+    transfers <- Gen.listOfN(3, transferGen).map(l => l.take(slot % 4)) // 0..3 transfers
+  } yield (
+    s"""{"signature":"$sig","slot":$slot,"blockTime":$bt,"meta":{"fee":5},"transaction":{"message":{"accountKeys":[]}},"tokenTransfers":[${transfers.mkString(",")}]}""",
+    transfers.size)
+
+  private val batchGen: Gen[List[(String, Int)]] =
+    Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, txGen))
+
+  property("explode preserves rows: out == sum(max(|transfers|, 1))") =
+    Prop.forAllNoShrink(batchGen) { batch =>
+      val df = spark.read.schema(Schemas.heliusShape2).json(batch.map(_._1).toDS)
+      val expected = batch.map { case (_, k) => math.max(k, 1) }.sum
+      Normalize.fromShape2(df).count() == expected.toLong
+    }
+
+  property("canonical output never has null strings or amounts") =
+    Prop.forAllNoShrink(batchGen) { batch =>
+      val out = Normalize.fromShape2(
+        spark.read.schema(Schemas.heliusShape2).json(batch.map(_._1).toDS))
+      out.filter(
+        col("mint").isNull || col("from_account").isNull ||
+          col("to_account").isNull || col("token_amount").isNull ||
+          col("fee").isNull).count() == 0L
+    }
+
+  property("union with raw events keeps total row count") =
+    Prop.forAllNoShrink(Gen.choose(1, 10)) { n =>
+      val raw = spark.read.schema(Schemas.rawEvent).json(
+        (1 to n).map(i => s"""{"mint":"m$i","txType":"t","solAmount":1.0,"name":"n","symbol":"s"}""").toDS)
+      val a = Normalize.fromRawEvents(raw)
+      Normalize.unionCleaned(a, a).count() == 2L * n
+    }
+}

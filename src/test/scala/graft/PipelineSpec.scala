@@ -1,0 +1,48 @@
+package graft
+
+import graft.tools.Pipeline
+import graft.operators.SkewTools
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** End-to-end domain pipeline (SURVEY.md §3) + skew tooling. */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("full pipeline: ingest → normalize → union → load → risk top-k") {
+    val dir = Files.createTempDirectory("pipe").toString
+    Pipeline.writeFixtures(dir)
+    val top = Pipeline.run(spark, dir).collect()
+    assert(top.length == 5) // MINT1..MINT5
+    val byMint = top.map(r => r.getAs[String]("mint") -> r).toMap
+    val m1 = byMint("MINT1")
+    // 2 shape-2 transfers + 1 shape-1 transfer + 1 websocket row
+    assert(m1.getAs[Long]("total_transfers") == 4)
+    assert(m1.getAs[Long]("swap_sellers") == 1) // alice's SWAP
+    assert(m1.getAs[String]("token_name") == "Token1")
+    top.foreach { r =>
+      val s = r.getAs[Double]("safety_score")
+      assert(s >= 0.0 && s <= 100.0)
+      assert(r.getAs[String]("explanation").contains("overall:"))
+    }
+    // canonical load exists and has the 15-column schema
+    val cleaned = spark.read.parquet(s"$dir/cleaned_parquet")
+    assert(cleaned.columns.length == 15)
+    assert(cleaned.count() == 9) // 3 shape2 (incl. empty-transfer row) + 1 shape1 + 5 events
+  }
+
+  test("salted aggregation equals plain aggregation") {
+    val events = Tables.events(spark, TestSpark.sf0001)
+    val plain = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val salted = SkewTools.saltedCountSum(events, col("user_id"), col("value"), 8)
+      .collect().map(r => r.getAs[Long]("k") -> (r.getAs[Long]("n"), r.getAs[Double]("total"))).toMap
+    assert(salted.keySet == plain.keySet)
+    salted.foreach { case (k, (n, total)) =>
+      assert(n == plain(k)._1)
+      assert(math.abs(total - plain(k)._2) < 1e-6) // fp order differs by design
+    }
+  }
+}
