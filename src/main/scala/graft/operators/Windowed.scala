@@ -99,8 +99,53 @@ object Windowed {
       |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
       |FROM sess GROUP BY user_id, session_seq""".stripMargin
 
+  // ---- q35: hierarchical rollup aggregate --------------------------------
+  // Not in the reference (no grouping sets anywhere) but table stakes
+  // for an analytics engine; Spark plans one Expand + hash aggregate.
+  private def q35(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(18, 2)
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(dec)).cast(DoubleType).as("sum_qty"))
+  }
+
+  private val o35 =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+
+  // ---- q36: as-of join (windowed sort-merge form) ------------------------
+  // For each purchase event: the most recent STRICTLY-earlier event of
+  // the same user that is not a purchase. The naive form is a range
+  // join (quadratic); the scale-correct Spark form is one shuffle on
+  // the key + a sorted window carrying the last non-purchase id
+  // forward — linear, and exactly how a sort-merge as-of executes.
+  private def q36(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .withColumn("cand", when(col("event_type") =!= "purchase", col("event_id")))
+      .withColumn("asof_event_id", last(col("cand"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("asof_event_id"))
+  }
+
+  private val o36 =
+    """SELECT event_id AS purchase_id, user_id, asof_event_id FROM (
+      |  SELECT event_id, user_id, event_type,
+      |         last_value(CASE WHEN event_type <> 'purchase' THEN event_id END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_event_id
+      |  FROM events)
+      |WHERE event_type = 'purchase'""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q19_window_rank", "row_number/lag per-key recency window", q19, Some(o19)),
     GraftQuery("q20_window_time", "tumbling hourly event-time aggregate", q20, Some(o20)),
-    GraftQuery("q21_sessionize", "gap-based sessionization (lag + cumsum)", q21, Some(o21)))
+    GraftQuery("q21_sessionize", "gap-based sessionization (lag + cumsum)", q21, Some(o21)),
+    GraftQuery("q35_rollup", "hierarchical rollup aggregate", q35, Some(o35)),
+    GraftQuery("q36_asof_join", "as-of join via sorted per-key window", q36, Some(o36)))
 }

@@ -45,6 +45,14 @@ class ArrayDotSpec extends AnyFunSuite {
     assert(withNullArr.isNullAt(0))
   }
 
+  test("registers as a SQL function") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(r == 11.0)
+  }
+
   test("participates in codegen (no fallback) and works under it") {
     val rows = (0 until 1000).map(i => (i.toLong, Array.fill(8)(i * 0.5)))
     val df = rows.toDF("id", "v")
