@@ -148,9 +148,84 @@ object TextAnalysis {
       |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_wordset
       |FROM documents""".stripMargin
 
+  // ---- q37: term salience (TF-IDF-shaped, exact-arithmetic) --------------
+  // Top-3 salient terms per document, scored tf * N / df. Uses the
+  // exact integer ratio instead of log-idf so both engines produce
+  // bit-identical doubles (libm log is not cross-engine deterministic);
+  // ranking behavior is the same. Two shuffles (term stats + per-doc
+  // window) regardless of corpus size.
+  private def q37(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // (doc, term) rows are distinct after the tf aggregate, so doc
+    // frequency is a plain count() window over term — no self-join, no
+    // second pass over the exploded terms
+    val terms = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val byTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val scored = terms
+      .withColumn("df", count(lit(1)).over(byTerm))
+      .crossJoin(broadcast(n))
+      .withColumn("salience", col("tf") * col("n_docs") / col("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("salience").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "term", "tf", "df", "salience", "rk")
+  }
+
+  private val o37 =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+      |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf,
+      |         count(*) OVER (PARTITION BY term) AS df,
+      |         tf * (SELECT n_docs FROM n) / count(*) OVER (PARTITION BY term) AS salience
+      |  FROM tf)
+      |SELECT doc_id, term, tf, df, salience, rk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |            ORDER BY salience DESC, term ASC) AS rk
+      |  FROM scored)
+      |WHERE rk <= 3""".stripMargin
+
+  // ---- q38: corpus bigram statistics -------------------------------------
+  // Global top-100 adjacent word pairs — the n-gram machinery behind
+  // shingle-based dedup, as a corpus-level statistic. Bigrams are
+  // generated map-side (sequence over positions); one aggregation
+  // shuffle; top-k is TakeOrdered.
+  private def q38(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(split(col("text"), " ").as("w")) // materialize once
+      .select(explode(expr(
+        // guard: Spark sequence(1, 0) counts DOWN, so a 1-word doc
+        // would index position 0 — empty array instead
+        "CASE WHEN size(w) >= 2 THEN " +
+          "transform(sequence(1, size(w) - 1), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END"))
+        .as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(100)
+
+  private val o38 =
+    """SELECT bigram, count(*) AS n FROM (
+      |  SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+      |                i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bigram
+      |  FROM documents)
+      |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 100""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q27_langid", "marker-word language identification", q27, Some(o27)),
     GraftQuery("q28_quality", "document quality scoring", q28, Some(o28)),
     GraftQuery("q29_token_count", "whitespace + regex token counts", q29, Some(o29)),
-    GraftQuery("q30_fingerprint", "canonical-form document fingerprints", q30, Some(o30)))
+    GraftQuery("q30_fingerprint", "canonical-form document fingerprints", q30, Some(o30)),
+    GraftQuery("q37_term_salience", "top-3 salient terms per doc (tf·N/df)", q37, Some(o37)),
+    GraftQuery("q38_bigram_stats", "corpus top-100 bigram counts", q38, Some(o38)))
 }
