@@ -49,6 +49,39 @@ object Multimodal {
         n_frames = frames,
         frame_digest = f"$xor%02x")
     }
+
+    /** ??? real image resize goes here — the stub "resizes" by keeping
+      * every stride-th byte, preserving the (id, smaller-binary) shape a
+      * real thumbnailer produces. Deterministic.
+      */
+    def resize(r: MediaRecord, targetBytes: Int): MediaRecord = {
+      val n = r.content.length
+      if (n <= targetBytes || targetBytes <= 0) r
+      else {
+        val stride = math.max(1, n / targetBytes)
+        r.copy(content = r.content.indices.collect {
+          case i if i % stride == 0 => r.content(i)
+        }.toArray)
+      }
+    }
+
+    /** ??? real frame sampler goes here — picks `k` evenly-spaced fake
+      * frames (1KiB chunks) from the payload.
+      */
+    def sampleFrames(r: MediaRecord, k: Int): Seq[Array[Byte]] = {
+      val frames = math.max(1, r.content.length / 1024)
+      val picks = (0 until math.min(k, frames)).map(i => i * frames / math.min(k, frames))
+      picks.map { f =>
+        val start = f * 1024
+        r.content.slice(start, math.min(start + 1024, r.content.length))
+      }
+    }
+  }
+
+  /** Batched resize stage — binary in, smaller binary out, map-side. */
+  def resizeAll(records: Dataset[MediaRecord], targetBytes: Int): Dataset[MediaRecord] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map(StubCodec.resize(_, targetBytes)))
   }
 
   /** Batched per-partition decode: the Scala twin of a pandas

@@ -65,6 +65,26 @@ class ExtensionsSpec extends AnyFunSuite {
       again.sortBy(_.media_id).map(_.frame_digest).toSeq)
   }
 
+  test("multimodal: resize stage shrinks payloads, keeps ids, stays deterministic") {
+    val media = Multimodal.mediaTable(spark, TestSpark.sf0001)
+      .as[Multimodal.MediaRecord]
+    val before = media.collect().map(r => r.media_id -> r.content.length).toMap
+    val resized = Multimodal.resizeAll(media, targetBytes = 32).collect()
+    assert(resized.length == before.size)
+    resized.foreach { r =>
+      assert(r.content.length <= before(r.media_id))
+      assert(r.content.length > 0)
+    }
+    val again = Multimodal.resizeAll(media, targetBytes = 32).collect()
+      .map(r => r.media_id -> r.content.toSeq).toMap
+    resized.foreach(r => assert(again(r.media_id) == r.content.toSeq))
+    // frame sampling: k bounded, non-empty, deterministic
+    val rec = media.filter(col("media_id") === 0).collect().head
+    val frames = Multimodal.StubCodec.sampleFrames(rec, 3)
+    assert(frames.nonEmpty && frames.size <= 3)
+    assert(frames.forall(_.nonEmpty))
+  }
+
   test("file catalog: suffix filter and newest-N pruning") {
     val dir = Files.createTempDirectory("cat").toString
     Files.write(java.nio.file.Paths.get(dir, "a.csv"), "x".getBytes)

@@ -107,6 +107,16 @@ class NormalizeSpec extends AnyFunSuite {
     assert(Normalize.fromShape2(df).count() == expected)
   }
 
+  test("typed Dataset[CleanedTransaction] round-trips the canonical schema") {
+    val df = Normalize.fromShape2(shape2Df(Seq(
+      """{"signature":"sigT","slot":7,"blockTime":1742601600,"meta":{"fee":9},"transaction":{"message":{"accountKeys":["FP"]}},"tokenTransfers":[{"fromUserAccount":"A","toUserAccount":"B","tokenAmount":1.5,"mint":"M","tokenStandard":"F"}]}""")))
+    val typed = Normalize.toTyped(df).collect().head
+    assert(typed.signature == "sigT")
+    assert(typed.fee == 9L)
+    assert(typed.token_amount == 1.5)
+    assert(typed.ts.exists(_.toInstant.getEpochSecond == 1742601600L))
+  }
+
   test("renderPst handles DST edge (America/Los_Angeles)") {
     // 2024-03-10 09:59 UTC = 01:59 PST; 10:01 UTC = 03:01 PDT (spring-forward)
     val df = Seq(1710064740L, 1710064860L).toDF("sec")
