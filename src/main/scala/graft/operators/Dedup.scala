@@ -26,6 +26,23 @@ object Dedup {
   /** Distinct-word array of a document's text. */
   private def wordSet(text: Column): Column = array_distinct(split(text, " "))
 
+  /** Distinct 2-word shingles of a document's text (the dedup unit for
+    * MinHash/Jaccard — positional n-grams discriminate much better than
+    * unigram sets over a small vocabulary).
+    */
+  private def shingleSet(text: Column): Column = expr(
+    "array_distinct(CASE WHEN size(split(text, ' ')) >= 2 THEN " +
+      "transform(sequence(1, size(split(text, ' ')) - 1), " +
+      "i -> concat(element_at(split(text, ' '), i), ' ', element_at(split(text, ' '), i + 1))) " +
+      "ELSE array(text) END)")
+
+  /** DuckDB twin of [[shingleSet]] (w = string_split(text, ' ')). */
+  private val shingleSql =
+    "list_distinct(CASE WHEN len(string_split(text, ' ')) >= 2 THEN " +
+      "list_transform(range(1, len(string_split(text, ' '))), " +
+      "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]) " +
+      "ELSE [text] END)"
+
   // ---- q22: exact dedup via content hash (hash-groupBy) ------------------
   private def q22(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -37,10 +54,11 @@ object Dedup {
       |FROM documents GROUP BY md5(text)""".stripMargin
 
   // ---- q23: MinHash signatures + LSH band join → candidate pairs ---------
-  // One md5 per distinct word; its 32 hex chars are sliced into 8
-  // independent 16-bit hash functions (4 hex chars each). Signature =
-  // per-slice lexicographic min over the word set. 4 bands × 2 rows;
-  // docs sharing any band are candidate near-duplicates.
+  // shingle → minhash → band → bucket-join: one md5 per distinct 2-word
+  // shingle; its 32 hex chars are sliced into 8 independent 16-bit hash
+  // functions (4 hex chars each). Signature = per-slice lexicographic
+  // min over the shingle set. 4 bands × 2 rows; docs sharing any band
+  // are candidate near-duplicates.
   private val MinhashK = 8
   private val BandCap = 100
 
@@ -50,7 +68,7 @@ object Dedup {
     }
     Tables.documents(s, d)
       .select(col("doc_id"),
-        transform(wordSet(col("text")), w => md5(w.cast("binary"))).as("wh"))
+        transform(shingleSet(col("text")), w => md5(w.cast("binary"))).as("wh"))
       .select((col("doc_id") +: sigs): _*)
       .select(col("doc_id"), posexplode(array(
         concat(col("s0"), col("s1")), concat(col("s2"), col("s3")),
@@ -71,9 +89,9 @@ object Dedup {
   }
 
   private val o23 =
-    """WITH w AS (
+    s"""WITH w AS (
       |  SELECT doc_id,
-      |         list_transform(list_distinct(string_split(text, ' ')), x -> md5(x)) AS wh
+      |         list_transform($shingleSql, x -> md5(x)) AS wh
       |  FROM documents),
       |s AS (
       |  SELECT doc_id,
@@ -120,16 +138,16 @@ object Dedup {
        |      FROM documents)""".stripMargin
   }
 
-  // ---- q25: blocked n-gram (word-set) Jaccard similarity -----------------
+  // ---- q25: blocked n-gram Jaccard similarity ----------------------------
   // Pairs only within (lang, source, length-bucket) blocks; |A∩B| / |A∪B|
-  // over distinct word sets, thresholded.
+  // over distinct 2-word-shingle sets, thresholded.
   private val JaccardThreshold = 0.6
 
   private def q25(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(
       col("doc_id"), col("lang"), col("source"),
       floor(col("n_chars") / 50).as("lb"),
-      wordSet(col("text")).as("ws"))
+      shingleSet(col("text")).as("ws"))
     val a = docs.select(col("lang"), col("source"), col("lb"),
       col("doc_id").as("doc_a"), col("ws").as("ws_a"))
     val b = docs.select(col("lang"), col("source"), col("lb"),
@@ -146,7 +164,7 @@ object Dedup {
   private val o25 =
     s"""WITH d AS (
        |  SELECT doc_id, lang, source, floor(n_chars / 50) AS lb,
-       |         list_distinct(string_split(text, ' ')) AS ws
+       |         $shingleSql AS ws
        |  FROM documents)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |       len(list_intersect(a.ws, b.ws)) /

@@ -133,27 +133,38 @@ object TextAnalysis {
        |FROM documents""".stripMargin
 
   // ---- q30: document fingerprinting --------------------------------------
-  // Two canonical-form hashes: whitespace-normalized text, and the sorted
-  // distinct word set (order-insensitive near-dup key).
+  // Three canonical-form fingerprints: md5 of whitespace-normalized
+  // text, md5 of the sorted distinct word set (order-insensitive
+  // near-dup key), and a Karp-Rabin rolling polynomial hash
+  // (acc*31 + byte mod 1e9+7) — the incremental-hash form used for
+  // content-defined chunking.
   private def q30(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"),
       md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary")).as("fp_norm"),
       md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")
-        .cast("binary")).as("fp_wordset"))
+        .cast("binary")).as("fp_wordset"),
+      expr("aggregate(transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)), " +
+        "CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 1000000007)").as("fp_rolling"))
 
   private val o30 =
     """SELECT doc_id,
       |       md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_norm,
-      |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_wordset
+      |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_wordset,
+      |       list_reduce(list_concat([CAST(0 AS BIGINT)],
+      |                   list_transform(range(1, strlen(text) + 1),
+      |                                  i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+      |                   (a, b) -> (a * 31 + b) % 1000000007) AS fp_rolling
       |FROM documents""".stripMargin
 
   // ---- q37: term salience (TF-IDF-shaped, exact-arithmetic) --------------
   // Top-3 salient terms per document, scored tf * N / df. Uses the
   // exact integer ratio instead of log-idf so both engines produce
   // bit-identical doubles (libm log is not cross-engine deterministic);
-  // ranking behavior is the same. Two shuffles (term stats + per-doc
-  // window) regardless of corpus size.
+  // ranking behavior is the same. Three exchanges (tf aggregate, term
+  // window, per-doc ranking), each O(distinct doc-term pairs); the
+  // rank filter plans as WindowGroupLimit so only 3 rows per doc
+  // survive the final sort.
   private def q37(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     // (doc, term) rows are distinct after the tf aggregate, so doc
