@@ -26,15 +26,20 @@ object Dedup {
   /** Distinct-word array of a document's text. */
   private def wordSet(text: Column): Column = array_distinct(split(text, " "))
 
-  /** Distinct 2-word shingles of a document's text (the dedup unit for
-    * MinHash/Jaccard — positional n-grams discriminate much better than
-    * unigram sets over a small vocabulary).
+  /** Adds a `ws` column: distinct 2-word shingles of `text` (the dedup
+    * unit for MinHash/Jaccard — positional n-grams discriminate much
+    * better than unigram sets over a small vocabulary). The split is
+    * materialized once; inlining it in the lambda would re-split the
+    * text per shingle (CollapseProject keeps non-cheap exprs staged).
     */
-  private def shingleSet(text: Column): Column = expr(
-    "array_distinct(CASE WHEN size(split(text, ' ')) >= 2 THEN " +
-      "transform(sequence(1, size(split(text, ' ')) - 1), " +
-      "i -> concat(element_at(split(text, ' '), i), ' ', element_at(split(text, ' '), i + 1))) " +
-      "ELSE array(text) END)")
+  private def withShingleSet(df: DataFrame): DataFrame =
+    df.withColumn("w0", split(col("text"), " "))
+      .withColumn("ws", expr(
+        "array_distinct(CASE WHEN size(w0) >= 2 THEN " +
+          "transform(sequence(1, size(w0) - 1), " +
+          "i -> concat(element_at(w0, i), ' ', element_at(w0, i + 1))) " +
+          "ELSE array(text) END)"))
+      .drop("w0")
 
   /** DuckDB twin of [[shingleSet]] (w = string_split(text, ' ')). */
   private val shingleSql =
@@ -66,9 +71,9 @@ object Dedup {
     val sigs = (0 until MinhashK).map { i =>
       array_min(transform(col("wh"), h => substring(h, i * 4 + 1, 4))).as(s"s$i")
     }
-    Tables.documents(s, d)
+    withShingleSet(Tables.documents(s, d).select(col("doc_id"), col("text")))
       .select(col("doc_id"),
-        transform(shingleSet(col("text")), w => md5(w.cast("binary"))).as("wh"))
+        transform(col("ws"), w => md5(w.cast("binary"))).as("wh"))
       .select((col("doc_id") +: sigs): _*)
       .select(col("doc_id"), posexplode(array(
         concat(col("s0"), col("s1")), concat(col("s2"), col("s3")),
@@ -144,10 +149,9 @@ object Dedup {
   private val JaccardThreshold = 0.6
 
   private def q25(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(
+    val docs = withShingleSet(Tables.documents(s, d).select(
       col("doc_id"), col("lang"), col("source"),
-      floor(col("n_chars") / 50).as("lb"),
-      shingleSet(col("text")).as("ws"))
+      floor(col("n_chars") / 50).as("lb"), col("text"))).drop("text")
     val a = docs.select(col("lang"), col("source"), col("lb"),
       col("doc_id").as("doc_a"), col("ws").as("ws_a"))
     val b = docs.select(col("lang"), col("source"), col("lb"),
