@@ -16,10 +16,12 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects. Read it as raw nanos and floor-divide to micros —
-      // DuckDB also truncates NANOS to micros on read, so both engines
-      // see bit-identical timestamp values.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reader rejects. The session must have
+      // spark.sql.legacy.parquet.nanosAsLong=true (GraftSession sets it;
+      // it is NOT set here — mutating session config per read is racy
+      // under concurrent queries). We read raw nanos and floor-divide to
+      // micros — DuckDB also truncates NANOS to micros on read, so both
+      // engines see bit-identical timestamp values.
       spark.read.parquet(s"$dir/events.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(s"$dir/$name.parquet")

@@ -209,7 +209,10 @@ object CoreRelational {
     Tables.documents(s, d)
       .select(col("doc_id"),
         concat_ws(" | ", col("source"), col("doc_id").cast(StringType)).as("label"))
-      .withColumn("picked", element_at(split(col("label"), " \\| "), 2))
+      // try_element_at: under ANSI mode a plain element_at throws
+      // INVALID_ARRAY_INDEX when source is NULL (concat_ws skips nulls →
+      // 1-element split); DuckDB's list index yields NULL for that row.
+      .withColumn("picked", expr("try_element_at(split(label, ' \\\\| '), 2)"))
 
   private val o17 =
     """SELECT doc_id, label, string_split(label, ' | ')[2] AS picked

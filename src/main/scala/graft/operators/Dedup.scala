@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   *     mega-buckets (degenerate near-identical content) are capped, the
   *     standard LSH skew guard — without it one hot key serializes a
   *     whole executor;
-  *   - Jaccard verification only runs inside blocking keys
-  *     (lang, source, length bucket), never globally.
+  *   - Jaccard verification only runs over the capped LSH candidate
+  *     pairs (two doc_id equi-joins, linear in |candidates|), never over
+  *     an all-pairs or blocked-quadratic region.
   *
   * All hashing is md5-based so the DuckDB oracles compute the identical
   * signatures.
@@ -82,7 +83,11 @@ object Dedup {
         concat(col("pos").cast("string"), lit(":"), col("col")).as("bk"))
   }
 
-  private def q23(s: SparkSession, d: String): DataFrame = {
+  /** Candidate near-duplicate pairs from the capped LSH band join — the
+    * production pair source both q23 (reported raw) and q25 (Jaccard-
+    * verified) run on.
+    */
+  def candidatePairs(s: SparkSession, d: String): DataFrame = {
     val bands = bandedDocs(s, d)
     val small = bands.groupBy("bk").agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= BandCap).select("bk")
@@ -93,8 +98,13 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
-  private val o23 =
-    s"""WITH w AS (
+  private def q23(s: SparkSession, d: String): DataFrame = candidatePairs(s, d)
+
+  /** DuckDB twin of [[candidatePairs]], as a WITH-clause body ending in a
+    * `cand(doc_a, doc_b)` CTE so callers can append verification stages.
+    */
+  private val candidateCtes =
+    s"""w AS (
       |  SELECT doc_id,
       |         list_transform($shingleSql, x -> md5(x)) AS wh
       |  FROM documents),
@@ -114,9 +124,14 @@ object Dedup {
       |         unnest(['0:' || s0 || s1, '1:' || s2 || s3,
       |                 '2:' || s4 || s5, '3:' || s6 || s7]) AS bk
       |  FROM s),
-      |small AS (SELECT bk FROM b GROUP BY bk HAVING count(*) <= 100)
-      |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-      |FROM b a JOIN small USING (bk) JOIN b c ON a.bk = c.bk AND a.doc_id < c.doc_id""".stripMargin
+      |small AS (SELECT bk FROM b GROUP BY bk HAVING count(*) <= $BandCap),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      |  FROM b a JOIN small USING (bk) JOIN b c ON a.bk = c.bk AND a.doc_id < c.doc_id)""".stripMargin
+
+  private val o23 =
+    s"""WITH $candidateCtes
+      |SELECT doc_a, doc_b FROM cand""".stripMargin
 
   // ---- q24: SimHash fingerprint (16-bit) ---------------------------------
   // Frequency-weighted: every word occurrence votes. Bit j of a word's
@@ -143,21 +158,21 @@ object Dedup {
        |      FROM documents)""".stripMargin
   }
 
-  // ---- q25: blocked n-gram Jaccard similarity ----------------------------
-  // Pairs only within (lang, source, length-bucket) blocks; |A∩B| / |A∪B|
-  // over distinct 2-word-shingle sets, thresholded.
+  // ---- q25: Jaccard verification over LSH candidates ---------------------
+  // The production dedup pipeline: the capped LSH band join proposes
+  // candidate pairs (linear in data, skew-capped), then exact shingle-set
+  // Jaccard verifies only those pairs — two equi-joins on doc_id, each
+  // linear in |candidates|. No all-pairs region exists anywhere in the
+  // plan, so a hot language/source at 100 TB cannot produce a pair
+  // explosion (the earlier blocked form was quadratic within blocks).
   private val JaccardThreshold = 0.6
 
-  private def q25(s: SparkSession, d: String): DataFrame = {
-    val docs = withShingleSet(Tables.documents(s, d).select(
-      col("doc_id"), col("lang"), col("source"),
-      floor(col("n_chars") / 50).as("lb"), col("text"))).drop("text")
-    val a = docs.select(col("lang"), col("source"), col("lb"),
-      col("doc_id").as("doc_a"), col("ws").as("ws_a"))
-    val b = docs.select(col("lang"), col("source"), col("lb"),
-      col("doc_id").as("doc_b"), col("ws").as("ws_b"))
-    a.join(b, Seq("lang", "source", "lb"))
-      .where(col("doc_a") < col("doc_b"))
+  def jaccardVerify(cands: DataFrame, docs: DataFrame): DataFrame = {
+    val sets = withShingleSet(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("ws"))
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("ws").as("ws_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("ws").as("ws_b")), "doc_b")
       .withColumn("jaccard",
         size(array_intersect(col("ws_a"), col("ws_b"))) /
           size(array_union(col("ws_a"), col("ws_b"))))
@@ -165,19 +180,19 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  private def q25(s: SparkSession, d: String): DataFrame =
+    jaccardVerify(candidatePairs(s, d), Tables.documents(s, d))
+
   private val o25 =
-    s"""WITH d AS (
-       |  SELECT doc_id, lang, source, floor(n_chars / 50) AS lb,
-       |         $shingleSql AS ws
-       |  FROM documents)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |       len(list_intersect(a.ws, b.ws)) /
-       |       len(list_distinct(list_concat(a.ws, b.ws))) AS jaccard
-       |FROM d a JOIN d b
-       |  ON a.lang = b.lang AND a.source = b.source AND a.lb = b.lb
-       | AND a.doc_id < b.doc_id
-       |WHERE len(list_intersect(a.ws, b.ws)) /
-       |      len(list_distinct(list_concat(a.ws, b.ws))) >= $JaccardThreshold""".stripMargin
+    s"""WITH $candidateCtes,
+       |sets AS (SELECT doc_id, $shingleSql AS ws FROM documents)
+       |SELECT doc_a, doc_b,
+       |       len(list_intersect(x.ws, y.ws)) /
+       |       len(list_distinct(list_concat(x.ws, y.ws))) AS jaccard
+       |FROM cand JOIN sets x ON cand.doc_a = x.doc_id
+       |          JOIN sets y ON cand.doc_b = y.doc_id
+       |WHERE len(list_intersect(x.ws, y.ws)) /
+       |      len(list_distinct(list_concat(x.ws, y.ws))) >= $JaccardThreshold""".stripMargin
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q22_dedup_exact", "exact dedup via content-hash groupBy", q22, Some(o22)),

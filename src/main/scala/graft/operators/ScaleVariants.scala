@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   *
   * No DuckDB oracle: HLL sketch implementations differ between engines,
   * so the driver records the weaker rows-only check. Accuracy against
-  * the exact aggregate is asserted in ScaleVariantsSpec instead (rsd
+  * the exact aggregate is asserted in ExtensionsSpec instead (rsd
   * 0.05 ⇒ well under 5% typical error at these cardinalities).
   */
 object ScaleVariants {

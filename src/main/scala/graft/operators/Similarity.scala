@@ -77,39 +77,57 @@ object Similarity {
        |WHERE rk <= $TopK""".stripMargin
 
   // ---- q34: LSH-bucketed cosine near-dup (the scale path) ----------------
-  // Random-hyperplane LSH: 4 fixed integer-weight hyperplanes hash each
-  // vector to a 4-bit bucket; cosine runs only within buckets — the
-  // all-pairs O(n²) becomes an equi-join on the bucket key. At real
+  // Random-hyperplane LSH: `numPlanes` fixed integer-weight hyperplanes
+  // hash each vector to an n-bit bucket; cosine runs only within buckets —
+  // the all-pairs O(n²) becomes an equi-join on the bucket key. At real
   // density, raise the plane count (finer buckets) and band like the
   // MinHash LSH. Plane weights are a fixed deterministic formula so the
   // DuckDB oracle derives identical buckets.
+  //
+  // Skew guard (same pattern as Dedup.BandCap): buckets larger than
+  // `bucketCap` are dropped before the self-join — a degenerate hot
+  // bucket (e.g. a zero-vector pile-up or too few planes for the data
+  // volume) would otherwise serialize one reducer on ~|bucket|² pairs.
   //
   // The fixture embeddings are isotropic noise (no planted near-dups),
   // so the demo threshold is 0.15; production near-dup would use ~0.9.
   private val NumPlanes = 4
   private val NearDupThreshold = 0.15
+  private val BucketCap = 500
 
   private def planeWeight(j: Int, i: Int): Int = ((i * 31 + j * 17) % 7) - 3
 
   private def planeCol(j: Int): Column =
     array((1 to 64).map(i => lit(planeWeight(j, i).toDouble)): _*)
 
-  private def q34(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.embeddings(s, d)
+  /** Hyperplane-LSH near-duplicate pairs over an `(vec_id, embedding)`
+    * frame. `numPlanes` controls bucket granularity (2^numPlanes buckets);
+    * `bucketCap` drops degenerate hot buckets before the within-bucket
+    * self-join.
+    */
+  def hyperplaneNearDup(embeddings: DataFrame, numPlanes: Int,
+      threshold: Double, bucketCap: Int): DataFrame = {
+    val base = embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-      .withColumn("bucket", concat((0 until NumPlanes).map { j =>
+      .withColumn("bucket", concat((0 until numPlanes).map { j =>
         when(dot(col("v"), planeCol(j)) >= 0, lit("1")).otherwise(lit("0"))
       }: _*))
-    val a = base.select(col("bucket"), col("vec_id").as("vec_a"),
+    val small = base.groupBy("bucket").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= bucketCap).select("bucket")
+    val capped = base.join(small, Seq("bucket"))
+    val a = capped.select(col("bucket"), col("vec_id").as("vec_a"),
       col("v").as("va"), col("nrm").as("na"))
-    val b = base.select(col("bucket"), col("vec_id").as("vec_b"),
+    val b = capped.select(col("bucket"), col("vec_id").as("vec_b"),
       col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, "bucket").where(col("vec_a") < col("vec_b"))
       .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("sim") >= NearDupThreshold)
+      .filter(col("sim") >= threshold)
       .select("vec_a", "vec_b", "sim")
   }
+
+  private def q34(s: SparkSession, d: String): DataFrame =
+    hyperplaneNearDup(Tables.embeddings(s, d), NumPlanes, NearDupThreshold, BucketCap)
 
   private val o34 = {
     def planeList(j: Int): String =
@@ -124,11 +142,12 @@ object Similarity {
        |  SELECT vec_id, v,
        |         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm,
        |         $bits AS bucket
-       |  FROM v)
+       |  FROM v),
+       |small AS (SELECT bucket FROM n GROUP BY bucket HAVING count(*) <= $BucketCap)
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |       list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
        |                   (x, y) -> x + y) / (a.nrm * b.nrm) AS sim
-       |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |FROM n a JOIN small USING (bucket) JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |WHERE list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
        |                  (x, y) -> x + y) / (a.nrm * b.nrm) >= $NearDupThreshold""".stripMargin
   }

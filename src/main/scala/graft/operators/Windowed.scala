@@ -69,7 +69,8 @@ object Windowed {
           unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
           .otherwise(0))
       .withColumn("session_seq", sum(col("new_session")).over(
-        byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast(LongType))
       .groupBy(col("user_id"), col("session_seq"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -89,9 +90,12 @@ object Windowed {
       |              THEN 1 ELSE 0 END AS new_session
       |  FROM g),
       |sess AS (
+      |  -- CAST: DuckDB types a window sum of INTEGER as HUGEINT (int128);
+      |  -- Spark emits BIGINT. Arrow-normalizing comparators hash these
+      |  -- differently, so pin both engines to int64.
       |  SELECT user_id, ts,
-      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-      |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
       |  FROM f)
       |SELECT user_id, session_seq,
       |       count(*) AS n_events,

@@ -1,0 +1,143 @@
+package graft.sources
+
+import java.util
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S1: the reference's live websocket feed (my_websocket.py:19-24,56-69 —
+  * a callback thread appending one JSON message at a time) as a real
+  * DataSourceV2 micro-batch streaming source, replacing the round-1
+  * drop-directory stand-in.
+  *
+  * The transport here is an in-JVM message registry (the test double for
+  * the socket): producers `FeedRegistry.post(feed, json)` exactly like
+  * the websocket callback fires, and the source exposes everything since
+  * the last committed offset as the next micro-batch. The DSv2 surface —
+  * offset tracking, offset serialization into the checkpoint log, range
+  * partition planning, reader factories — is the real production shape;
+  * swapping the registry for a socket client changes only
+  * [[FeedPartitionReader]].
+  *
+  * Offsets are the feed's message count, so restart-from-checkpoint
+  * resumes mid-feed with no replay or loss (the reference instead
+  * re-lists S3 and relies on destructive consume). Each batch's range is
+  * split into up to `numPartitions` input partitions so a large
+  * catch-up batch parallelizes across executors.
+  *
+  * Schema: offset BIGINT (position in feed), value STRING (raw message).
+  */
+object FeedRegistry {
+  private val feeds = scala.collection.concurrent.TrieMap[String, ArrayBuffer[String]]()
+
+  private def buf(feed: String): ArrayBuffer[String] =
+    feeds.getOrElseUpdate(feed, ArrayBuffer.empty[String])
+
+  def post(feed: String, msgs: String*): Unit = {
+    val b = buf(feed); b.synchronized { b ++= msgs }
+  }
+
+  def size(feed: String): Long = {
+    val b = buf(feed); b.synchronized { b.length.toLong }
+  }
+
+  def slice(feed: String, from: Long, until: Long): Seq[(Long, String)] = {
+    val b = buf(feed)
+    b.synchronized {
+      (from until until).map(i => i -> b(i.toInt))
+    }
+  }
+
+  def clear(feed: String): Unit = {
+    val b = buf(feed); b.synchronized { b.clear() }
+  }
+}
+
+class FeedSourceProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FeedSourceProvider.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new FeedTable(
+      Option(properties.get("feed")).getOrElse("default"),
+      Option(properties.get("numpartitions")).map(_.toInt).getOrElse(4))
+}
+
+object FeedSourceProvider {
+  val schema: StructType = StructType(Seq(
+    StructField("offset", LongType, nullable = false),
+    StructField("value", StringType, nullable = false)))
+  /** `spark.readStream.format(FeedSourceProvider.format)` */
+  val format: String = classOf[FeedSourceProvider].getName
+}
+
+class FeedTable(feed: String, numPartitions: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft-feed:$feed"
+  override def schema(): StructType = FeedSourceProvider.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = FeedSourceProvider.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new FeedMicroBatchStream(feed, numPartitions)
+      }
+    }
+}
+
+case class FeedOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+class FeedMicroBatchStream(feed: String, numPartitions: Int) extends MicroBatchStream {
+  override def initialOffset(): Offset = FeedOffset(0L)
+  override def latestOffset(): Offset = FeedOffset(FeedRegistry.size(feed))
+  override def deserializeOffset(json: String): Offset = FeedOffset(json.toLong)
+  // the registry is the source of truth; nothing to release per-batch
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (lo, hi) = (start.asInstanceOf[FeedOffset].n, end.asInstanceOf[FeedOffset].n)
+    if (hi <= lo) Array.empty
+    else {
+      val k = math.min(numPartitions.toLong, hi - lo).toInt
+      val step = (hi - lo + k - 1) / k
+      (0 until k).map { i =>
+        FeedInputPartition(feed, lo + i * step, math.min(lo + (i + 1) * step, hi))
+      }.toArray[InputPartition]
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new FeedPartitionReader(partition.asInstanceOf[FeedInputPartition])
+    }
+}
+
+case class FeedInputPartition(feed: String, from: Long, until: Long) extends InputPartition
+
+class FeedPartitionReader(p: FeedInputPartition) extends PartitionReader[InternalRow] {
+  private val rows = FeedRegistry.slice(p.feed, p.from, p.until).iterator
+  private var current: (Long, String) = _
+
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+
+  override def get(): InternalRow =
+    new GenericInternalRow(Array[Any](current._1, UTF8String.fromString(current._2)))
+
+  override def close(): Unit = ()
+}

@@ -31,13 +31,47 @@ import org.apache.spark.sql.Row
   */
 object StreamingIngest {
 
-  /** ST1/ST2/S3: stream raw websocket-event JSON files from a drop dir. */
+  /** ST1/ST2/S3: stream raw websocket-event JSON files from a drop dir.
+    *
+    * S10 destructive consume: `cleanSource="delete"` reproduces the
+    * reference's delete-after-processing contract (cleandata1.py:48,
+    * helius.py:46) — each file is removed once its micro-batch commits;
+    * `"archive"` (+ `archiveDir`) is the non-destructive variant. The
+    * cleaner runs when the NEXT batch commits, so the final batch's
+    * files are consumed on the following run — same as the reference's
+    * poll loop, which also only deletes inside a processing pass.
+    */
   def readEventStream(spark: SparkSession, dropDir: String,
-      maxFilesPerTrigger: Int = 999): DataFrame =
-    spark.readStream
+      maxFilesPerTrigger: Int = 999, cleanSource: String = "off",
+      archiveDir: Option[String] = None): DataFrame = {
+    val r = spark.readStream
       .schema(Schemas.rawEvent)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toLong)
-      .json(dropDir)
+      .option("cleanSource", cleanSource)
+    archiveDir.foreach(r.option("sourceArchiveDir", _))
+    r.json(dropDir)
+  }
+
+  /** S1: the live message feed as a first-class DSv2 micro-batch source
+    * (graft.sources.FeedSourceProvider) — offsets checkpointed, batch
+    * ranges partitioned. Columns: offset BIGINT, value STRING.
+    */
+  def readFeedStream(spark: SparkSession, feed: String,
+      numPartitions: Int = 4): DataFrame =
+    spark.readStream
+      .format(graft.sources.FeedSourceProvider.format)
+      .option("feed", feed)
+      .option("numPartitions", numPartitions.toString)
+      .load()
+
+  /** S1+JS4: feed messages parsed into the raw-event schema — the
+    * websocket ingest path (my_websocket.py:31-45) without the
+    * file-per-message hop.
+    */
+  def feedEventStream(spark: SparkSession, feed: String): DataFrame =
+    readFeedStream(spark, feed)
+      .select(from_json(col("value"), Schemas.rawEvent).as("e"))
+      .select(col("e.*"))
 
   /** P1 projection of the raw stream (cleandata1.py:27-33). */
   def projectRaw(raw: DataFrame): DataFrame =
@@ -73,8 +107,9 @@ object StreamingIngest {
     * an AvailableNow trigger (batch-like catch-up, used by tests).
     */
   def runIngestOnce(spark: SparkSession, dropDir: String, outDir: String,
-      checkpointDir: String, maxFilesPerTrigger: Int = 999): StreamingQuery =
-    sink(projectRaw(readEventStream(spark, dropDir, maxFilesPerTrigger)),
+      checkpointDir: String, maxFilesPerTrigger: Int = 999,
+      cleanSource: String = "off"): StreamingQuery =
+    sink(projectRaw(readEventStream(spark, dropDir, maxFilesPerTrigger, cleanSource)),
       "parquet", outDir, checkpointDir, Trigger.AvailableNow())
       .start()
 }

@@ -10,13 +10,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = graft.GraftSession.local("graft-explain", logLevel = "ERROR")
     val names = if (args.nonEmpty) args.toSeq
     else Seq("q01_project", "q04_filter_eq", "q09_broadcast_enrich",
       "q10_risk_agg", "q11_topk_risk", "q12_sort_limit", "q14_group_agg",

@@ -86,13 +86,7 @@ object Pipeline {
   }
 
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.local("graft-pipeline")
     val dir = args.headOption.getOrElse(
       Files.createTempDirectory("pipeline").toString)
     writeFixtures(dir)

@@ -7,16 +7,9 @@ import org.apache.spark.sql.SparkSession
   */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = graft.GraftSession.local("graft-probe", logLevel = "ERROR")
     println("ansi=" + spark.conf.get("spark.sql.ansi.enabled"))
     println("ntzInfer=" + spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val e0 = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     e0.printSchema()
     val e = e0.selectExpr("event_id", "timestamp_micros(ts div 1000) AS ts", "event_type", "props")

@@ -69,6 +69,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(byRank(2)._2 == 0.0)
   }
 
+  test("ANN LSH: a degenerate hot bucket is capped out of the self-join") {
+    // ten identical 64-dim vectors → all land in one hyperplane bucket
+    val vecs = (0L until 10L).map(i => (i, Array.fill(64)(1.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val capped = Similarity.hyperplaneNearDup(df, numPlanes = 4,
+      threshold = 0.5, bucketCap = 5)
+    assert(capped.count() == 0) // bucket of 10 > cap 5 → dropped, no n² join
+    val uncapped = Similarity.hyperplaneNearDup(df, numPlanes = 4,
+      threshold = 0.5, bucketCap = 100)
+    assert(uncapped.count() == 45) // C(10,2), all sim 1.0
+  }
+
+  test("jaccard verification runs only over LSH candidate pairs") {
+    // near-identical pair (one word changed) + unrelated doc: the pair is
+    // an LSH candidate and survives verification; no candidate involving
+    // doc 3 exists, so no jaccard is ever computed against it
+    val d = docs(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "entirely different content with no shared shingles at all")))
+    val dir = java.nio.file.Files.createTempDirectory("jv").toString
+    d.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cands = Dedup.candidatePairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+    assert(cands.forall { case (a, b) => a != 3L && b != 3L })
+  }
+
   test("exact dedup groups identical content") {
     val d = docs(Seq((1L, "same text"), (2L, "same text"), (3L, "other text")))
     val dir = java.nio.file.Files.createTempDirectory("ex").toString

@@ -133,6 +133,92 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.columns.length == 15) // canonical table
   }
 
+  test("S10: cleanSource=delete destructively consumes processed files") {
+    val drop = Files.createTempDirectory("s10").toString
+    val out = Files.createTempDirectory("s10out").toString
+    val ckpt = Files.createTempDirectory("s10ckpt").toString
+    (1 to 3).foreach { i =>
+      writeEventFile(drop, s"e$i.json",
+        s"""{"mint":"D$i","txType":"create","solAmount":$i.0,"name":"d$i","symbol":"d$i"}""")
+    }
+    def remaining(): Set[String] =
+      new java.io.File(drop).listFiles().map(_.getName).toSet
+    // cap 1 → 3 micro-batches; batch i's file is cleaned when batch i+1
+    // commits, so after one run at most the final batch's file survives
+    StreamingIngest.runIngestOnce(spark, drop, out, ckpt,
+      maxFilesPerTrigger = 1, cleanSource = "delete").awaitTermination(120000)
+    val deadline = System.currentTimeMillis() + 30000 // cleaner is async
+    while (remaining().size > 1 && System.currentTimeMillis() < deadline)
+      Thread.sleep(200)
+    assert(remaining().size <= 1, s"files not consumed: ${remaining()}")
+    // a later pass consumes the tail file too (the reference's next poll)
+    writeEventFile(drop, "e4.json",
+      """{"mint":"D4","txType":"buy","solAmount":4.0,"name":"d4","symbol":"d4"}""")
+    StreamingIngest.runIngestOnce(spark, drop, out, ckpt,
+      maxFilesPerTrigger = 1, cleanSource = "delete").awaitTermination(120000)
+    val deadline2 = System.currentTimeMillis() + 30000
+    while (remaining().exists(_ != "e4.json") && System.currentTimeMillis() < deadline2)
+      Thread.sleep(200)
+    assert(remaining().subsetOf(Set("e4.json")), s"stale files: ${remaining()}")
+    // nothing lost: all four rows landed exactly once
+    assert(spark.read.parquet(out).select("mint").collect()
+      .map(_.getString(0)).toSet == Set("D1", "D2", "D3", "D4"))
+  }
+
+  test("S1: DSv2 feed source streams posted messages with checkpointed offsets") {
+    graft.sources.FeedRegistry.clear("ws1")
+    graft.sources.FeedRegistry.post("ws1",
+      """{"mint":"F1","txType":"create","solAmount":1.0,"name":"f1","symbol":"f1"}""",
+      """{"mint":"F2","txType":"buy","solAmount":2.0,"name":"f2","symbol":"f2"}""")
+    val q = StreamingIngest.feedEventStream(spark, "ws1")
+      .writeStream.format("memory").queryName("feed_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("feed_out").count() == 2)
+    // messages posted while the query runs arrive in the next batch
+    graft.sources.FeedRegistry.post("ws1",
+      """{"mint":"F3","txType":"sell","solAmount":3.0,"name":"f3","symbol":"f3"}""")
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("feed_out")
+    assert(rows.count() == 3)
+    assert(rows.select("mint").collect().map(_.getString(0)).toSet ==
+      Set("F1", "F2", "F3"))
+  }
+
+  test("S1: feed batch range splits across input partitions") {
+    graft.sources.FeedRegistry.clear("ws2")
+    graft.sources.FeedRegistry.post("ws2", (1 to 10).map(i => s"""{"m":$i}"""): _*)
+    val q = StreamingIngest.readFeedStream(spark, "ws2", numPartitions = 4)
+      .writeStream.format("memory").queryName("feed_part_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("feed_part_out")
+    assert(got.count() == 10)
+    // offsets are the feed positions, exactly once each
+    assert(got.select("offset").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 10L).toSeq)
+  }
+
+  test("JS2: to_json sink round-trips through from_json losslessly") {
+    import spark.implicits._
+    val events = Seq(
+      ("M1", "create", 1.5, "Token1", "T1"),
+      ("M2", "buy", 2.0, "Token2", "T2"),
+      ("M3", "sell", 0.0, "", "T3"))
+      .toDF("mint", "txType", "solAmount", "name", "symbol")
+    val outDir = Files.createTempDirectory("js2").toString
+    // encode: one JSON document per row (the reference's json.dumps
+    // sites, my_websocket.py:40,85,121), written as a text sink
+    events.select(to_json(struct(events.columns.map(col): _*)).as("value"))
+      .write.mode("overwrite").text(outDir)
+    val back = spark.read.schema(graft.sources.Schemas.rawEvent).json(outDir)
+      .select("mint", "txType", "solAmount", "name", "symbol")
+    assert(back.count() == 3)
+    assert(back.exceptAll(events).isEmpty && events.exceptAll(back).isEmpty)
+  }
+
   test("normalization works on a streamed shape-2 drop dir") {
     val drop = Files.createTempDirectory("drop3").toString
     writeEventFile(drop, "h.json",
