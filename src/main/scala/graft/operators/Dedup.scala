@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   *     standard LSH skew guard — without it one hot key serializes a
   *     whole executor;
   *   - Jaccard verification only runs over the capped LSH candidate
-  *     pairs (two doc_id equi-joins, linear in |candidates|), never over
+  *     pairs (pairs explode to member rows, ONE doc_id equi-join against
+  *     the shingle sets, regroup — linear in |candidates|), never over
   *     an all-pairs or blocked-quadratic region.
   *
   * All hashing is md5-based so the DuckDB oracles compute the identical
@@ -86,16 +87,31 @@ object Dedup {
   /** Candidate near-duplicate pairs from the capped LSH band join — the
     * production pair source both q23 (reported raw) and q25 (Jaccard-
     * verified) run on.
+    *
+    * Single-pipeline shape (one documents scan, one shingle eval): band
+    * rows shuffle ONCE on the band key; a window count applies the
+    * mega-bucket cap (spill-safe — a degenerate bucket buffers and
+    * spills, never OOMs, and is then discarded); the surviving buckets
+    * (≤ BandCap rows each) collect their sorted doc_id lists without a
+    * second exchange (the groupBy reuses the window's partitioning) and
+    * explode into ordered pairs map-side. The earlier form re-evaluated
+    * the banded subtree per join branch — 5 extra documents scans in one
+    * physical plan.
     */
   def candidatePairs(s: SparkSession, d: String): DataFrame = {
-    val bands = bandedDocs(s, d)
-    val small = bands.groupBy("bk").agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= BandCap).select("bk")
-    val capped = bands.join(small, Seq("bk"))
-    val a = capped.select(col("bk"), col("doc_id").as("doc_a"))
-    val b = capped.select(col("bk"), col("doc_id").as("doc_b"))
-    a.join(b, "bk").where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    import org.apache.spark.sql.expressions.Window
+    bandedDocs(s, d)
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("bk")))
+      .filter(col("bsz") <= BandCap)
+      .groupBy("bk")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), " +
+          "y -> named_struct('doc_a', x, 'doc_b', y))))")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
   }
 
   private def q23(s: SparkSession, d: String): DataFrame = candidatePairs(s, d)
@@ -161,18 +177,32 @@ object Dedup {
   // ---- q25: Jaccard verification over LSH candidates ---------------------
   // The production dedup pipeline: the capped LSH band join proposes
   // candidate pairs (linear in data, skew-capped), then exact shingle-set
-  // Jaccard verifies only those pairs — two equi-joins on doc_id, each
-  // linear in |candidates|. No all-pairs region exists anywhere in the
-  // plan, so a hot language/source at 100 TB cannot produce a pair
-  // explosion (the earlier blocked form was quadratic within blocks).
+  // Jaccard verifies only those pairs — one equi-join on doc_id, linear
+  // in |candidates|. No all-pairs region exists anywhere in the plan, so
+  // a hot language/source at 100 TB cannot produce a pair explosion (the
+  // earlier blocked form was quadratic within blocks). The whole query
+  // touches documents exactly twice: once for the candidate pipeline,
+  // once for the verification sets (was 12 scans when each join branch
+  // re-planned the shingle subtree).
   private val JaccardThreshold = 0.6
 
   def jaccardVerify(cands: DataFrame, docs: DataFrame): DataFrame = {
     val sets = withShingleSet(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("ws"))
+    // One join, not two: exploding each pair into its two member rows
+    // lets a single pass over `sets` serve both sides (joining sets
+    // per-side would re-evaluate the shingle subtree per branch). The
+    // regroup shuffles only candidate-pair rows — tiny next to the
+    // corpus. max() picks the single non-null ws per role (deterministic
+    // — each group has exactly one row per member).
     cands
-      .join(sets.select(col("doc_id").as("doc_a"), col("ws").as("ws_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("ws").as("ws_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .join(sets, "doc_id")
+      .groupBy("doc_a", "doc_b")
+      .agg(
+        max(when(col("doc_id") === col("doc_a"), col("ws"))).as("ws_a"),
+        max(when(col("doc_id") === col("doc_b"), col("ws"))).as("ws_b"))
       .withColumn("jaccard",
         size(array_intersect(col("ws_a"), col("ws_b"))) /
           size(array_union(col("ws_a"), col("ws_b"))))

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -33,6 +33,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * split into up to `numPartitions` input partitions so a large
   * catch-up batch parallelizes across executors.
   *
+  * Admission control: `maxMessagesPerTrigger` caps each micro-batch via
+  * `SupportsAdmissionControl.latestOffset(start, limit)` — the DSv2 twin
+  * of the file source's `maxFilesPerTrigger` (ST2) and the reference's
+  * 999-files-per-pass cap (cleandata1.py:11,68). Without it a
+  * long-downtime restart would expose the whole backlog as one giant
+  * catch-up batch.
+  *
+  * Registry scope caveats (the test-double part, NOT the DSv2 part):
+  * the registry lives in the driver JVM, so the source only reads
+  * correctly on `local[*]` masters where readers share that JVM — on a
+  * real cluster the transport must be a socket client per reader (only
+  * [[FeedPartitionReader]] changes). Checkpointed offsets are likewise
+  * only meaningful for the lifetime of the registry contents: restarting
+  * a checkpointed query against a cleared or differently-refilled
+  * registry replays different messages at the same offsets — clear the
+  * checkpoint together with `FeedRegistry.clear`.
+  *
   * Schema: offset BIGINT (position in feed), value STRING (raw message).
   */
 object FeedRegistry {
@@ -49,9 +66,25 @@ object FeedRegistry {
     val b = buf(feed); b.synchronized { b.length.toLong }
   }
 
+  /** Copies the range for the reader (one copy per reader by design —
+    * readers must not hold the buffer lock while Spark consumes rows).
+    * Fails loudly instead of silently mis-indexing: the ArrayBuffer
+    * backing bounds offsets to Int range, and a range beyond the current
+    * buffer means the registry was cleared/refilled under a live
+    * checkpoint (or a non-local reader got an empty registry).
+    */
   def slice(feed: String, from: Long, until: Long): Seq[(Long, String)] = {
+    require(until <= Int.MaxValue,
+      s"FeedRegistry (in-JVM test double) holds at most ${Int.MaxValue} " +
+        s"messages; offset range [$from, $until) exceeds that. Use a real " +
+        "socket transport for longer feeds.")
     val b = buf(feed)
     b.synchronized {
+      require(until <= b.length,
+        s"feed '$feed' has ${b.length} messages but [$from, $until) was " +
+          "requested: the registry is driver-JVM-local (local[*] masters " +
+          "only) and checkpoint offsets are only valid for the lifetime " +
+          "of the registry contents")
       (from until until).map(i => i -> b(i.toInt))
     }
   }
@@ -65,11 +98,17 @@ class FeedSourceProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     FeedSourceProvider.schema
 
+  // Spark hands getTable the ORIGINAL-case option keys
+  // (options.asCaseSensitiveMap()); wrap so `.option("numPartitions", …)`
+  // matches regardless of the caller's casing.
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
     new FeedTable(
-      Option(properties.get("feed")).getOrElse("default"),
-      Option(properties.get("numpartitions")).map(_.toInt).getOrElse(4))
+      Option(opts.get("feed")).getOrElse("default"),
+      opts.getInt("numPartitions", 4),
+      Option(opts.get("maxMessagesPerTrigger")).map(_.toLong))
+  }
 }
 
 object FeedSourceProvider {
@@ -80,7 +119,8 @@ object FeedSourceProvider {
   val format: String = classOf[FeedSourceProvider].getName
 }
 
-class FeedTable(feed: String, numPartitions: Int) extends Table with SupportsRead {
+class FeedTable(feed: String, numPartitions: Int,
+    maxMessagesPerTrigger: Option[Long]) extends Table with SupportsRead {
   override def name(): String = s"graft-feed:$feed"
   override def schema(): StructType = FeedSourceProvider.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -91,7 +131,7 @@ class FeedTable(feed: String, numPartitions: Int) extends Table with SupportsRea
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = FeedSourceProvider.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new FeedMicroBatchStream(feed, numPartitions)
+          new FeedMicroBatchStream(feed, numPartitions, maxMessagesPerTrigger)
       }
     }
 }
@@ -100,13 +140,45 @@ case class FeedOffset(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
-class FeedMicroBatchStream(feed: String, numPartitions: Int) extends MicroBatchStream {
+class FeedMicroBatchStream(feed: String, numPartitions: Int,
+    maxMessagesPerTrigger: Option[Long])
+    extends MicroBatchStream with SupportsAdmissionControl {
   override def initialOffset(): Offset = FeedOffset(0L)
-  override def latestOffset(): Offset = FeedOffset(FeedRegistry.size(feed))
+  // With SupportsAdmissionControl the engine drives the two-arg
+  // latestOffset below; the no-arg form must not be reachable.
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used for admission control")
   override def deserializeOffset(json: String): Offset = FeedOffset(json.toLong)
   // the registry is the source of truth; nothing to release per-batch
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxMessagesPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  /** Smallest maxRows bound in a (possibly composite) limit, if any. */
+  private def maxRowsOf(limit: ReadLimit): Option[Long] = limit match {
+    case m: ReadMaxRows => Some(m.maxRows())
+    case c: CompositeReadLimit =>
+      c.getReadLimits.flatMap(maxRowsOf).minOption
+    case _ => None
+  }
+
+  /** ST2 admission control for the feed: expose at most the configured
+    * message budget past `start`, so a deep backlog drains as a sequence
+    * of bounded micro-batches instead of one giant catch-up batch.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val lo = start.asInstanceOf[FeedOffset].n
+    val available = FeedRegistry.size(feed)
+    val hi = maxRowsOf(limit).map(cap => math.min(available, lo + cap))
+      .getOrElse(available)
+    FeedOffset(math.max(lo, hi))
+  }
+
+  /** True backlog head, for progress reporting (lag = this - committed). */
+  override def reportLatestOffset(): Offset = FeedOffset(FeedRegistry.size(feed))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (lo, hi) = (start.asInstanceOf[FeedOffset].n, end.asInstanceOf[FeedOffset].n)

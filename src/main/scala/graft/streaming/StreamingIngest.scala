@@ -54,15 +54,23 @@ object StreamingIngest {
 
   /** S1: the live message feed as a first-class DSv2 micro-batch source
     * (graft.sources.FeedSourceProvider) — offsets checkpointed, batch
-    * ranges partitioned. Columns: offset BIGINT, value STRING.
+    * ranges partitioned, backlog admission-controlled. Columns:
+    * offset BIGINT, value STRING.
+    *
+    * `maxMessagesPerTrigger` is the ST2 cap for the feed path (the
+    * reference's 999-files-per-pass, cleandata1.py:11,68): a restart
+    * after downtime drains the backlog as bounded micro-batches.
     */
   def readFeedStream(spark: SparkSession, feed: String,
-      numPartitions: Int = 4): DataFrame =
-    spark.readStream
+      numPartitions: Int = 4,
+      maxMessagesPerTrigger: Option[Long] = None): DataFrame = {
+    val r = spark.readStream
       .format(graft.sources.FeedSourceProvider.format)
       .option("feed", feed)
       .option("numPartitions", numPartitions.toString)
-      .load()
+    maxMessagesPerTrigger.foreach(m => r.option("maxMessagesPerTrigger", m.toString))
+    r.load()
+  }
 
   /** S1+JS4: feed messages parsed into the raw-event schema — the
     * websocket ingest path (my_websocket.py:31-45) without the

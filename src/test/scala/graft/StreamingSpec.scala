@@ -186,10 +186,14 @@ class StreamingSpec extends AnyFunSuite {
       Set("F1", "F2", "F3"))
   }
 
-  test("S1: feed batch range splits across input partitions") {
+  test("S1: feed batch range splits across the configured input partitions") {
     graft.sources.FeedRegistry.clear("ws2")
     graft.sources.FeedRegistry.post("ws2", (1 to 10).map(i => s"""{"m":$i}"""): _*)
-    val q = StreamingIngest.readFeedStream(spark, "ws2", numPartitions = 4)
+    // non-default numPartitions: 10 msgs / 3 partitions plans ranges
+    // [0,4)[4,8)[8,10) — a silent fall-back to the default 4 would show
+    // as 4 distinct partition ids (regression: option-key case matching)
+    val q = StreamingIngest.readFeedStream(spark, "ws2", numPartitions = 3)
+      .withColumn("pid", spark_partition_id())
       .writeStream.format("memory").queryName("feed_part_out")
       .outputMode("append").start()
     q.processAllAvailable()
@@ -199,6 +203,39 @@ class StreamingSpec extends AnyFunSuite {
     // offsets are the feed positions, exactly once each
     assert(got.select("offset").collect().map(_.getLong(0)).sorted.toSeq ==
       (0L until 10L).toSeq)
+    assert(got.select("pid").distinct().count() == 3)
+  }
+
+  test("S1/ST2: maxMessagesPerTrigger drains a backlog as bounded batches") {
+    graft.sources.FeedRegistry.clear("ws3")
+    graft.sources.FeedRegistry.post("ws3", (1 to 10).map(i => s"""{"m":$i}"""): _*)
+    val q = StreamingIngest.readFeedStream(spark, "ws3",
+        maxMessagesPerTrigger = Some(3L))
+      .writeStream.format("memory").queryName("feed_cap_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("feed_cap_out").count() == 10)
+    val batchSizes = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(batchSizes.length >= 4, // 3+3+3+1: no giant catch-up batch
+      s"expected >=4 capped batches, got ${batchSizes.mkString(",")}")
+    assert(batchSizes.max <= 3)
+  }
+
+  test("FeedRegistry.slice fails loudly on out-of-registry ranges") {
+    graft.sources.FeedRegistry.clear("ws4")
+    graft.sources.FeedRegistry.post("ws4", "a", "b")
+    // beyond the Int-indexable test-double capacity
+    val e1 = intercept[IllegalArgumentException] {
+      graft.sources.FeedRegistry.slice("ws4", Int.MaxValue.toLong, Int.MaxValue + 2L)
+    }
+    assert(e1.getMessage.contains("at most"))
+    // checkpoint offsets outliving the registry contents (cleared feed)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sources.FeedRegistry.slice("ws4", 0L, 5L)
+    }
+    assert(e2.getMessage.contains("lifetime"))
+    assert(graft.sources.FeedRegistry.slice("ws4", 0L, 2L).map(_._2) == Seq("a", "b"))
   }
 
   test("JS2: to_json sink round-trips through from_json losslessly") {
