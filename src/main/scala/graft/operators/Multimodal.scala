@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   * payloads are opaque `binary` columns with a typed metadata struct;
   * decode / feature-extraction runs batched per partition.
   *
-  * Container note: no image/audio codecs ship in this environment, so
-  * the decode kernel is a clearly-marked deterministic STUB
-  * ([[StubCodec.decode]]). Everything around it — the schema contract,
-  * the Dataset[MediaRecord] → Dataset[MediaFeatures] signature, the
+  * Codec note: images have a REAL dependency-free codec — 24bpp BMP
+  * decode / nearest-neighbor resize / encode ([[ImageCodec]]), used by
+  * [[resizeImages]] whenever the payload sniffs as BMP. Audio/video
+  * decode remains a clearly-marked deterministic STUB
+  * ([[StubCodec.decode]]) because no av codec libraries ship in this
+  * environment. Everything around both — the schema contract, the
+  * Dataset[MediaRecord] → Dataset[MediaFeatures] signature, the
   * per-partition batching, the partition-count control — is the real
   * 100 TB plumbing: swap StubCodec for a JNI/JavaCV codec and nothing
   * else changes. Binary payloads never shuffle here; features are
@@ -82,6 +85,22 @@ object Multimodal {
   def resizeAll(records: Dataset[MediaRecord], targetBytes: Int): Dataset[MediaRecord] = {
     import records.sparkSession.implicits._
     records.mapPartitions(_.map(StubCodec.resize(_, targetBytes)))
+  }
+
+  /** Image thumbnailing with the REAL codec: BMP payloads are decoded,
+    * nearest-neighbor resampled to targetW x targetH and re-encoded
+    * ([[ImageCodec]]); non-BMP payloads fall back to the declared
+    * byte-stride stub so mixed media batches still flow. Map-side only —
+    * payload bytes never shuffle.
+    */
+  def resizeImages(records: Dataset[MediaRecord], targetW: Int,
+      targetH: Int): Dataset[MediaRecord] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map { r =>
+      if (r.media_type == "image" && ImageCodec.isBmp(r.content))
+        r.copy(content = ImageCodec.resizeBmp(r.content, targetW, targetH))
+      else StubCodec.resize(r, targetW * targetH * 3)
+    })
   }
 
   /** Batched per-partition decode: the Scala twin of a pandas

@@ -76,8 +76,10 @@ object StreamingIngest {
     * websocket ingest path (my_websocket.py:31-45) without the
     * file-per-message hop.
     */
-  def feedEventStream(spark: SparkSession, feed: String): DataFrame =
-    readFeedStream(spark, feed)
+  def feedEventStream(spark: SparkSession, feed: String,
+      numPartitions: Int = 4,
+      maxMessagesPerTrigger: Option[Long] = None): DataFrame =
+    readFeedStream(spark, feed, numPartitions, maxMessagesPerTrigger)
       .select(from_json(col("value"), Schemas.rawEvent).as("e"))
       .select(col("e.*"))
 

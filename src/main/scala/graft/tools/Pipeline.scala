@@ -66,12 +66,11 @@ object Pipeline {
         col("ownership_risk"), col("liquidity_risk"),
         col("concentration"), col("rug_risk")))
 
-  def run(spark: SparkSession, workDir: String): DataFrame = {
-    // 1. streaming ingest: drop dir → projected parquet (ST1/ST2/ST6)
-    val rawOut = s"$workDir/stage_raw"
-    StreamingIngest.runIngestOnce(spark, s"$workDir/events", rawOut,
-      s"$workDir/ckpt_events").awaitTermination(120000)
-
+  /** Stages 2-4, shared by both ingest paths: normalize + union +
+    * parquet load, then the risk analytics top-k.
+    */
+  private def finishFromRaw(spark: SparkSession, workDir: String,
+      rawOut: String): DataFrame = {
     // 2+3. normalize both Helius shapes + websocket rows → canonical table
     val canonical = Normalize.unionCleaned(
       Normalize.fromShape2(Normalize.readShape2(spark, s"$workDir/helius2")),
@@ -83,6 +82,42 @@ object Pipeline {
     // 4. analytics over the loaded canonical table
     val loaded = spark.read.parquet(s"$workDir/cleaned_parquet")
     domainRisk(loaded).orderBy(col("safety_score").desc, col("mint").asc).limit(10)
+  }
+
+  def run(spark: SparkSession, workDir: String): DataFrame = {
+    // 1. streaming ingest: drop dir → projected parquet (ST1/ST2/ST6)
+    val rawOut = s"$workDir/stage_raw"
+    StreamingIngest.runIngestOnce(spark, s"$workDir/events", rawOut,
+      s"$workDir/ckpt_events").awaitTermination(120000)
+    finishFromRaw(spark, workDir, rawOut)
+  }
+
+  /** Posts the websocket-event fixtures to the in-JVM feed instead of
+    * writing them as drop-dir files (the S1 transport).
+    */
+  def postFeedFixtures(feed: String): Unit = {
+    graft.sources.FeedRegistry.clear(feed)
+    graft.sources.FeedRegistry.post(feed, (1 to 5).map { i =>
+      s"""{"mint":"MINT$i","txType":"create","solAmount":$i.5,"name":"Token$i","symbol":"T$i","ignored":1}"""
+    }: _*)
+  }
+
+  /** The S1 production path: stage 1 ingests through the DSv2 feed
+    * source (checkpointed offsets, admission-controlled micro-batches —
+    * cap 2 drains the 5-message fixture backlog over ≥3 batches) instead
+    * of the drop directory; stages 2-4 are identical.
+    */
+  def runFromFeed(spark: SparkSession, workDir: String, feed: String): DataFrame = {
+    val rawOut = s"$workDir/stage_raw"
+    val q = StreamingIngest.sink(
+        StreamingIngest.projectRaw(StreamingIngest.feedEventStream(
+          spark, feed, maxMessagesPerTrigger = Some(2L))),
+        "parquet", rawOut, s"$workDir/ckpt_feed",
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    finishFromRaw(spark, workDir, rawOut)
   }
 
   def main(args: Array[String]): Unit = {

@@ -97,6 +97,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(cands.forall { case (a, b) => a != 3L && b != 3L })
   }
 
+  test("q23/q25 plans never recompute the shingle subtree per branch") {
+    // Regression guard for the plan shape: the candidate pipeline and
+    // the verification sets each scan documents exactly once, so q25's
+    // whole physical plan holds <= 2 parquet scans (a per-branch
+    // re-plan of the banded/shingle frames once cost 12 scans).
+    def scanCount(name: String): Int = {
+      val df = Registry.byName(name).run(spark, TestSpark.sf0001)
+      val formatted = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      formatted.linesIterator.count(_.matches("""^\(\d+\) Scan parquet\s*$"""))
+    }
+    assert(scanCount("q23_minhash_lsh") == 1)
+    assert(scanCount("q25_jaccard_pairs") <= 2)
+  }
+
   test("exact dedup groups identical content") {
     val d = docs(Seq((1L, "same text"), (2L, "same text"), (3L, "other text")))
     val dir = java.nio.file.Files.createTempDirectory("ex").toString

@@ -85,6 +85,42 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(frames.forall(_.nonEmpty))
   }
 
+  test("multimodal: real BMP codec decodes, resizes, and drives the image stage") {
+    import graft.operators.ImageCodec
+    // 6x4 gradient; width 6 forces row padding (18 -> 20-byte stride)
+    val w = 6; val h = 4
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      px(i) = (x * 37).toByte; px(i + 1) = (y * 53).toByte
+      px(i + 2) = (x + y * 7).toByte
+    }
+    val img = ImageCodec.Image(w, h, px)
+    val bytes = ImageCodec.encode(img)
+    assert(ImageCodec.isBmp(bytes))
+    assert(bytes.length == 54 + 20 * h) // header + padded bottom-up rows
+    // decode is the exact inverse of encode (incl. row-order flip)
+    val back = ImageCodec.decode(bytes)
+    assert(back.width == w && back.height == h)
+    assert(back.pixels.toSeq == px.toSeq)
+    // nearest-neighbor half-size: output (x,y) samples source (2x,2y)
+    val half = ImageCodec.resize(back, 3, 2)
+    assert(half.width == 3 && half.height == 2)
+    for (y <- 0 until 2; x <- 0 until 3)
+      assert(half.bgr(x, y) == img.bgr(x * 2, y * 2))
+    // through the Spark stage: BMP payloads really resize, non-image
+    // media falls back to the declared stub
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, bytes, "image", "s"),
+      Multimodal.MediaRecord(2L, Array.fill[Byte](200)(7), "audio", "s"))
+    val out = Multimodal.resizeImages(spark.createDataset(recs), 3, 2)
+      .collect().map(r => r.media_id -> r).toMap
+    val thumb = ImageCodec.decode(out(1L).content)
+    assert(thumb.width == 3 && thumb.height == 2)
+    assert(thumb.bgr(1, 1) == img.bgr(2, 2))
+    assert(out(2L).content.length < 200)
+  }
+
   test("file catalog: suffix filter and newest-N pruning") {
     val dir = Files.createTempDirectory("cat").toString
     Files.write(java.nio.file.Paths.get(dir, "a.csv"), "x".getBytes)

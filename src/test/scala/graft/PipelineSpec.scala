@@ -32,6 +32,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(cleaned.count() == 9) // 3 shape2 (incl. empty-transfer row) + 1 shape1 + 5 events
   }
 
+  test("full pipeline over the DSv2 feed source (S1 production path)") {
+    val dir = Files.createTempDirectory("pipefeed").toString
+    Pipeline.writeFixtures(dir) // helius fixtures; events go via the feed
+    Pipeline.postFeedFixtures("pipe_feed")
+    val top = Pipeline.runFromFeed(spark, dir, "pipe_feed").collect()
+    assert(top.length == 5) // same result as the drop-dir path
+    val m1 = top.map(r => r.getAs[String]("mint") -> r).toMap.apply("MINT1")
+    assert(m1.getAs[Long]("total_transfers") == 4)
+    assert(m1.getAs[String]("token_name") == "Token1")
+    assert(spark.read.parquet(s"$dir/cleaned_parquet").count() == 9)
+  }
+
   test("salted aggregation equals plain aggregation") {
     val events = Tables.events(spark, TestSpark.sf0001)
     val plain = events.groupBy(col("user_id"))
