@@ -152,7 +152,103 @@ object Similarity {
        |                  (x, y) -> x + y) / (a.nrm * b.nrm) >= $NearDupThreshold""".stripMargin
   }
 
+  // ---- q39: IVF (inverted-file) ANN top-k — the second scale path --------
+  // Coarse quantization: NumCells centroids partition the corpus into
+  // cells (assignment = argmax cosine against the centroid set); a query
+  // probes only its NProbe nearest cells and brute-forces within them.
+  // Complements q34's hyperplane LSH: IVF adapts to the data's density
+  // (cells follow the corpus), LSH is data-independent.
+  //
+  // Scale shape: centroids are tiny and BROADCAST — the corpus streams
+  // through ONE scan, scoring all centroids map-side, and the argmax
+  // collapses in the partial aggregate before the one shuffle on vec_id.
+  // The probe side re-scans only the query stride (filter pushed to the
+  // scan) and is itself broadcast into the cell join, so corpus rows
+  // never shuffle for the join; the final per-query ranking windows only
+  // candidate rows (|corpus| × NProbe / NumCells per query).
+  //
+  // Centroid choice is the deterministic demo stand-in (the NumCells
+  // lowest vec_ids) so the DuckDB oracle derives identical cells; a
+  // production build would k-means sample — only this SELECT changes.
+  private val NumCells = 16
+  private val NProbe = 2
+
+  /** IVF approximate top-k cosine neighbors for each query vector. */
+  def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int,
+      numCells: Int = NumCells, nProbe: Int = NProbe): DataFrame = {
+    val base = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cents = base.filter(col("vec_id") < numCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    def scoreCells(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(cents))
+        .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+    // assignment: argmax collapses map-side via max(struct) — highest
+    // csim, then lowest cid; payload rides along without tipping order
+    // (csim, -cid) is unique per vector
+    val assigned = scoreCells(base)
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("csim").as("s"), (-col("cid")).as("nc"),
+        struct(col("v").as("v"), col("nrm").as("n")).as("pay"))).as("m"))
+      .select(col("vec_id").as("nid"), (-col("m.nc")).as("cid"),
+        col("m.pay.v").as("nv"), col("m.pay.n").as("nn"))
+    // probe list: the query stride only (filter pushes into the scan)
+    val pw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    val probes = scoreCells(base.filter(queryPred))
+      .withColumn("prk", row_number().over(pw)).filter(col("prk") <= nProbe)
+      .select(col("vec_id").as("qid"), col("cid"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val sims = assigned.join(broadcast(probes), "cid")
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    sims.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  private def q39(s: SparkSession, d: String): DataFrame =
+    ivfTopK(Tables.embeddings(s, d), col("vec_id") % QueryStride === 0, TopK)
+
+  private val o39 =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+       |  FROM v),
+       |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < $NumCells),
+       |scored AS (
+       |  SELECT n.vec_id, n.v, n.nrm, c.cid,
+       |         list_reduce(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i]),
+       |                     (a, b) -> a + b) / (n.nrm * c.cn) AS csim
+       |  FROM n CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id AS nid, cid, v AS nv, nrm AS nn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS ark
+       |    FROM scored)
+       |  WHERE ark = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, cid, v AS qv, nrm AS qn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS prk
+       |    FROM scored WHERE vec_id % $QueryStride = 0)
+       |  WHERE prk <= $NProbe),
+       |sims AS (
+       |  SELECT p.qid, a.nid,
+       |         list_reduce(list_transform(range(1, len(p.qv) + 1), i -> p.qv[i] * a.nv[i]),
+       |                     (x, y) -> x + y) / (p.qn * a.nn) AS sim
+       |  FROM assigned a JOIN probes p USING (cid)
+       |  WHERE p.qid <> a.nid)
+       |SELECT qid, nid, sim, rk FROM (
+       |  SELECT qid, nid, sim,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk
+       |  FROM sims)
+       |WHERE rk <= $TopK""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q26_cosine_topk", "brute-force cosine top-k (broadcast queries)", q26, Some(o26)),
-    GraftQuery("q34_ann_lsh", "hyperplane-LSH bucketed cosine near-dup", q34, Some(o34)))
+    GraftQuery("q34_ann_lsh", "hyperplane-LSH bucketed cosine near-dup", q34, Some(o34)),
+    GraftQuery("q39_ivf_ann", "IVF cell-probed approximate cosine top-k", q39, Some(o39)))
 }

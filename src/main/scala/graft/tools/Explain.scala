@@ -14,7 +14,8 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq
     else Seq("q01_project", "q04_filter_eq", "q09_broadcast_enrich",
       "q10_risk_agg", "q11_topk_risk", "q12_sort_limit", "q14_group_agg",
-      "q23_minhash_lsh", "q26_cosine_topk")
+      "q23_minhash_lsh", "q25_jaccard_pairs", "q26_cosine_topk",
+      "q34_ann_lsh", "q39_ivf_ann")
     names.foreach { n =>
       println(s"\n================ $n ================")
       graft.Registry.byName(n).run(spark, "/root/testdata/sf0.001")

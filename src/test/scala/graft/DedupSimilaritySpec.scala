@@ -81,6 +81,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(uncapped.count() == 45) // C(10,2), all sim 1.0
   }
 
+  test("IVF ANN: probe finds the in-cell duplicate, skips unprobed cells") {
+    val dim = 64
+    // 16 axis-aligned centroid seeds (ids 0-15); query 100 rides axis 3,
+    // its exact duplicate 101 lands in the same cell, 102 in cell 7
+    def axis(i: Int, scale: Float) = {
+      val a = Array.fill(dim)(0.01f); a(i) = scale; a
+    }
+    val vecs = (0 until 16).map(i => (i.toLong, axis(i, 1.0f))) ++ Seq(
+      (100L, axis(3, 0.9f)), (101L, axis(3, 0.9f)), (102L, axis(7, 0.9f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val top = Similarity.ivfTopK(df, col("vec_id") === 100, k = 3)
+      .collect().sortBy(_.getAs[Int]("rk"))
+    assert(top.nonEmpty)
+    assert(top.head.getAs[Long]("nid") == 101L) // identical vector first
+    // dot(v,v) vs nrm*nrm round differently: cosine of identical vectors
+    // is 1.0 only to ulp precision
+    assert(math.abs(top.head.getAs[Double]("sim") - 1.0) < 1e-12)
+    // cell 7 is not among query 100's probe cells, so 102 never scores
+    assert(!top.map(_.getAs[Long]("nid")).contains(102L))
+  }
+
   test("jaccard verification runs only over LSH candidate pairs") {
     // near-identical pair (one word changed) + unrelated doc: the pair is
     // an LSH candidate and survives verification; no candidate involving

@@ -58,4 +58,32 @@ object InvariantProps extends Properties("graft") {
       val a = Normalize.fromRawEvents(raw)
       Normalize.unionCleaned(a, a).count() == 2L * n
     }
+
+  // ---- ImageCodec (pure kernel, no Spark) --------------------------------
+  import graft.operators.ImageCodec
+
+  private val imageGen: Gen[ImageCodec.Image] = for {
+    w <- Gen.choose(1, 24)
+    h <- Gen.choose(1, 24)
+    px <- Gen.listOfN(w * h * 3, Gen.choose(0, 255))
+  } yield ImageCodec.Image(w, h, px.map(_.toByte).toArray)
+
+  property("BMP encode/decode round-trips any raster exactly") =
+    Prop.forAllNoShrink(imageGen) { img =>
+      val back = ImageCodec.decode(ImageCodec.encode(img))
+      back.width == img.width && back.height == img.height &&
+        back.pixels.toSeq == img.pixels.toSeq
+    }
+
+  property("BMP resize emits the requested dimensions; identity is exact") =
+    Prop.forAllNoShrink(for {
+      img <- imageGen
+      tw <- Gen.choose(1, 24); th <- Gen.choose(1, 24)
+    } yield (img, tw, th)) { case (img, tw, th) =>
+      val r = ImageCodec.resize(img, tw, th)
+      val id = ImageCodec.resize(img, img.width, img.height)
+      r.width == tw && r.height == th &&
+        r.pixels.length == tw * th * 3 &&
+        id.pixels.toSeq == img.pixels.toSeq
+    }
 }
