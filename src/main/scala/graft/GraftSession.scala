@@ -10,7 +10,12 @@ import org.apache.spark.sql.SparkSession
   * `Tables.apply`, which would be racy under concurrent queries.
   */
 object GraftSession {
-  def local(appName: String, cpus: String = "4", logLevel: String = "WARN"): SparkSession = {
+  /** `cpus` sizes both the local master and `spark.sql.shuffle.partitions`
+    * (one reducer per core — the right size for this single-JVM rig; a
+    * real cluster would set partitions to a multiple of total cores).
+    * Default 32 = this container's core count.
+    */
+  def local(appName: String, cpus: String = "32", logLevel: String = "WARN"): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)

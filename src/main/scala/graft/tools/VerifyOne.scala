@@ -10,7 +10,7 @@ object VerifyOne {
   def main(args: Array[String]): Unit = {
     val sfDir +: outDir +: names = args.toSeq
     val spark = graft.GraftSession.local("graft-verify-one",
-      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     new java.io.File(outDir).mkdirs()
     names.foreach { n =>
       val q = graft.Registry.byName(n)
