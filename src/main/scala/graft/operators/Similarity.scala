@@ -104,6 +104,13 @@ object Similarity {
     * frame. `numPlanes` controls bucket granularity (2^numPlanes buckets);
     * `bucketCap` drops degenerate hot buckets before the within-bucket
     * self-join.
+    *
+    * The cap is a window count (spill-safe; a hot bucket buffers and
+    * spills, never OOMs) instead of a count-aggregate + semi-join, so the
+    * hashed subtree is planned once per self-join side — two embeddings
+    * scans total, not four. The self-join itself stays join-shaped (the
+    * q23 collect-and-explode trick would materialize ≤cap 64-dim vectors
+    * per bucket row — pairs of payload arrays belong in a streamed join).
     */
   def hyperplaneNearDup(embeddings: DataFrame, numPlanes: Int,
       threshold: Double, bucketCap: Int): DataFrame = {
@@ -113,9 +120,9 @@ object Similarity {
       .withColumn("bucket", concat((0 until numPlanes).map { j =>
         when(dot(col("v"), planeCol(j)) >= 0, lit("1")).otherwise(lit("0"))
       }: _*))
-    val small = base.groupBy("bucket").agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= bucketCap).select("bucket")
-    val capped = base.join(small, Seq("bucket"))
+    val capped = base
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("bucket")))
+      .filter(col("bsz") <= bucketCap)
     val a = capped.select(col("bucket"), col("vec_id").as("vec_a"),
       col("v").as("va"), col("nrm").as("na"))
     val b = capped.select(col("bucket"), col("vec_id").as("vec_b"),

@@ -131,6 +131,8 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
     assert(scanCount("q23_minhash_lsh") == 1)
     assert(scanCount("q25_jaccard_pairs") <= 2)
+    // q34's window-capped self-join: one embeddings scan per join side
+    assert(scanCount("q34_ann_lsh") <= 2)
   }
 
   test("exact dedup groups identical content") {
