@@ -114,6 +114,21 @@ object Dedup {
       .distinct()
   }
 
+  /** Adds `sig`: the full MinHash sketch as ONE string key (all
+    * MinhashK slices concatenated — equal sigs ⇒ near-identical shingle
+    * sets). The streaming near-dup filter keys its state by this; the
+    * batch LSH ([[bandedDocs]]) bands the same slices pairwise instead
+    * (bands recall MORE pairs, the full sketch is the high-precision
+    * key a bounded streaming state can afford).
+    */
+  def withSignature(df: DataFrame): DataFrame =
+    withShingleSet(df)
+      .withColumn("wh", transform(col("ws"), w => md5(w.cast("binary"))))
+      .withColumn("sig", concat((0 until MinhashK).map { i =>
+        array_min(transform(col("wh"), h => substring(h, i * 4 + 1, 4)))
+      }: _*))
+      .drop("ws", "wh")
+
   private def q23(s: SparkSession, d: String): DataFrame = candidatePairs(s, d)
 
   /** DuckDB twin of [[candidatePairs]], as a WITH-clause body ending in a

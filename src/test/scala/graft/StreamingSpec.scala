@@ -261,6 +261,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.sources.FeedRegistry.slice("ws4", 0L, 2L).map(_._2) == Seq("a", "b"))
   }
 
+  test("stateful streaming near-dup maps copies to their original, expires state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val docs = mem.toDF().toDF("doc_id", "text", "sec")
+      .select(col("doc_id"), col("text"), timestamp_seconds(col("sec")).as("ts"))
+    val q = graft.streaming.StreamingDedup
+      .nearDupVerdicts(docs, "ts", retentionMs = 10000L)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    def verdicts(): Map[Long, (Long, Long)] =
+      spark.table("neardup_out").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // batch 1: original + same-batch duplicate + distinct doc
+    mem.addData((1L, "the quick brown fox jumps", 100L),
+      (2L, "the quick brown fox jumps", 105L),
+      (3L, "completely different words entirely", 106L))
+    q.processAllAvailable()
+    assert(verdicts() == Map(1L -> (1L, 0L), 2L -> (1L, 1L), 3L -> (3L, 0L)))
+    // batch 2: state persists across batches — doc 4 still maps to doc 1
+    // (watermark 106-10=96s has not passed the signature's 105+10s timeout)
+    mem.addData((4L, "the quick brown fox jumps", 110L))
+    q.processAllAvailable()
+    assert(verdicts()(4L) == (1L, 2L))
+    // batch 3: jump event time far past retention so the watermark
+    // expires the signature state...
+    mem.addData((5L, "unrelated filler advancing the watermark", 500L))
+    q.processAllAvailable()
+    // ...then the same text starts a fresh group: doc 6 is its own original
+    mem.addData((6L, "the quick brown fox jumps", 510L))
+    q.processAllAvailable()
+    q.stop()
+    assert(verdicts()(6L) == (6L, 0L))
+  }
+
   test("JS2: to_json sink round-trips through from_json losslessly") {
     import spark.implicits._
     val events = Seq(
