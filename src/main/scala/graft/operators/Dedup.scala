@@ -69,20 +69,29 @@ object Dedup {
   private val MinhashK = 8
   private val BandCap = 100
 
-  private def bandedDocs(s: SparkSession, d: String): DataFrame = {
+  /** Adds the MinhashK per-slice signature columns `s0..s7` (keeping the
+    * input's columns): one md5 per distinct shingle, its 32 hex chars
+    * sliced into MinhashK independent 16-bit hash functions, min per
+    * slice over the shingle set. Shared by the batch LSH banding and the
+    * full-sketch key ([[withSignature]]) so the two can't drift.
+    */
+  private def withSigSlices(df: DataFrame): DataFrame = {
+    val keep = df.columns.map(col).toSeq
     val sigs = (0 until MinhashK).map { i =>
       array_min(transform(col("wh"), h => substring(h, i * 4 + 1, 4))).as(s"s$i")
     }
-    withShingleSet(Tables.documents(s, d).select(col("doc_id"), col("text")))
-      .select(col("doc_id"),
-        transform(col("ws"), w => md5(w.cast("binary"))).as("wh"))
-      .select((col("doc_id") +: sigs): _*)
+    withShingleSet(df)
+      .withColumn("wh", transform(col("ws"), w => md5(w.cast("binary"))))
+      .select(keep ++ sigs: _*)
+  }
+
+  private def bandedDocs(s: SparkSession, d: String): DataFrame =
+    withSigSlices(Tables.documents(s, d).select(col("doc_id"), col("text")))
       .select(col("doc_id"), posexplode(array(
         concat(col("s0"), col("s1")), concat(col("s2"), col("s3")),
         concat(col("s4"), col("s5")), concat(col("s6"), col("s7")))))
       .select(col("doc_id"),
         concat(col("pos").cast("string"), lit(":"), col("col")).as("bk"))
-  }
 
   /** Candidate near-duplicate pairs from the capped LSH band join — the
     * production pair source both q23 (reported raw) and q25 (Jaccard-
@@ -122,12 +131,9 @@ object Dedup {
     * key a bounded streaming state can afford).
     */
   def withSignature(df: DataFrame): DataFrame =
-    withShingleSet(df)
-      .withColumn("wh", transform(col("ws"), w => md5(w.cast("binary"))))
-      .withColumn("sig", concat((0 until MinhashK).map { i =>
-        array_min(transform(col("wh"), h => substring(h, i * 4 + 1, 4)))
-      }: _*))
-      .drop("ws", "wh")
+    withSigSlices(df)
+      .withColumn("sig", concat((0 until MinhashK).map(i => col(s"s$i")): _*))
+      .drop((0 until MinhashK).map(i => s"s$i"): _*)
 
   private def q23(s: SparkSession, d: String): DataFrame = candidatePairs(s, d)
 
