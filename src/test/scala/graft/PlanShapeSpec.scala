@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the physical-plan properties SCALE.md claims, so a regression
+  * in plan shape (a lost broadcast, a full sort where a top-k heap
+  * belongs, a filter that stops pushing into the scan) fails CI instead
+  * of silently costing a shuffle at scale. Dedup/similarity scan-count
+  * guards live in DedupSimilaritySpec.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def planOf(name: String): String =
+    Registry.byName(name).run(spark, TestSpark.sf0001)
+      .queryExecution.explainString(FormattedMode)
+
+  test("q01 projection is scan-shaped: zero exchanges, inside codegen") {
+    val p = planOf("q01_project")
+    assert(!p.contains("Exchange"), "pure projection must not shuffle")
+    assert(p.contains("[codegen id :"), "plan fell out of whole-stage codegen")
+  }
+
+  test("q04 pushes its equality filter into the parquet scan") {
+    val p = planOf("q04_filter_eq")
+    assert(p.contains("PushedFilters: [") && p.contains("EqualTo"),
+      s"expected an EqualTo pushed filter in:\n${p.take(2000)}")
+  }
+
+  test("q09 dim enrichment broadcasts; the fact side never shuffles") {
+    val p = planOf("q09_broadcast_enrich")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "dim join must not shuffle the fact side")
+  }
+
+  test("q12 global top-k plans as TakeOrderedAndProject, not a full sort") {
+    assert(planOf("q12_sort_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("q11 risk top-k avoids a global sort of the aggregate") {
+    val p = planOf("q11_topk_risk")
+    assert(p.contains("TakeOrderedAndProject") || p.contains("WindowGroupLimit"),
+      s"expected a bounded top-k operator in:\n${p.take(2000)}")
+  }
+
+  test("q37 ranking windows use WindowGroupLimit pushdown") {
+    assert(planOf("q37_term_salience").contains("WindowGroupLimit"))
+  }
+}
