@@ -25,9 +25,6 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct-word array of a document's text. */
-  private def wordSet(text: Column): Column = array_distinct(split(text, " "))
-
   /** Adds a `ws` column: distinct 2-word shingles of `text` (the dedup
     * unit for MinHash/Jaccard — positional n-grams discriminate much
     * better than unigram sets over a small vocabulary). The split is

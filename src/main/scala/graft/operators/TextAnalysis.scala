@@ -161,23 +161,31 @@ object TextAnalysis {
   // Top-3 salient terms per document, scored tf * N / df. Uses the
   // exact integer ratio instead of log-idf so both engines produce
   // bit-identical doubles (libm log is not cross-engine deterministic);
-  // ranking behavior is the same. Three exchanges (tf aggregate, term
-  // window, per-doc ranking), each O(distinct doc-term pairs); the
-  // rank filter plans as WindowGroupLimit so only 3 rows per doc
-  // survive the final sort.
+  // ranking behavior is the same. Doc frequency is an AGGREGATE
+  // broadcast-joined back, not a `count() over (partition by term)`
+  // window: a stopword-scale term would make the window materialize a
+  // near-corpus-size partition on one reducer (spill-safe but a
+  // straggler at 100 TB), while the aggregate collapses map-side to
+  // one row per distinct term — a tiny frame that broadcasts, so the
+  // big (doc, term) side never shuffles on `term` at all. Costs a
+  // second documents scan (the df branch re-plans the explode), the
+  // same ≤2-scan budget q25 runs on. The rank filter plans as
+  // WindowGroupLimit so only 3 rows per doc survive the final sort.
   private def q37(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    // (doc, term) rows are distinct after the tf aggregate, so doc
-    // frequency is a plain count() window over term — no self-join, no
-    // second pass over the exploded terms
-    val terms = docs
+    val exploded = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val terms = exploded
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
-    val byTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    // one row per distinct term (vocabulary-sized by Heaps' law —
+    // broadcastable even at corpus scales where documents are not)
+    val docFreq = exploded
+      .groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
     val scored = terms
-      .withColumn("df", count(lit(1)).over(byTerm))
+      .join(broadcast(docFreq), "term")
       .crossJoin(broadcast(n))
       .withColumn("salience", col("tf") * col("n_docs") / col("df"))
     val w = org.apache.spark.sql.expressions.Window
