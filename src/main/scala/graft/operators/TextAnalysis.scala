@@ -166,11 +166,15 @@ object TextAnalysis {
   // window: a stopword-scale term would make the window materialize a
   // near-corpus-size partition on one reducer (spill-safe but a
   // straggler at 100 TB), while the aggregate collapses map-side to
-  // one row per distinct term — a tiny frame that broadcasts, so the
-  // big (doc, term) side never shuffles on `term` at all. Costs a
-  // second documents scan (the df branch re-plans the explode), the
-  // same ≤2-scan budget q25 runs on. The rank filter plans as
-  // WindowGroupLimit so only 3 rows per doc survive the final sort.
+  // one row per distinct term. The join is left unhinted: at typical
+  // vocabulary sizes AQE broadcasts the term table, and if a web-scale
+  // vocabulary (URLs, numbers, typos) ever outgrows the 8 GB / 512M-row
+  // broadcast ceiling, the planner falls back to a shuffle join — which
+  // is skew-safe here because docFreq is one row per term. Costs three
+  // documents scans total (tf branch, df branch, and the n_docs
+  // aggregate; Spark does not share scans across DataFrame branches).
+  // The rank filter plans as WindowGroupLimit so only 3 rows per doc
+  // survive the final sort.
   private def q37(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val exploded = docs
@@ -185,7 +189,7 @@ object TextAnalysis {
       .groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val scored = terms
-      .join(broadcast(docFreq), "term")
+      .join(docFreq, "term")
       .crossJoin(broadcast(n))
       .withColumn("salience", col("tf") * col("n_docs") / col("df"))
     val w = org.apache.spark.sql.expressions.Window

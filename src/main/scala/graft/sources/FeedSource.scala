@@ -40,15 +40,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * long-downtime restart would expose the whole backlog as one giant
   * catch-up batch.
   *
-  * Registry scope caveats (the test-double part, NOT the DSv2 part):
-  * the registry lives in the driver JVM, so the source only reads
-  * correctly on `local[*]` masters where readers share that JVM — on a
-  * real cluster the transport must be a socket client per reader (only
-  * [[FeedPartitionReader]] changes). Checkpointed offsets are likewise
-  * only meaningful for the lifetime of the registry contents: restarting
-  * a checkpointed query against a cleared or differently-refilled
-  * registry replays different messages at the same offsets — clear the
-  * checkpoint together with `FeedRegistry.clear`.
+  * Transport is pluggable ([[FeedTransport]], serialized into each input
+  * partition): the default [[RegistryTransport]] reads the in-JVM
+  * registry directly (local[*] masters — the test double), while
+  * `.option("host", …).option("port", …)` selects [[SocketTransport]],
+  * where every partition reader opens its own TCP connection to a
+  * [[FeedServer]] from whatever executor it landed on — the cluster-real
+  * path matching the reference's network websocket.
+  *
+  * Registry lifetime caveat (either transport): checkpointed offsets are
+  * only meaningful for the lifetime of the backlog contents — restarting
+  * a checkpointed query against a cleared or differently-refilled backlog
+  * replays different messages at the same offsets; clear the checkpoint
+  * together with `FeedRegistry.clear`.
   *
   * Schema: offset BIGINT (position in feed), value STRING (raw message).
   */
@@ -94,6 +98,46 @@ object FeedRegistry {
   }
 }
 
+/** How the source reaches the feed backlog. Serializable because the
+  * chosen transport ships inside every [[FeedInputPartition]] to the
+  * executor that reads it — the transport, not the driver, is what each
+  * reader talks through.
+  */
+sealed trait FeedTransport extends Serializable {
+  def size(feed: String): Long
+  def slice(feed: String, from: Long, until: Long): Seq[(Long, String)]
+}
+
+/** In-JVM test double: readers index [[FeedRegistry]] directly, which only
+  * works when they share the driver JVM (local[*] masters).
+  */
+case object RegistryTransport extends FeedTransport {
+  override def size(feed: String): Long = FeedRegistry.size(feed)
+  override def slice(feed: String, from: Long, until: Long): Seq[(Long, String)] =
+    FeedRegistry.slice(feed, from, until)
+}
+
+/** Cluster-real transport: each call is one short-lived TCP request to a
+  * [[FeedServer]], so partition readers work from any executor JVM and a
+  * failed task simply reconnects on retry. Also carries the producer verb
+  * ([[post]]) — the websocket-callback analog for pushing messages in
+  * over the network.
+  */
+case class SocketTransport(host: String, port: Int) extends FeedTransport {
+  override def size(feed: String): Long =
+    FeedProtocol.request(host, port, s"SIZE $feed").head.toLong
+
+  override def slice(feed: String, from: Long, until: Long): Seq[(Long, String)] = {
+    val payload = FeedProtocol.request(host, port, s"SLICE $feed $from $until")
+    payload.zipWithIndex.map { case (b64, i) => (from + i) -> FeedProtocol.decode(b64) }
+  }
+
+  def post(feed: String, msgs: String*): Unit = {
+    val _ = FeedProtocol.request(host, port,
+      (s"POST $feed" +: msgs.map(FeedProtocol.encode)).mkString(" "))
+  }
+}
+
 class FeedSourceProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     FeedSourceProvider.schema
@@ -104,10 +148,18 @@ class FeedSourceProvider extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
+    val transport = Option(opts.get("host")) match {
+      case Some(h) =>
+        val port = opts.getInt("port", -1)
+        require(port > 0, "feed option 'host' requires a positive 'port'")
+        SocketTransport(h, port)
+      case None => RegistryTransport
+    }
     new FeedTable(
       Option(opts.get("feed")).getOrElse("default"),
       opts.getInt("numPartitions", 4),
-      Option(opts.get("maxMessagesPerTrigger")).map(_.toLong))
+      Option(opts.get("maxMessagesPerTrigger")).map(_.toLong),
+      transport)
   }
 }
 
@@ -120,7 +172,8 @@ object FeedSourceProvider {
 }
 
 class FeedTable(feed: String, numPartitions: Int,
-    maxMessagesPerTrigger: Option[Long]) extends Table with SupportsRead {
+    maxMessagesPerTrigger: Option[Long], transport: FeedTransport)
+    extends Table with SupportsRead {
   override def name(): String = s"graft-feed:$feed"
   override def schema(): StructType = FeedSourceProvider.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -131,7 +184,7 @@ class FeedTable(feed: String, numPartitions: Int,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = FeedSourceProvider.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new FeedMicroBatchStream(feed, numPartitions, maxMessagesPerTrigger)
+          new FeedMicroBatchStream(feed, numPartitions, maxMessagesPerTrigger, transport)
       }
     }
 }
@@ -141,7 +194,7 @@ case class FeedOffset(n: Long) extends Offset {
 }
 
 class FeedMicroBatchStream(feed: String, numPartitions: Int,
-    maxMessagesPerTrigger: Option[Long])
+    maxMessagesPerTrigger: Option[Long], transport: FeedTransport)
     extends MicroBatchStream with SupportsAdmissionControl {
   override def initialOffset(): Offset = FeedOffset(0L)
   // With SupportsAdmissionControl the engine drives the two-arg
@@ -171,14 +224,14 @@ class FeedMicroBatchStream(feed: String, numPartitions: Int,
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val lo = start.asInstanceOf[FeedOffset].n
-    val available = FeedRegistry.size(feed)
+    val available = transport.size(feed)
     val hi = maxRowsOf(limit).map(cap => math.min(available, lo + cap))
       .getOrElse(available)
     FeedOffset(math.max(lo, hi))
   }
 
   /** True backlog head, for progress reporting (lag = this - committed). */
-  override def reportLatestOffset(): Offset = FeedOffset(FeedRegistry.size(feed))
+  override def reportLatestOffset(): Offset = FeedOffset(transport.size(feed))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (lo, hi) = (start.asInstanceOf[FeedOffset].n, end.asInstanceOf[FeedOffset].n)
@@ -187,7 +240,7 @@ class FeedMicroBatchStream(feed: String, numPartitions: Int,
       val k = math.min(numPartitions.toLong, hi - lo).toInt
       val step = (hi - lo + k - 1) / k
       (0 until k).map { i =>
-        FeedInputPartition(feed, lo + i * step, math.min(lo + (i + 1) * step, hi))
+        FeedInputPartition(feed, lo + i * step, math.min(lo + (i + 1) * step, hi), transport)
       }.toArray[InputPartition]
     }
   }
@@ -199,10 +252,11 @@ class FeedMicroBatchStream(feed: String, numPartitions: Int,
     }
 }
 
-case class FeedInputPartition(feed: String, from: Long, until: Long) extends InputPartition
+case class FeedInputPartition(feed: String, from: Long, until: Long,
+    transport: FeedTransport) extends InputPartition
 
 class FeedPartitionReader(p: FeedInputPartition) extends PartitionReader[InternalRow] {
-  private val rows = FeedRegistry.slice(p.feed, p.from, p.until).iterator
+  private val rows = p.transport.slice(p.feed, p.from, p.until).iterator
   private var current: (Long, String) = _
 
   override def next(): Boolean =

@@ -60,15 +60,22 @@ object StreamingIngest {
     * `maxMessagesPerTrigger` is the ST2 cap for the feed path (the
     * reference's 999-files-per-pass, cleandata1.py:11,68): a restart
     * after downtime drains the backlog as bounded micro-batches.
+    *
+    * `server = Some(host -> port)` selects the cluster-real
+    * [[graft.sources.SocketTransport]] (readers connect to a
+    * [[graft.sources.FeedServer]] executor-side); None reads the in-JVM
+    * registry (local[*] test double).
     */
   def readFeedStream(spark: SparkSession, feed: String,
       numPartitions: Int = 4,
-      maxMessagesPerTrigger: Option[Long] = None): DataFrame = {
+      maxMessagesPerTrigger: Option[Long] = None,
+      server: Option[(String, Int)] = None): DataFrame = {
     val r = spark.readStream
       .format(graft.sources.FeedSourceProvider.format)
       .option("feed", feed)
       .option("numPartitions", numPartitions.toString)
     maxMessagesPerTrigger.foreach(m => r.option("maxMessagesPerTrigger", m.toString))
+    server.foreach { case (h, p) => r.option("host", h).option("port", p.toString) }
     r.load()
   }
 
@@ -78,8 +85,9 @@ object StreamingIngest {
     */
   def feedEventStream(spark: SparkSession, feed: String,
       numPartitions: Int = 4,
-      maxMessagesPerTrigger: Option[Long] = None): DataFrame =
-    readFeedStream(spark, feed, numPartitions, maxMessagesPerTrigger)
+      maxMessagesPerTrigger: Option[Long] = None,
+      server: Option[(String, Int)] = None): DataFrame =
+    readFeedStream(spark, feed, numPartitions, maxMessagesPerTrigger, server)
       .select(from_json(col("value"), Schemas.rawEvent).as("e"))
       .select(col("e.*"))
 
