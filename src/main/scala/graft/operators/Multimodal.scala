@@ -10,9 +10,12 @@ import org.apache.spark.sql.functions._
   *
   * Codec note: images have a REAL dependency-free codec — 24bpp BMP
   * decode / nearest-neighbor resize / encode ([[ImageCodec]]), used by
-  * [[resizeImages]] whenever the payload sniffs as BMP. Audio/video
-  * decode remains a clearly-marked deterministic STUB
-  * ([[StubCodec.decode]]) because no av codec libraries ship in this
+  * [[resizeImages]] whenever the payload sniffs as BMP — and audio has
+  * its twin, PCM16 RIFF/WAVE decode / resample / encode ([[AudioCodec]]),
+  * used by [[extractFeatures]] (real sample rate and frame count) and
+  * [[resampleAudio]] whenever the payload sniffs as WAV. Video decode
+  * remains a clearly-marked deterministic STUB ([[StubCodec.decode]])
+  * because no av codec libraries ship in this
   * environment. Everything around both — the schema contract, the
   * Dataset[MediaRecord] → Dataset[MediaFeatures] signature, the
   * per-partition batching, the partition-count control — is the real
@@ -43,14 +46,22 @@ object Multimodal {
   object StubCodec {
     def decode(r: MediaRecord): MediaFeatures = {
       val len = r.content.length
-      // ??? real codec goes here — fake "frames" = 1KiB chunks, fake
-      // digest = hex of a rolling byte xor per frame.
-      val frames = math.max(1, len / 1024)
       val xor = r.content.foldLeft(0)((a, b) => (a ^ b) & 0xff)
-      MediaFeatures(r.media_id, r.media_type, len,
-        sample_rate_hz = if (r.media_type == "audio") 16000 else 0,
-        n_frames = frames,
-        frame_digest = f"$xor%02x")
+      if (r.media_type == "audio" && AudioCodec.isWav(r.content)) {
+        // REAL decode: header-true sample rate and frame count
+        val a = AudioCodec.decode(r.content)
+        MediaFeatures(r.media_id, r.media_type, len,
+          sample_rate_hz = a.sampleRate, n_frames = a.nFrames,
+          frame_digest = f"$xor%02x")
+      } else {
+        // ??? real video codec goes here — fake "frames" = 1KiB chunks,
+        // fake digest = hex of a rolling byte xor per frame.
+        val frames = math.max(1, len / 1024)
+        MediaFeatures(r.media_id, r.media_type, len,
+          sample_rate_hz = if (r.media_type == "audio") 16000 else 0,
+          n_frames = frames,
+          frame_digest = f"$xor%02x")
+      }
     }
 
     /** ??? real image resize goes here — the stub "resizes" by keeping
@@ -100,6 +111,20 @@ object Multimodal {
       if (r.media_type == "image" && ImageCodec.isBmp(r.content))
         r.copy(content = ImageCodec.resizeBmp(r.content, targetW, targetH))
       else StubCodec.resize(r, targetW * targetH * 3)
+    })
+  }
+
+  /** Audio resampling with the REAL codec: WAV payloads are decoded,
+    * nearest-neighbor rate-converted and re-encoded ([[AudioCodec]]);
+    * non-WAV payloads pass through untouched. Map-side only — payload
+    * bytes never shuffle.
+    */
+  def resampleAudio(records: Dataset[MediaRecord], targetRate: Int): Dataset[MediaRecord] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map { r =>
+      if (r.media_type == "audio" && AudioCodec.isWav(r.content))
+        r.copy(content = AudioCodec.resampleWav(r.content, targetRate))
+      else r
     })
   }
 

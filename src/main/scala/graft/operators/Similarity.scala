@@ -174,20 +174,78 @@ object Similarity {
   // never shuffle for the join; the final per-query ranking windows only
   // candidate rows (|corpus| × NProbe / NumCells per query).
   //
-  // Centroid choice is the deterministic demo stand-in (the NumCells
-  // lowest vec_ids) so the DuckDB oracle derives identical cells; a
-  // production build would k-means sample — only this SELECT changes.
+  // Centroid choice defaults to the deterministic demo stand-in (the
+  // NumCells lowest vec_ids) so the DuckDB oracle derives identical
+  // cells; pass `centroids = Some(kmeansCentroids(...))` for the
+  // data-adaptive production path — only the centroid frame changes.
   private val NumCells = 16
   private val NProbe = 2
 
-  /** IVF approximate top-k cosine neighbors for each query vector. */
-  def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int,
-      numCells: Int = NumCells, nProbe: Int = NProbe): DataFrame = {
+  /** Sampled k-means (Lloyd) centroids for [[ivfTopK]] — the production
+    * centroid path the deterministic demo SELECT stands in for. Each
+    * iteration is one corpus pass: assignment scores the broadcast
+    * current centroids map-side and collapses in a partial-agg argmax;
+    * re-centering is an element-wise mean keyed by (cell, position).
+    * Only the k×dim centroid matrix ever reaches the driver — it has to
+    * (the next iteration broadcasts it); the corpus itself never
+    * collects, so the loop is `iters` scans regardless of corpus size.
+    *
+    * Deterministic given (data, k, iters, seed): init takes the k
+    * vectors with the smallest `xxhash64(vec_id, seed)` — a seeded
+    * uniform sample with a total tiebreak order. A cell that loses all
+    * members keeps its previous centroid instead of vanishing, so the
+    * result always has exactly k rows.
+    *
+    * Returns `(cid, cv, cn)`, the shape [[ivfTopK]] consumes.
+    */
+  def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int,
+      seed: Long): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val base = embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val cents = base.filter(col("vec_id") < numCells)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    var cents: Seq[(Long, Seq[Double])] = base
+      .orderBy(xxhash64(col("vec_id"), lit(seed)).asc, col("vec_id").asc)
+      .limit(k)
+      .select(col("v")).collect().toSeq
+      .zipWithIndex.map { case (r, i) => i.toLong -> r.getSeq[Double](0) }
+    for (_ <- 0 until iters) {
+      val prev = cents
+      val cdf = broadcast(cents.toDF("cid", "cv").withColumn("cn", norm(col("cv"))))
+      val assigned = base.crossJoin(cdf)
+        .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("csim").as("s"), (-col("cid")).as("nc"),
+          col("v").as("pv"))).as("m"))
+        .select((-col("m.nc")).as("cid"), col("m.pv").as("v"))
+      val updated = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cv"))
+        .collect().toSeq
+        .map(r => r.getLong(0) -> r.getSeq[Double](1))
+      val kept = updated.map(_._1).toSet
+      cents = (updated ++ prev.filterNot { case (cid, _) => kept(cid) })
+        .sortBy(_._1)
+    }
+    cents.toDF("cid", "cv").withColumn("cn", norm(col("cv")))
+  }
+
+  /** IVF approximate top-k cosine neighbors for each query vector.
+    * `centroids` (shape `(cid, cv, cn)`, e.g. from [[kmeansCentroids]])
+    * overrides the deterministic lowest-`vec_id` demo centroid set.
+    */
+  def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int,
+      numCells: Int = NumCells, nProbe: Int = NProbe,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val base = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cents = centroids.getOrElse(base.filter(col("vec_id") < numCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn")))
     def scoreCells(df: DataFrame): DataFrame =
       df.crossJoin(broadcast(cents))
         .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))

@@ -102,6 +102,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!top.map(_.getAs[Long]("nid")).contains(102L))
   }
 
+  test("IVF with sampled k-means centroids recovers brute-force top-k on clustered data") {
+    val dim = 16
+    val clusters = 8
+    val perCluster = 40
+    // planted clusters: member j of cluster c = axis-c spike plus a small
+    // deterministic jitter on a second axis — strongly separable, so
+    // Lloyd from a seeded sample should land one centroid per cluster
+    val vecs = for (c <- 0 until clusters; j <- 0 until perCluster) yield {
+      val v = Array.fill(dim)(0.02f)
+      v(c) = 1.0f
+      v((c + 1 + j % (dim - 2)) % dim) += 0.05f * (j % 5)
+      ((c * perCluster + j).toLong, v)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val pred = col("vec_id") % perCluster === 0 // one query per cluster
+    def pairs(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => (x.getAs[Long]("qid"), x.getAs[Long]("nid"))).toSet
+    val brute = pairs(Similarity.cosineTopK(df, pred, 5))
+    val cents = Similarity.kmeansCentroids(df, k = clusters, iters = 3, seed = 42L)
+    assert(cents.count() == clusters) // empty cells keep prior centroids
+    val ivf = pairs(Similarity.ivfTopK(df, pred, 5,
+      numCells = clusters, nProbe = 2, centroids = Some(cents)))
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVF recall $recall < 0.8 (brute=${brute.size}, hit=${brute.intersect(ivf).size})")
+  }
+
   test("jaccard verification runs only over LSH candidate pairs") {
     // near-identical pair (one word changed) + unrelated doc: the pair is
     // an LSH candidate and survives verification; no candidate involving

@@ -121,6 +121,53 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out(2L).content.length < 200)
   }
 
+  test("multimodal: real WAV codec decodes, resamples, and drives the audio stage") {
+    import graft.operators.AudioCodec
+    // mono 22050 Hz ramp — a rate the stub would never report (its
+    // constant is 16000), so a real header decode is provable
+    val rate = 22050; val frames = 800
+    val samples = Array.tabulate(frames)(i => (i * 13 - 5000).toShort)
+    val clip = AudioCodec.Audio(rate, 1, samples)
+    val bytes = AudioCodec.encode(clip)
+    assert(AudioCodec.isWav(bytes))
+    assert(bytes.length == 44 + frames * 2)
+    // decode is the exact inverse of encode
+    val back = AudioCodec.decode(bytes)
+    assert(back.sampleRate == rate && back.channels == 1)
+    assert(back.samples.toSeq == samples.toSeq)
+    // chunk walking: an extra chunk between fmt and data is skipped
+    val spliced = bytes.take(36) ++
+      Array[Byte]('f', 'a', 'c', 't', 4, 0, 0, 0, 1, 2, 3, 4) ++ bytes.drop(36)
+    writeRiffSize(spliced)
+    assert(AudioCodec.decode(spliced).samples.toSeq == samples.toSeq)
+    // nearest-neighbor downsample to half rate: frame f samples source 2f
+    val half = AudioCodec.resample(back, rate / 2)
+    assert(half.sampleRate == rate / 2 && half.nFrames == frames / 2)
+    for (f <- 0 until half.nFrames)
+      assert(half.samples(f) == samples(f * 2))
+    // through the Spark stages: header-true features for WAV audio,
+    // declared stub for everything else; resample stage converts WAV only
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, bytes, "audio", "s"),
+      Multimodal.MediaRecord(2L, Array.fill[Byte](2048)(7), "audio", "s"))
+    val ds = spark.createDataset(recs)
+    val feats = Multimodal.extractFeatures(ds).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(1L).sample_rate_hz == rate && feats(1L).n_frames == frames)
+    assert(feats(2L).sample_rate_hz == 16000) // non-WAV bytes: stub path
+    val res = Multimodal.resampleAudio(ds, rate / 2).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(AudioCodec.decode(res(1L).content).nFrames == frames / 2)
+    assert(res(2L).content.length == 2048) // non-WAV passthrough
+  }
+
+  // patch the RIFF size field after splicing test chunks in
+  private def writeRiffSize(b: Array[Byte]): Unit = {
+    val v = b.length - 8
+    b(4) = v.toByte; b(5) = (v >> 8).toByte
+    b(6) = (v >> 16).toByte; b(7) = (v >> 24).toByte
+  }
+
   test("file catalog: suffix filter and newest-N pruning") {
     val dir = Files.createTempDirectory("cat").toString
     Files.write(java.nio.file.Paths.get(dir, "a.csv"), "x".getBytes)

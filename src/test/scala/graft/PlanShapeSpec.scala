@@ -48,4 +48,26 @@ class PlanShapeSpec extends AnyFunSuite {
   test("q37 ranking windows use WindowGroupLimit pushdown") {
     assert(planOf("q37_term_salience").contains("WindowGroupLimit"))
   }
+
+  test("q26 broadcasts the query side; the corpus streams unshuffled") {
+    val p = planOf("q26_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the qid =!= nid join must stay a broadcast nested loop")
+    // queries are the join's right side: BuildRight == queries broadcast;
+    // a BuildLeft anywhere means the corpus became the build side — a
+    // scale-killer inversion (the corpus does not fit in a broadcast)
+    assert(p.contains("BuildRight") && !p.contains("BuildLeft"),
+      s"corpus side must never be the broadcast build side:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
+  }
+
+  test("q39 broadcasts centroids and probes; corpus rows never join-shuffle") {
+    val p = planOf("q39_ivf_ann")
+    // centroid/probe frames are always the right side of their joins;
+    // only aggregate exchanges may shuffle corpus rows, never a join
+    assert(p.contains("BuildRight") && !p.contains("BuildLeft"),
+      s"small sides (centroids/probes) must stay the build side:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "centroid/probe joins must broadcast, not shuffle the corpus")
+  }
 }
