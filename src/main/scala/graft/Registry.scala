@@ -39,7 +39,8 @@ object Registry {
       TextAnalysis.queries ++
       RiskExplain.queries ++
       ScaleVariants.queries ++
-      Multimodal.queries
+      Multimodal.queries ++
+      TrainingData.queries
 
   lazy val byName: Map[String, GraftQuery] =
     all.map(q => q.name -> q).toMap

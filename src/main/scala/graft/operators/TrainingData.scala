@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-management operators a training-data pipeline needs around the
+  * cleaning/dedup core: deterministic split assignment, repetition-based
+  * quality signals, and cross-source contamination checks. All three are
+  * the standard large-corpus recipes (hash-split; duplicated-n-gram
+  * fraction as in the Gopher/C4 quality rules; long-n-gram overlap as in
+  * GPT-3-style train/test decontamination) expressed Spark-first.
+  *
+  * Scale shapes: q40/q41 are scan-shaped (q40 adds one tiny aggregate
+  * exchange); q42 is one documents scan, one shuffle on the 128-bit gram
+  * hash (uniform), pairs exploded map-side from per-gram source sets
+  * (≤ |sources| each) — the same capped-explode discipline as the LSH
+  * band join, so no quadratic region exists at any corpus size.
+  */
+object TrainingData {
+
+  // ---- q40: deterministic train/val/test hash split ----------------------
+  // Split by an md5-prefix range over the stable doc_id — reproducible
+  // across runs, engines and languages, no RNG state. Two hex chars give
+  // 256 buckets: train < 'cd' (205/256 ≈ 80.1%), val < 'e6' (+25/256 ≈
+  // 9.8%), test = rest (26/256 ≈ 10.2%). String-range comparison keeps
+  // the oracle bit-identical (no hex→int parsing differences).
+  private def q40(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("h2",
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2))
+      .withColumn("split",
+        when(col("h2") < "cd", "train")
+          .when(col("h2") < "e6", "val")
+          .otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+
+  private val o40 =
+    """WITH s AS (
+      |  SELECT lang, n_chars,
+      |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+      |              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |              ELSE 'test' END AS split
+      |  FROM documents)
+      |SELECT split, lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+      |FROM s GROUP BY 1, 2""".stripMargin
+
+  // ---- q41: repeated-3-gram fraction (quality signal) --------------------
+  // The Gopher-style repetition rule: fraction of a document's 3-grams
+  // that are duplicates. Entirely map-side array arithmetic — the word
+  // array is staged once (a lambda inlining it would re-split per gram),
+  // and no shuffle exists anywhere in the plan.
+  private def q41(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), expr(
+        "CASE WHEN size(w) >= 3 THEN transform(sequence(1, size(w) - 2), " +
+          "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), " +
+          "element_at(w, i + 2))) ELSE CAST(array() AS ARRAY<STRING>) END")
+        .as("grams"))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_distinct"),
+        expr("CASE WHEN size(grams) > 0 THEN 1.0 - " +
+          "CAST(size(array_distinct(grams)) AS DOUBLE) / " +
+          "CAST(size(grams) AS DOUBLE) ELSE 0.0 END").as("dup_frac"))
+
+  private val o41 =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(ws) >= 3 THEN
+      |           list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
+      |         ELSE [] END AS grams
+      |  FROM w)
+      |SELECT doc_id, len(grams) AS n_grams, len(list_distinct(grams)) AS n_distinct,
+      |       CASE WHEN len(grams) > 0 THEN 1.0 -
+      |         CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
+      |       ELSE 0.0 END AS dup_frac
+      |FROM g""".stripMargin
+
+  // ---- q42: cross-source contamination (shared 8-gram count) -------------
+  // Long n-grams make overlap evidence, not noise (the 13-gram idea from
+  // GPT-3 decontamination, sized to the fixture's docs). One documents
+  // scan; gram hashes explode map-side; ONE shuffle groups by the
+  // 128-bit hash; each gram's source set (≤ |sources|) explodes into
+  // ordered pairs map-side — never a gram-level self-join, so a gram
+  // shared by every source costs |sources|², not |corpus|².
+  private def q42(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), split(col("text"), " ").as("w"))
+      .select(col("source"), explode(expr(
+        "CASE WHEN size(w) >= 8 THEN transform(sequence(1, size(w) - 7), " +
+          "i -> md5(cast(concat_ws(' ', slice(w, i, 8)) AS BINARY))) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END")).as("gh"))
+      .groupBy(col("gh"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(srcs, (x, i) -> " +
+          "transform(slice(srcs, i + 2, size(srcs)), " +
+          "y -> named_struct('sa', x, 'sb', y))))")).as("p"))
+      .groupBy(col("p.sa").as("source_a"), col("p.sb").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+
+  private val o42 =
+    """WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+      |g0 AS (
+      |  SELECT source,
+      |         unnest(CASE WHEN len(ws) >= 8 THEN
+      |           list_transform(range(1, len(ws) - 6), i -> md5(array_to_string(ws[i:i+7], ' ')))
+      |         ELSE [] END) AS gh
+      |  FROM w),
+      |g AS (SELECT DISTINCT source, gh FROM g0),
+      |p AS (
+      |  SELECT a.source AS source_a, b.source AS source_b
+      |  FROM g a JOIN g b ON a.gh = b.gh AND a.source < b.source)
+      |SELECT source_a, source_b, count(*) AS n_shared
+      |FROM p GROUP BY 1, 2""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q40_train_split", "deterministic hash train/val/test split stats", q40, Some(o40)),
+    GraftQuery("q41_repetition", "repeated-3-gram fraction quality signal", q41, Some(o41)),
+    GraftQuery("q42_contamination", "cross-source shared long-n-gram counts", q42, Some(o42)))
+}

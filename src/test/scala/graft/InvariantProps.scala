@@ -86,4 +86,33 @@ object InvariantProps extends Properties("graft") {
         r.pixels.length == tw * th * 3 &&
         id.pixels.toSeq == img.pixels.toSeq
     }
+
+  // ---- AudioCodec (pure kernel, no Spark) --------------------------------
+  import graft.operators.AudioCodec
+
+  private val audioGen: Gen[AudioCodec.Audio] = for {
+    ch <- Gen.choose(1, 2)
+    frames <- Gen.choose(1, 256)
+    rate <- Gen.oneOf(8000, 16000, 22050, 44100)
+    ss <- Gen.listOfN(frames * ch, Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt))
+  } yield AudioCodec.Audio(rate, ch, ss.map(_.toShort).toArray)
+
+  property("WAV encode/decode round-trips any clip exactly") =
+    Prop.forAllNoShrink(audioGen) { a =>
+      val back = AudioCodec.decode(AudioCodec.encode(a))
+      back.sampleRate == a.sampleRate && back.channels == a.channels &&
+        back.samples.toSeq == a.samples.toSeq
+    }
+
+  property("WAV resample obeys the frame-count law; identity is exact") =
+    Prop.forAllNoShrink(for {
+      a <- audioGen
+      target <- Gen.oneOf(4000, 8000, 16000, 48000)
+    } yield (a, target)) { case (a, target) =>
+      val r = AudioCodec.resample(a, target)
+      val id = AudioCodec.resample(a, a.sampleRate)
+      r.sampleRate == target && r.channels == a.channels &&
+        r.nFrames == (a.nFrames.toLong * target / a.sampleRate).toInt &&
+        id.samples.toSeq == a.samples.toSeq
+    }
 }

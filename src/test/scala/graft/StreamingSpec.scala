@@ -293,7 +293,12 @@ class StreamingSpec extends AnyFunSuite {
     val e = intercept[IllegalStateException] { t.slice("wsock2", 0L, 5L) }
     assert(e.getMessage.contains("lifetime"))
     srv.stop()
-    intercept[java.io.IOException] { t.size("wsock2") }
+    // unreachable server: port 1 is never bound in this environment —
+    // asserting on srv's just-freed ephemeral port is racy (another
+    // listener, or a localhost self-connect, can claim it immediately)
+    intercept[java.io.IOException] {
+      graft.sources.SocketTransport("localhost", 1).size("wsock2")
+    }
   }
 
   test("FeedRegistry.slice fails loudly on out-of-registry ranges") {

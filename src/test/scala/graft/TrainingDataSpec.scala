@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics + plan shape of the corpus-management operators (q40-q42). */
+class TrainingDataSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docsDir(rows: Seq[(Long, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("td").toString
+    rows.toDF("doc_id", "text", "source")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        col("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q40: every document lands in exactly one split, deterministically") {
+    val dir = docsDir((0L until 64L).map(i => (i, s"doc number $i words", "s")))
+    def stats() = Registry.byName("q40_train_split").run(spark, dir)
+      .collect().map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+    val s1 = stats()
+    assert(s1.values.sum == 64) // partition of the corpus, nothing dropped
+    assert(s1.keySet.subsetOf(Set("train", "val", "test")))
+    assert(s1("train") > s1.getOrElse("val", 0L)) // 80/10/10 shape
+    assert(stats() == s1) // re-run identical: no RNG state
+  }
+
+  test("q41: repeated 3-grams are counted, distinct text scores 0") {
+    // "a b c a b c a b" -> 6 3-grams, 3 distinct -> dup_frac 0.5
+    val dir = docsDir(Seq(
+      (1L, "a b c a b c a b", "s"),
+      (2L, "all words here are unique today", "s"),
+      (3L, "one two", "s"))) // sub-3-word guard: zero grams
+    val rows = Registry.byName("q41_repetition").run(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_distinct"),
+          r.getAs[Double]("dup_frac"))).toMap
+    assert(rows(1L) == ((6L, 3L, 0.5)))
+    assert(rows(2L)._3 == 0.0)
+    assert(rows(3L) == ((0L, 0L, 0.0)))
+  }
+
+  test("q41 is scan-shaped: zero exchanges") {
+    val p = Registry.byName("q41_repetition").run(spark, TestSpark.sf0001)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Exchange"), "per-doc quality signal must not shuffle")
+  }
+
+  test("q42: only cross-source shared 8-grams count; within-source repeats don't") {
+    val shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val dir = docsDir(Seq(
+      (1L, s"$shared tail one", "srcA"),
+      (2L, s"lead $shared", "srcB"),      // shares the 8-gram with srcA
+      (3L, s"$shared again $shared", "srcC_unrelated_no4"), // repeats internally only
+      (4L, "totally different words that never overlap with anything here", "srcD")))
+    val rows = Registry.byName("q42_contamination").run(spark, dir)
+      .collect().map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b"),
+        r.getAs[Long]("n_shared")))
+    // srcC shares the same 8-gram too (it contains `shared` as a window),
+    // so the pairs are exactly the 3 combinations over {A, B, C}
+    val bySet = rows.map { case (a, b, n) => Set(a, b) -> n }.toMap
+    assert(rows.length == 3, s"got $rows")
+    assert(bySet(Set("srcA", "srcB")) == 1L)
+    assert(rows.forall { case (a, b, _) => a < b }) // ordered pairs
+    assert(!rows.exists { case (a, b, _) => a == "srcD" || b == "srcD" })
+  }
+
+  test("q42 plans one documents scan and no gram-level self-join") {
+    val df = Registry.byName("q42_contamination").run(spark, TestSpark.sf0001)
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val scans = p.linesIterator.count(_.matches("""^\(\d+\) Scan parquet\s*$"""))
+    assert(scans == 1, s"expected one scan, got $scans")
+    assert(!p.contains("Join"), "pairs must explode from source sets, never join")
+  }
+}
