@@ -119,8 +119,59 @@ object TrainingData {
       |SELECT source_a, source_b, count(*) AS n_shared
       |FROM p GROUP BY 1, 2""".stripMargin
 
+  // ---- q43: train→test decontamination (q40 ∘ q42) -----------------------
+  // The canonical composition: which TEST documents share a long n-gram
+  // with any TRAIN document (GPT-3-style leakage detection, run before
+  // every evaluation). Single-pass shape — one documents scan, one
+  // shuffle on the gram hash where each gram folds to a has-train flag
+  // plus its (small) test-doc set, then one aggregate per contaminated
+  // test doc. No train-vs-test self-join: referencing the gram frame
+  // twice would re-plan the whole explode subtree per side (two scans),
+  // and a gram-level join could not be capped the same way.
+  private def q43(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("h2",
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2))
+      .withColumn("split",
+        when(col("h2") < "cd", "train")
+          .when(col("h2") < "e6", "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("split"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("split"), explode(expr(
+        "CASE WHEN size(w) >= 8 THEN transform(sequence(1, size(w) - 7), " +
+          "i -> md5(cast(concat_ws(' ', slice(w, i, 8)) AS BINARY))) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END")).as("gh"))
+      .groupBy(col("gh"))
+      .agg(
+        max(when(col("split") === "train", 1).otherwise(0)).as("has_train"),
+        collect_set(when(col("split") === "test", col("doc_id"))).as("test_docs"))
+      .filter(col("has_train") === 1 && size(col("test_docs")) > 0)
+      .select(explode(col("test_docs")).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+
+  private val o43 =
+    """WITH s AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws,
+      |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+      |              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |              ELSE 'test' END AS split
+      |  FROM documents),
+      |g0 AS (
+      |  SELECT doc_id, split,
+      |         unnest(CASE WHEN len(ws) >= 8 THEN
+      |           list_transform(range(1, len(ws) - 6), i -> md5(array_to_string(ws[i:i+7], ' ')))
+      |         ELSE [] END) AS gh
+      |  FROM s),
+      |d AS (SELECT DISTINCT doc_id, split, gh FROM g0),
+      |t AS (SELECT DISTINCT doc_id, gh FROM d WHERE split = 'test'),
+      |tr AS (SELECT DISTINCT gh FROM d WHERE split = 'train')
+      |SELECT t.doc_id, count(*) AS n_shared_grams
+      |FROM t JOIN tr USING (gh) GROUP BY 1""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q40_train_split", "deterministic hash train/val/test split stats", q40, Some(o40)),
     GraftQuery("q41_repetition", "repeated-3-gram fraction quality signal", q41, Some(o41)),
-    GraftQuery("q42_contamination", "cross-source shared long-n-gram counts", q42, Some(o42)))
+    GraftQuery("q42_contamination", "cross-source shared long-n-gram counts", q42, Some(o42)),
+    GraftQuery("q43_decontaminate", "test docs sharing long n-grams with train", q43, Some(o43)))
 }

@@ -65,6 +65,13 @@ object StreamingDedup {
     * result streams one [[DupVerdict]] per input document (append mode).
     * `retentionMs` bounds both the watermark and the per-signature state
     * lifetime.
+    *
+    * Event-time caveat: a row whose event time is ≤ the CURRENT
+    * watermark is dropped as late before the state function ever sees
+    * it — including the initial watermark of 0 (the epoch). Synthetic
+    * event times derived from counters must therefore sit strictly
+    * above the epoch (see Pipeline.runFromFeed, which offsets by a
+    * day), or the first row silently vanishes from the verdicts.
     */
   def nearDupVerdicts(docs: DataFrame, eventTime: String,
       retentionMs: Long): Dataset[DupVerdict] = {

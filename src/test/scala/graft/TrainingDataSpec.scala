@@ -68,6 +68,27 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(!rows.exists { case (a, b, _) => a == "srcD" || b == "srcD" })
   }
 
+  test("q43: flags test docs sharing an 8-gram with train, in one scan") {
+    // splits by md5(doc_id) prefix: 0 -> val ('cf'), 1 -> train ('c4'),
+    // 2 -> train ('c8'), 3 -> test ('ec'). Test doc 3 shares its 8-gram
+    // window with TRAIN doc 1 (doc 0 sharing it is val — ignored), so
+    // doc 3 is the one contaminated test doc
+    val shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val dir = docsDir(Seq(
+      (0L, s"$shared in the validation split does not count", "s"),
+      (1L, s"$shared extra", "s"),
+      (2L, "another clean training document with fully distinct content words", "s"),
+      (3L, s"prefix $shared", "s")))
+    val df = Registry.byName("q43_decontaminate").run(spark, dir)
+    val rows = df.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared_grams")).toMap
+    assert(rows == Map(3L -> 1L), s"got $rows")
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val scans = p.linesIterator.count(_.matches("""^\(\d+\) Scan parquet\s*$"""))
+    assert(scans == 1, s"expected one scan, got $scans")
+    assert(!p.contains("Join"), "decontamination must fold per-gram, never join")
+  }
+
   test("q42 plans one documents scan and no gram-level self-join") {
     val df = Registry.byName("q42_contamination").run(spark, TestSpark.sf0001)
     val p = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
