@@ -62,7 +62,10 @@ object AudioCodec {
     while (off + 8 <= b.length && (sampleRate < 0 || dataOff < 0)) {
       val id = tag(b, off)
       val size = readI32(b, off + 4)
-      require(size >= 0 && off + 8 + size <= b.length,
+      // Long arithmetic: a corrupt size near Int.MaxValue would wrap the
+      // Int sum negative, pass the bound check, and turn the intended
+      // clean failure into a ~2 GB allocation downstream
+      require(size >= 0 && off.toLong + 8 + size <= b.length,
         s"truncated WAVE: chunk '$id' claims $size bytes at offset $off of ${b.length}")
       id match {
         case "fmt " =>

@@ -47,20 +47,28 @@ object Multimodal {
     def decode(r: MediaRecord): MediaFeatures = {
       val len = r.content.length
       val xor = r.content.foldLeft(0)((a, b) => (a ^ b) & 0xff)
-      if (r.media_type == "audio" && AudioCodec.isWav(r.content)) {
-        // REAL decode: header-true sample rate and frame count
-        val a = AudioCodec.decode(r.content)
-        MediaFeatures(r.media_id, r.media_type, len,
-          sample_rate_hz = a.sampleRate, n_frames = a.nFrames,
-          frame_digest = f"$xor%02x")
-      } else {
-        // ??? real video codec goes here — fake "frames" = 1KiB chunks,
-        // fake digest = hex of a rolling byte xor per frame.
-        val frames = math.max(1, len / 1024)
-        MediaFeatures(r.media_id, r.media_type, len,
-          sample_rate_hz = if (r.media_type == "audio") 16000 else 0,
-          n_frames = frames,
-          frame_digest = f"$xor%02x")
+      // REAL decode when the payload parses as PCM16 WAVE: header-true
+      // sample rate and frame count. Try, don't trust the sniff: a
+      // WAV-magic payload in an unsupported flavor (float, ADPCM, 8-bit,
+      // truncated) must fall back to the stub, not fail the task — one
+      // malformed file in a 100 TB batch cannot kill the job.
+      val real =
+        if (r.media_type == "audio" && AudioCodec.isWav(r.content))
+          scala.util.Try(AudioCodec.decode(r.content)).toOption
+        else None
+      real match {
+        case Some(a) =>
+          MediaFeatures(r.media_id, r.media_type, len,
+            sample_rate_hz = a.sampleRate, n_frames = a.nFrames,
+            frame_digest = f"$xor%02x")
+        case None =>
+          // ??? real video codec goes here — fake "frames" = 1KiB chunks,
+          // fake digest = hex of a rolling byte xor per frame.
+          val frames = math.max(1, len / 1024)
+          MediaFeatures(r.media_id, r.media_type, len,
+            sample_rate_hz = if (r.media_type == "audio") 16000 else 0,
+            n_frames = frames,
+            frame_digest = f"$xor%02x")
       }
     }
 
@@ -109,7 +117,10 @@ object Multimodal {
     import records.sparkSession.implicits._
     records.mapPartitions(_.map { r =>
       if (r.media_type == "image" && ImageCodec.isBmp(r.content))
-        r.copy(content = ImageCodec.resizeBmp(r.content, targetW, targetH))
+        // unsupported BMP flavor (compressed, non-24bpp, truncated):
+        // fall back to the stub instead of failing the task
+        scala.util.Try(r.copy(content = ImageCodec.resizeBmp(r.content, targetW, targetH)))
+          .getOrElse(StubCodec.resize(r, targetW * targetH * 3))
       else StubCodec.resize(r, targetW * targetH * 3)
     })
   }
@@ -123,7 +134,9 @@ object Multimodal {
     import records.sparkSession.implicits._
     records.mapPartitions(_.map { r =>
       if (r.media_type == "audio" && AudioCodec.isWav(r.content))
-        r.copy(content = AudioCodec.resampleWav(r.content, targetRate))
+        // unsupported WAV flavor: pass through untouched, don't fail the task
+        scala.util.Try(r.copy(content = AudioCodec.resampleWav(r.content, targetRate)))
+          .getOrElse(r)
       else r
     })
   }

@@ -190,11 +190,16 @@ object Similarity {
     * (the next iteration broadcasts it); the corpus itself never
     * collects, so the loop is `iters` scans regardless of corpus size.
     *
-    * Deterministic given (data, k, iters, seed): init takes the k
+    * Reproducible given (data, k, iters, seed): init takes the k
     * vectors with the smallest `xxhash64(vec_id, seed)` — a seeded
-    * uniform sample with a total tiebreak order. A cell that loses all
+    * uniform sample with a total tiebreak order. The Lloyd re-centering
+    * uses `avg`, whose partial sums merge in shuffle-arrival order, so
+    * repeated runs agree only to floating-point merge order (a near-tie
+    * argmax could in principle flip) — fine for ANN centroids; never
+    * route this through an exact-match oracle. A cell that loses all
     * members keeps its previous centroid instead of vanishing, so the
-    * result always has exactly k rows.
+    * result has exactly k rows (fewer only if the corpus itself has
+    * fewer than k vectors).
     *
     * Returns `(cid, cv, cn)`, the shape [[ivfTopK]] consumes.
     */

@@ -19,29 +19,46 @@ import org.apache.spark.sql.functions._
   */
 object TrainingData {
 
-  // ---- q40: deterministic train/val/test hash split ----------------------
+  // Shared split definition (q40, q43): one edit point on both the Spark
+  // and oracle sides — a drifting copy would make the two queries
+  // silently disagree about what "train" means.
   // Split by an md5-prefix range over the stable doc_id — reproducible
   // across runs, engines and languages, no RNG state. Two hex chars give
   // 256 buckets: train < 'cd' (205/256 ≈ 80.1%), val < 'e6' (+25/256 ≈
   // 9.8%), test = rest (26/256 ≈ 10.2%). String-range comparison keeps
   // the oracle bit-identical (no hex→int parsing differences).
+  private def splitCol: org.apache.spark.sql.Column = {
+    val h2 = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    when(h2 < "cd", "train").when(h2 < "e6", "val").otherwise("test")
+  }
+
+  private val splitSql =
+    """CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+      |     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |     ELSE 'test' END""".stripMargin
+
+  // Shared long-n-gram hash (q42, q43): md5 of each 8-word window over
+  // the staged word array `w`; empty below 8 words.
+  private val gramHashExpr =
+    "CASE WHEN size(w) >= 8 THEN transform(sequence(1, size(w) - 7), " +
+      "i -> md5(cast(concat_ws(' ', slice(w, i, 8)) AS BINARY))) " +
+      "ELSE CAST(array() AS ARRAY<STRING>) END"
+
+  private val gramHashSql =
+    """CASE WHEN len(ws) >= 8 THEN
+      |  list_transform(range(1, len(ws) - 6), i -> md5(array_to_string(ws[i:i+7], ' ')))
+      |ELSE [] END""".stripMargin
+
+  // ---- q40: deterministic train/val/test hash split ----------------------
   private def q40(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("h2",
-        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2))
-      .withColumn("split",
-        when(col("h2") < "cd", "train")
-          .when(col("h2") < "e6", "val")
-          .otherwise("test"))
+      .withColumn("split", splitCol)
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
 
   private val o40 =
-    """WITH s AS (
-      |  SELECT lang, n_chars,
-      |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
-      |              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
-      |              ELSE 'test' END AS split
+    s"""WITH s AS (
+      |  SELECT lang, n_chars, $splitSql AS split
       |  FROM documents)
       |SELECT split, lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
       |FROM s GROUP BY 1, 2""".stripMargin
@@ -90,10 +107,7 @@ object TrainingData {
   private def q42(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("source"), split(col("text"), " ").as("w"))
-      .select(col("source"), explode(expr(
-        "CASE WHEN size(w) >= 8 THEN transform(sequence(1, size(w) - 7), " +
-          "i -> md5(cast(concat_ws(' ', slice(w, i, 8)) AS BINARY))) " +
-          "ELSE CAST(array() AS ARRAY<STRING>) END")).as("gh"))
+      .select(col("source"), explode(expr(gramHashExpr)).as("gh"))
       .groupBy(col("gh"))
       .agg(sort_array(collect_set(col("source"))).as("srcs"))
       .filter(size(col("srcs")) >= 2)
@@ -105,12 +119,9 @@ object TrainingData {
       .agg(count(lit(1)).as("n_shared"))
 
   private val o42 =
-    """WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+    s"""WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
       |g0 AS (
-      |  SELECT source,
-      |         unnest(CASE WHEN len(ws) >= 8 THEN
-      |           list_transform(range(1, len(ws) - 6), i -> md5(array_to_string(ws[i:i+7], ' ')))
-      |         ELSE [] END) AS gh
+      |  SELECT source, unnest($gramHashSql) AS gh
       |  FROM w),
       |g AS (SELECT DISTINCT source, gh FROM g0),
       |p AS (
@@ -130,17 +141,9 @@ object TrainingData {
   // and a gram-level join could not be capped the same way.
   private def q43(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("h2",
-        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2))
-      .withColumn("split",
-        when(col("h2") < "cd", "train")
-          .when(col("h2") < "e6", "val")
-          .otherwise("test"))
+      .withColumn("split", splitCol)
       .select(col("doc_id"), col("split"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), col("split"), explode(expr(
-        "CASE WHEN size(w) >= 8 THEN transform(sequence(1, size(w) - 7), " +
-          "i -> md5(cast(concat_ws(' ', slice(w, i, 8)) AS BINARY))) " +
-          "ELSE CAST(array() AS ARRAY<STRING>) END")).as("gh"))
+      .select(col("doc_id"), col("split"), explode(expr(gramHashExpr)).as("gh"))
       .groupBy(col("gh"))
       .agg(
         max(when(col("split") === "train", 1).otherwise(0)).as("has_train"),
@@ -151,17 +154,11 @@ object TrainingData {
       .agg(count(lit(1)).as("n_shared_grams"))
 
   private val o43 =
-    """WITH s AS (
-      |  SELECT doc_id, string_split(text, ' ') AS ws,
-      |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
-      |              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
-      |              ELSE 'test' END AS split
+    s"""WITH s AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws, $splitSql AS split
       |  FROM documents),
       |g0 AS (
-      |  SELECT doc_id, split,
-      |         unnest(CASE WHEN len(ws) >= 8 THEN
-      |           list_transform(range(1, len(ws) - 6), i -> md5(array_to_string(ws[i:i+7], ' ')))
-      |         ELSE [] END) AS gh
+      |  SELECT doc_id, split, unnest($gramHashSql) AS gh
       |  FROM s),
       |d AS (SELECT DISTINCT doc_id, split, gh FROM g0),
       |t AS (SELECT DISTINCT doc_id, gh FROM d WHERE split = 'test'),

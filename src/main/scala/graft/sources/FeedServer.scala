@@ -25,10 +25,19 @@ object FeedProtocol {
   def decode(b64: String): String =
     new String(Base64.getDecoder.decode(b64), UTF_8)
 
+  /** Connect timeout / per-read timeout: a wedged server (accepts but
+    * never writes) must fail the Spark task so retry actually fires,
+    * instead of blocking a partition reader forever.
+    */
+  val ConnectTimeoutMs = 10000
+  val ReadTimeoutMs = 30000
+
   /** Send one command line; return the payload lines or throw on ERR. */
   def request(host: String, port: Int, command: String): Seq[String] = {
-    val sock = new Socket(host, port)
+    val sock = new Socket()
     try {
+      sock.connect(new java.net.InetSocketAddress(host, port), ConnectTimeoutMs)
+      sock.setSoTimeout(ReadTimeoutMs)
       val out = new BufferedWriter(new OutputStreamWriter(sock.getOutputStream, UTF_8))
       val in = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
       out.write(command); out.write("\n"); out.flush()
@@ -69,7 +78,11 @@ class FeedServer(port: Int = 0) {
 
   private def respond(line: String): Either[String, Seq[String]] =
     try {
-      val parts = line.trim.split("\\s+")
+      // split on SINGLE spaces, keeping empty tokens: the empty string
+      // base64-encodes to "" and a \s+ split would silently collapse it,
+      // making the socket path store fewer messages than the registry
+      // path for the same post
+      val parts = line.split(" ", -1)
       parts(0).toUpperCase match {
         case "SIZE" => Right(Seq(FeedRegistry.size(parts(1)).toString))
         case "SLICE" =>
@@ -112,7 +125,15 @@ class FeedServer(port: Int = 0) {
     val t = new Thread(() => {
       while (running) {
         try handle(server.accept())
-        catch { case _: SocketException => () } // listener closed by stop()
+        catch {
+          case _: SocketException => () // listener closed by stop()
+          case e: java.io.IOException =>
+            // transient accept failure (e.g. fd exhaustion): log and keep
+            // accepting — dying silently would leave a server that looks
+            // alive but never answers again
+            if (running) System.err.println(
+              s"graft-feed-server:$boundPort accept failed: $e")
+        }
       }
     })
     t.setDaemon(true)

@@ -124,17 +124,25 @@ case object RegistryTransport extends FeedTransport {
   * over the network.
   */
 case class SocketTransport(host: String, port: Int) extends FeedTransport {
+  // the wire protocol frames on single spaces; a whitespace feed name
+  // would silently shift every argument
+  private def checkFeed(feed: String): String = {
+    require(feed.nonEmpty && !feed.exists(_.isWhitespace),
+      s"feed name must be non-empty and whitespace-free for the socket protocol: '$feed'")
+    feed
+  }
+
   override def size(feed: String): Long =
-    FeedProtocol.request(host, port, s"SIZE $feed").head.toLong
+    FeedProtocol.request(host, port, s"SIZE ${checkFeed(feed)}").head.toLong
 
   override def slice(feed: String, from: Long, until: Long): Seq[(Long, String)] = {
-    val payload = FeedProtocol.request(host, port, s"SLICE $feed $from $until")
+    val payload = FeedProtocol.request(host, port, s"SLICE ${checkFeed(feed)} $from $until")
     payload.zipWithIndex.map { case (b64, i) => (from + i) -> FeedProtocol.decode(b64) }
   }
 
   def post(feed: String, msgs: String*): Unit = {
     val _ = FeedProtocol.request(host, port,
-      (s"POST $feed" +: msgs.map(FeedProtocol.encode)).mkString(" "))
+      (s"POST ${checkFeed(feed)}" +: msgs.map(FeedProtocol.encode)).mkString(" "))
   }
 }
 

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic fixture scale-up: replicates every table of a source
@@ -9,15 +9,20 @@ import org.apache.spark.sql.functions._
   * linearly and the bench can be re-run one order of magnitude up
   * (SCALE.md's "would the plan hold at 10×?" made measurable).
   *
-  * Shift discipline: every key column in a replica moves by
-  * `replica * KeyStride`, and referencing columns (o_custkey,
-  * l_orderkey, …) move by the same stride, so intra-replica joins match
-  * exactly and replicas never cross-join. Documents get a `r<i>` prefix
-  * token in replica i > 0 — near-identical (not byte-identical) text, so
-  * sf1 carries 10-way NEAR-dup families: the LSH/Jaccard pipelines face
-  * a strictly heavier candidate load than at sf0.1, which is the honest
+  * Shift discipline: every key column in replica r moves by
+  * `r * KeyStride`, and referencing columns (o_custkey, l_orderkey, …)
+  * move by the same stride, so intra-replica joins match exactly and
+  * replicas never cross-join. Documents get a `r<i>` prefix token in
+  * replica i > 0 — near-identical (not byte-identical) text, so sf1
+  * carries 10-way NEAR-dup families: the LSH/Jaccard pipelines face a
+  * strictly heavier candidate load than at sf0.1, which is the honest
   * scale-up for dedup. Embeddings keep their vectors (vec_id stride is a
   * multiple of the query stride, so the query set also scales 10×).
+  *
+  * Plan shape: each table is ONE scan cross-joined with the broadcast
+  * replica-index range — a union of per-replica frames would re-plan and
+  * re-scan the source `factor` times (the branch-duplication trap this
+  * repo's dedup plans are pinned against).
   *
   * Usage: ScaleUp <srcDir> <dstDir> [factor=10]
   * Writes <dstDir>/<table>.parquet for the same table set the driver
@@ -27,38 +32,35 @@ object ScaleUp {
 
   private val KeyStride = 100_000_000L
 
-  private def replicate(spark: SparkSession, src: String, table: String,
-      factor: Int)(shift: (DataFrame, Int) => DataFrame): DataFrame = {
-    val base = spark.read.parquet(s"$src/$table.parquet")
-    (0 until factor).map(i => shift(base, i)).reduce(_.unionByName(_))
-  }
-
   def run(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
-    def off(i: Int): Long = i.toLong * KeyStride
-    def shiftCols(df: DataFrame, i: Int, cols: String*): DataFrame =
-      cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(off(i))))
+    def shiftCols(df: DataFrame, r: Column, cols: String*): DataFrame =
+      cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + r * lit(KeyStride)))
 
-    val tables: Map[String, (DataFrame, Int) => DataFrame] = Map(
+    // each entry: (replicated frame with index column `r`) => shifted frame
+    val tables: Map[String, (DataFrame, Column) => DataFrame] = Map(
       // dimension tables small enough to keep verbatim (broadcast sides)
-      "region" -> ((df, i) => if (i == 0) df else df.limit(0)),
-      "nation" -> ((df, i) => if (i == 0) df else df.limit(0)),
-      "customer" -> ((df, i) => shiftCols(df, i, "c_custkey")),
-      "supplier" -> ((df, i) => shiftCols(df, i, "s_suppkey")),
-      "part" -> ((df, i) => shiftCols(df, i, "p_partkey")),
-      "orders" -> ((df, i) => shiftCols(df, i, "o_orderkey", "o_custkey")),
-      "lineitem" -> ((df, i) =>
-        shiftCols(df, i, "l_orderkey", "l_partkey", "l_suppkey")),
-      "events" -> ((df, i) => shiftCols(df, i, "event_id", "user_id")),
-      "documents" -> ((df, i) =>
-        shiftCols(df, i, "doc_id")
+      "region" -> ((df, r) => df.filter(r === 0)),
+      "nation" -> ((df, r) => df.filter(r === 0)),
+      "customer" -> ((df, r) => shiftCols(df, r, "c_custkey")),
+      "supplier" -> ((df, r) => shiftCols(df, r, "s_suppkey")),
+      "part" -> ((df, r) => shiftCols(df, r, "p_partkey")),
+      "orders" -> ((df, r) => shiftCols(df, r, "o_orderkey", "o_custkey")),
+      "lineitem" -> ((df, r) =>
+        shiftCols(df, r, "l_orderkey", "l_partkey", "l_suppkey")),
+      "events" -> ((df, r) => shiftCols(df, r, "event_id", "user_id")),
+      "documents" -> ((df, r) =>
+        shiftCols(df, r, "doc_id")
           .withColumn("text",
-            if (i == 0) col("text")
-            else concat(lit(s"r$i "), col("text")))
+            when(r === 0, col("text"))
+              .otherwise(concat(lit("r"), r.cast("string"), lit(" "), col("text"))))
           .withColumn("n_chars", length(col("text")).cast("long"))),
-      "embeddings" -> ((df, i) => shiftCols(df, i, "vec_id")))
+      "embeddings" -> ((df, r) => shiftCols(df, r, "vec_id")))
 
+    val reps = broadcast(spark.range(factor).toDF("_r"))
     tables.foreach { case (t, shift) =>
-      replicate(spark, src, t, factor)(shift)
+      val base = spark.read.parquet(s"$src/$t.parquet")
+      shift(base.crossJoin(reps), col("_r"))
+        .drop("_r")
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
   }

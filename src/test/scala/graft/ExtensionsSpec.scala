@@ -159,6 +159,25 @@ class ExtensionsSpec extends AnyFunSuite {
       .map(r => r.media_id -> r).toMap
     assert(AudioCodec.decode(res(1L).content).nFrames == frames / 2)
     assert(res(2L).content.length == 2048) // non-WAV passthrough
+    // corrupt chunk size near Int.MaxValue must fail cleanly (the Int
+    // bound check once wrapped negative and allowed a ~2GB allocation)
+    val corrupt = bytes.clone()
+    corrupt(40) = 0xf5.toByte; corrupt(41) = 0xff.toByte
+    corrupt(42) = 0xff.toByte; corrupt(43) = 0x7f.toByte // data size 0x7ffffff5
+    val err = intercept[IllegalArgumentException] { AudioCodec.decode(corrupt) }
+    assert(err.getMessage.contains("truncated"))
+    // a WAV-magic payload in an unsupported flavor (IEEE-float fmt 3)
+    // falls back to the stub instead of failing the task
+    val floatWav = bytes.clone()
+    floatWav(20) = 3 // fmt tag: IEEE float
+    intercept[IllegalArgumentException] { AudioCodec.decode(floatWav) }
+    val fb = Multimodal.extractFeatures(spark.createDataset(Seq(
+        Multimodal.MediaRecord(9L, floatWav, "audio", "s"))))
+      .collect().head
+    assert(fb.sample_rate_hz == 16000) // stub path, not a crash
+    assert(Multimodal.resampleAudio(spark.createDataset(Seq(
+        Multimodal.MediaRecord(9L, floatWav, "audio", "s"))), 8000)
+      .collect().head.content.toSeq == floatWav.toSeq) // passthrough
   }
 
   // patch the RIFF size field after splicing test chunks in

@@ -284,6 +284,21 @@ class StreamingSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("socket transport round-trips empty messages and rejects bad feed names") {
+    val srv = new graft.sources.FeedServer().start()
+    try {
+      graft.sources.FeedRegistry.clear("wsock3")
+      val t = graft.sources.SocketTransport("localhost", srv.boundPort)
+      // the empty string base64-encodes to an empty token — a \s+ split
+      // server-side would silently drop it and shift every offset
+      t.post("wsock3", "a", "", "b")
+      assert(t.size("wsock3") == 3)
+      assert(t.slice("wsock3", 0L, 3L).map(_._2) == Seq("a", "", "b"))
+      // whitespace feed names would break the space-framed protocol
+      intercept[IllegalArgumentException] { t.post("bad feed", "x") }
+    } finally srv.stop()
+  }
+
   test("socket transport fails loudly against a stopped server and on bad ranges") {
     val srv = new graft.sources.FeedServer().start()
     graft.sources.FeedRegistry.clear("wsock2")
