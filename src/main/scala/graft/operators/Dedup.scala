@@ -242,9 +242,66 @@ object Dedup {
        |WHERE len(list_intersect(x.ws, y.ws)) /
        |      len(list_distinct(list_concat(x.ws, y.ws))) >= $JaccardThreshold""".stripMargin
 
+  // ---- q44: near-dup clustering (connected components) -------------------
+  // Pairs are not a dedup decision: A~B and B~C must collapse to ONE
+  // canonical document even when A~C was never proposed. Min-label
+  // propagation over the (capped) candidate-pair graph: every doc in a
+  // pair starts labeled with itself; each round takes the min label over
+  // itself and its neighbors; convergence = component minimum. Rounds
+  // needed = component diameter — near-dup families are band-join
+  // overlaps (dense, small-diameter), so a handful of rounds closes even
+  // corpus-scale graphs; the hard cap is a runaway guard, not the
+  // expected path. Each round is ONE shuffle (union + min-aggregate),
+  // and `localCheckpoint` truncates the lineage so the plan stays flat
+  // instead of growing per round (the iterative twin of the
+  // branch-duplication trap). Driver sees only the scalar convergence
+  // count per round — labels never collect.
+  private val MaxLabelRounds = 20
+
+  /** Cluster ids (= min doc_id reachable) for every doc in `pairs`. */
+  def dupClusters(pairs: DataFrame): DataFrame = {
+    val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = fwd
+      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < MaxLabelRounds) {
+      val viaNeighbors = edges.join(labels, edges("src") === labels("doc_id"))
+        .select(edges("dst").as("doc_id"), labels("label"))
+      val updated = labels.union(viaNeighbors)
+        .groupBy("doc_id").agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val changes = labels.as("o").join(updated.as("n"), "doc_id")
+        .filter(col("o.label") =!= col("n.label")).count()
+      labels = updated
+      converged = changes == 0
+      round += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  private def q44(s: SparkSession, d: String): DataFrame =
+    dupClusters(candidatePairs(s, d))
+
+  private val o44 =
+    s"""WITH RECURSIVE $candidateCtes,
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+       |      UNION ALL SELECT doc_b AS src, doc_a AS dst FROM cand),
+       |cc AS (
+       |  SELECT src AS doc_id, src AS label FROM e
+       |  UNION
+       |  SELECT e.dst AS doc_id, cc.label FROM cc JOIN e ON e.src = cc.doc_id
+       |)
+       |SELECT doc_id, min(label) AS cluster_id FROM cc GROUP BY doc_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q22_dedup_exact", "exact dedup via content-hash groupBy", q22, Some(o22)),
     GraftQuery("q23_minhash_lsh", "MinHash+LSH band join candidate pairs", q23, Some(o23)),
     GraftQuery("q24_simhash", "16-bit frequency-weighted SimHash", q24, Some(o24)),
-    GraftQuery("q25_jaccard_pairs", "blocked word-set Jaccard pairs", q25, Some(o25)))
+    GraftQuery("q25_jaccard_pairs", "blocked word-set Jaccard pairs", q25, Some(o25)),
+    GraftQuery("q44_dup_clusters", "near-dup connected-component clustering", q44, Some(o44)))
 }

@@ -161,6 +161,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(scanCount("q34_ann_lsh") <= 2)
   }
 
+  test("dup clustering: chains collapse transitively, separate components stay apart") {
+    // a 5-chain (diameter 4 — forces multiple label rounds) + an
+    // isolated pair; labels converge to each component's min doc_id
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("exact dedup groups identical content") {
     val d = docs(Seq((1L, "same text"), (2L, "same text"), (3L, "other text")))
     val dir = java.nio.file.Files.createTempDirectory("ex").toString
