@@ -77,10 +77,14 @@ object TextAnalysis {
   // engines → bit-identical doubles.
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 
-  private def q28(s: SparkSession, d: String): DataFrame = {
-    val stops = array(Stopwords.map(lit): _*)
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("w"))
+  /** Adds the q28 quality metrics to a documents frame (keeps `keep`'s
+    * columns alongside). Shared by q28 and the q45 percentile filter so
+    * the score definition cannot drift between them.
+    */
+  private def withQuality(docs: DataFrame, keep: String*): DataFrame =
+    docs
+      .select((keep.map(col) :+ col("doc_id") :+ col("n_chars") :+
+        split(col("text"), " ").as("w")): _*)
       .withColumn("n_words", size(col("w")))
       .withColumn("n_uniq", size(array_distinct(col("w"))))
       .withColumn("n_stop", size(filter(col("w"), x => x.isInCollection(Stopwords))))
@@ -91,31 +95,74 @@ object TextAnalysis {
         lit(100.0) * (col("uniq_ratio") * lit(0.5) +
           (lit(1.0) / (lit(1.0) + col("stop_ratio"))) * lit(0.3) +
           least(lit(1.0), col("n_words") / lit(100.0)) * lit(0.2)))
+
+  private def q28(s: SparkSession, d: String): DataFrame =
+    withQuality(Tables.documents(s, d))
       .select("doc_id", "n_words", "n_uniq", "n_stop",
         "avg_word_len", "uniq_ratio", "stop_ratio", "quality")
-  }
 
-  private val o28 = {
+  /** DuckDB twin of [[withQuality]], shared by o28/o45 so the score
+    * definition cannot drift. `extra` injects pass-through columns
+    * (e.g. "lang,").
+    */
+  private def qualityCtes(extra: String): String = {
     val lst = Stopwords.map(w => s"'$w'").mkString(", ")
-    s"""WITH w AS (
-       |  SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
+    s"""w AS (
+       |  SELECT doc_id, $extra n_chars, string_split(text, ' ') AS w FROM documents),
        |m AS (
-       |  SELECT doc_id, n_chars,
+       |  SELECT doc_id, $extra n_chars,
        |         len(w) AS n_words,
        |         len(list_distinct(w)) AS n_uniq,
        |         len(list_filter(w, x -> x IN ($lst))) AS n_stop
        |  FROM w),
        |r AS (
-       |  SELECT doc_id, n_words, n_uniq, n_stop,
+       |  SELECT doc_id, $extra n_words, n_uniq, n_stop,
        |         n_chars / (1.0 + n_words) AS avg_word_len,
        |         n_uniq / (1.0 + n_words) AS uniq_ratio,
        |         n_stop / (1.0 + n_words) AS stop_ratio
-       |  FROM m)
-       |SELECT doc_id, n_words, n_uniq, n_stop, avg_word_len, uniq_ratio, stop_ratio,
-       |       100.0 * (uniq_ratio * 0.5 + (1.0 / (1.0 + stop_ratio)) * 0.3 +
-       |                least(1.0, n_words / 100.0) * 0.2) AS quality
-       |FROM r""".stripMargin
+       |  FROM m),
+       |q AS (
+       |  SELECT doc_id, $extra n_words, n_uniq, n_stop, avg_word_len,
+       |         uniq_ratio, stop_ratio,
+       |         100.0 * (uniq_ratio * 0.5 + (1.0 / (1.0 + stop_ratio)) * 0.3 +
+       |                  least(1.0, n_words / 100.0) * 0.2) AS quality
+       |  FROM r)""".stripMargin
   }
+
+  private val o28 =
+    s"""WITH ${qualityCtes("")}
+       |SELECT doc_id, n_words, n_uniq, n_stop, avg_word_len, uniq_ratio, stop_ratio, quality
+       |FROM q""".stripMargin
+
+  // ---- q45: per-language quality percentile filter -----------------------
+  // The corpus-curation step after scoring: keep the top half of each
+  // language by quality. percent_rank (with a doc_id tiebreak on
+  // bit-identical doubles) is exact and engine-portable. The window
+  // partitions by language — fine while per-language ranking is the
+  // semantic; the mega-language skew path at 100 TB is the documented
+  // aggregate alternative (approx-quantile threshold per language,
+  // broadcast back), which trades exact ranks for a bounded-size
+  // threshold table.
+  private val QualityKeepFrac = 0.5
+
+  private def q45(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    withQuality(Tables.documents(s, d), "lang")
+      .select(col("doc_id"), col("lang"), col("quality"))
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") <= QualityKeepFrac)
+  }
+
+  private val o45 =
+    s"""WITH ${qualityCtes("lang,")},
+       |ranked AS (
+       |  SELECT doc_id, lang, quality,
+       |         percent_rank() OVER (PARTITION BY lang
+       |           ORDER BY quality DESC, doc_id ASC) AS pr
+       |  FROM q)
+       |SELECT doc_id, lang, quality, pr FROM ranked WHERE pr <= $QualityKeepFrac""".stripMargin
 
   // ---- q29: token counting (whitespace + regex tokenizer) ----------------
   private val TokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
@@ -250,5 +297,6 @@ object TextAnalysis {
     GraftQuery("q29_token_count", "whitespace + regex token counts", q29, Some(o29)),
     GraftQuery("q30_fingerprint", "canonical-form document fingerprints", q30, Some(o30)),
     GraftQuery("q37_term_salience", "top-3 salient terms per doc (tf·N/df)", q37, Some(o37)),
-    GraftQuery("q38_bigram_stats", "corpus top-100 bigram counts", q38, Some(o38)))
+    GraftQuery("q38_bigram_stats", "corpus top-100 bigram counts", q38, Some(o38)),
+    GraftQuery("q45_quality_filter", "per-language quality percentile filter", q45, Some(o45)))
 }

@@ -166,9 +166,78 @@ object TrainingData {
       |SELECT t.doc_id, count(*) AS n_shared_grams
       |FROM t JOIN tr USING (gh) GROUP BY 1""".stripMargin
 
+  // ---- q46: sharded next-fit sequence packing ----------------------------
+  // Batch assembly for training: pack documents into fixed-capacity
+  // token budgets (context windows). Packing is inherently sequential,
+  // so it is SHARDED: docs hash to `PackShards` independent shards and
+  // each shard packs its docs in doc_id order with a next-fit rule
+  // (running + next > capacity → start a new pack; an oversized doc
+  // occupies its own pack). Shard count is the parallelism knob — at
+  // 100 TB use thousands of shards; within a shard the scan is a
+  // genuine per-partition sequential fold, the one place mapPartitions
+  // is the right tool (SURVEY §2 custom-operator ladder, option d).
+  // Deterministic: shard and order are functions of doc_id only.
+  private val PackShards = 8
+  private val PackCapacity = 64L // tokens per pack (fixture docs are short)
+
+  final case class PackedDoc(doc_id: Long, shard: Long, pack_id: Long, n_tokens: Long)
+
+  /** Next-fit fold over rows pre-sorted by (shard, doc_id). Top-level
+    * (not a closure) so the task serializes only the function ref.
+    */
+  private def packPartition(rows: Iterator[(Long, Long, Long)],
+      capacity: Long): Iterator[PackedDoc] = {
+    var shard = -1L
+    var running = 0L
+    var pack = 0L
+    rows.map { case (docId, sh, n) =>
+      if (sh != shard) { shard = sh; running = n; pack = 0L }
+      else if (running + n > capacity) { running = n; pack += 1L }
+      else running += n
+      PackedDoc(docId, sh, pack, n)
+    }
+  }
+
+  def packSequences(docs: DataFrame, shards: Int, capacity: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), (col("doc_id") % shards).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .as[(Long, Long, Long)]
+      .mapPartitions(packPartition(_, capacity))
+      .toDF()
+  }
+
+  private def q46(s: SparkSession, d: String): DataFrame =
+    packSequences(Tables.documents(s, d), PackShards, PackCapacity)
+
+  private val o46 =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, doc_id % $PackShards AS shard,
+       |         len(string_split(text, ' ')) AS n_tokens,
+       |         row_number() OVER (PARTITION BY doc_id % $PackShards
+       |           ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, shard, rn, n_tokens,
+       |         n_tokens AS running, CAST(0 AS BIGINT) AS pack_id
+       |  FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.doc_id, d.shard, d.rn, d.n_tokens,
+       |         CASE WHEN p.running + d.n_tokens > $PackCapacity
+       |              THEN d.n_tokens ELSE p.running + d.n_tokens END,
+       |         CASE WHEN p.running + d.n_tokens > $PackCapacity
+       |              THEN p.pack_id + 1 ELSE p.pack_id END
+       |  FROM p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1)
+       |SELECT doc_id, shard, pack_id, n_tokens FROM p""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q40_train_split", "deterministic hash train/val/test split stats", q40, Some(o40)),
     GraftQuery("q41_repetition", "repeated-3-gram fraction quality signal", q41, Some(o41)),
     GraftQuery("q42_contamination", "cross-source shared long-n-gram counts", q42, Some(o42)),
-    GraftQuery("q43_decontaminate", "test docs sharing long n-grams with train", q43, Some(o43)))
+    GraftQuery("q43_decontaminate", "test docs sharing long n-grams with train", q43, Some(o43)),
+    GraftQuery("q46_pack_sequences", "sharded next-fit token packing", q46, Some(o46)))
 }

@@ -89,6 +89,45 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "decontamination must fold per-gram, never join")
   }
 
+  test("q45: keeps the top half of each language by quality") {
+    val dir = java.nio.file.Files.createTempDirectory("qf").toString
+    // four docs per language with strictly different uniqueness ratios →
+    // strictly ordered qualities; percent_rank <= 0.5 keeps two per lang
+    def doc(i: Long, lang: String, distinct: Int) = {
+      val words = (0 until 20).map(j => s"w${j % distinct}").mkString(" ")
+      (i, words, lang)
+    }
+    Seq(doc(0, "en", 20), doc(1, "en", 10), doc(2, "en", 5), doc(3, "en", 2),
+      doc(4, "de", 20), doc(5, "de", 10), doc(6, "de", 5), doc(7, "de", 2))
+      .toDF("doc_id", "text", "lang")
+      .select(col("doc_id"), col("text"), col("lang"), lit("s").as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = Registry.byName("q45_quality_filter").run(spark, dir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(0L, 1L, 4L, 5L)) // most-distinct docs win per lang
+  }
+
+  test("q46: next-fit packing respects capacity, shards, and oversized docs") {
+    import graft.operators.TrainingData
+    def words(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    // shard 0 (ids ≡ 0 mod 8): 30+30 fit one 64-pack; the third 30
+    // overflows to pack 1; the 70-word doc exceeds capacity alone and
+    // takes its own pack. id 1 lands in shard 1, pack 0.
+    val docs = Seq(
+      (0L, words(30)), (8L, words(30)), (16L, words(30)), (24L, words(70)),
+      (1L, words(10)))
+      .toDF("doc_id", "text")
+    val got = TrainingData.packSequences(docs, shards = 8, capacity = 64L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("shard"), r.getAs[Long]("pack_id"), r.getAs[Long]("n_tokens"))).toMap
+    assert(got(0L) == ((0L, 0L, 30L)))
+    assert(got(8L) == ((0L, 0L, 30L)))
+    assert(got(16L) == ((0L, 1L, 30L)))
+    assert(got(24L) == ((0L, 2L, 70L))) // oversized: own pack
+    assert(got(1L) == ((1L, 0L, 10L)))
+  }
+
   test("q42 plans one documents scan and no gram-level self-join") {
     val df = Registry.byName("q42_contamination").run(spark, TestSpark.sf0001)
     val p = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
