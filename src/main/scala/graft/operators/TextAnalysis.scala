@@ -145,15 +145,22 @@ object TextAnalysis {
   // threshold table.
   private val QualityKeepFrac = 0.5
 
-  private def q45(s: SparkSession, d: String): DataFrame = {
+  /** Top `keepFrac` of each language by quality, over any frame carrying
+    * `doc_id`, `text`, `lang`, `n_chars` (the q45 kernel, reusable by
+    * pipeline composition).
+    */
+  def qualityFilter(docs: DataFrame, keepFrac: Double): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"))
       .orderBy(col("quality").desc, col("doc_id").asc)
-    withQuality(Tables.documents(s, d), "lang")
+    withQuality(docs, "lang")
       .select(col("doc_id"), col("lang"), col("quality"))
       .withColumn("pr", percent_rank().over(w))
-      .filter(col("pr") <= QualityKeepFrac)
+      .filter(col("pr") <= keepFrac)
   }
+
+  private def q45(s: SparkSession, d: String): DataFrame =
+    qualityFilter(Tables.documents(s, d), QualityKeepFrac)
 
   private val o45 =
     s"""WITH ${qualityCtes("lang,")},

@@ -27,10 +27,11 @@ object TrainingData {
   // 256 buckets: train < 'cd' (205/256 ≈ 80.1%), val < 'e6' (+25/256 ≈
   // 9.8%), test = rest (26/256 ≈ 10.2%). String-range comparison keeps
   // the oracle bit-identical (no hex→int parsing differences).
-  private def splitCol: org.apache.spark.sql.Column = {
+  def splitColumn: org.apache.spark.sql.Column = {
     val h2 = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
     when(h2 < "cd", "train").when(h2 < "e6", "val").otherwise("test")
   }
+  private def splitCol: org.apache.spark.sql.Column = splitColumn
 
   private val splitSql =
     """CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
@@ -139,8 +140,12 @@ object TrainingData {
   // test doc. No train-vs-test self-join: referencing the gram frame
   // twice would re-plan the whole explode subtree per side (two scans),
   // and a gram-level join could not be capped the same way.
-  private def q43(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  /** Test docs sharing a long n-gram with any train doc (the q43 kernel
+    * over any frame carrying `doc_id`, `text`) — returns
+    * `(doc_id, n_shared_grams)`.
+    */
+  def contaminatedTestDocs(docs: DataFrame): DataFrame =
+    docs
       .withColumn("split", splitCol)
       .select(col("doc_id"), col("split"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), col("split"), explode(expr(gramHashExpr)).as("gh"))
@@ -152,6 +157,9 @@ object TrainingData {
       .select(explode(col("test_docs")).as("doc_id"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_grams"))
+
+  private def q43(s: SparkSession, d: String): DataFrame =
+    contaminatedTestDocs(Tables.documents(s, d))
 
   private val o43 =
     s"""WITH s AS (

@@ -128,6 +128,29 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got(1L) == ((1L, 0L, 10L)))
   }
 
+  test("curation pipeline: stages compose, counts are consistent, output readable") {
+    val out = java.nio.file.Files.createTempDirectory("curateout").toString
+    val c = graft.tools.Curate.run(spark, TestSpark.sf0001, out)
+    assert(c.input == 500) // sf0.001 documents
+    assert(c.afterDedup <= c.input && c.afterDedup > 0)
+    // percentile filter keeps ~half (per-language rounding)
+    assert(c.afterQuality < c.afterDedup)
+    assert(c.afterQuality >= c.afterDedup / 4)
+    assert(c.train + c.val_ + c.testClean + c.testDropped == c.afterQuality)
+    assert(c.train > c.val_ + c.testClean) // 80/10/10 shape survives
+    assert(c.trainPacks > 0 && c.trainPacks <= c.train)
+    // every written stage is a readable parquet with the expected rows
+    assert(spark.read.parquet(s"$out/clean").count() ==
+      c.train + c.val_ + c.testClean)
+    val packed = spark.read.parquet(s"$out/train_packed")
+    assert(packed.count() == c.train)
+    // pack capacity respected except for oversized single docs
+    val over = packed.groupBy("shard", "pack_id")
+      .agg(sum("n_tokens").as("tot"), count(lit(1)).as("n"))
+      .filter(col("tot") > 512 && col("n") > 1)
+    assert(over.count() == 0)
+  }
+
   test("q42 plans one documents scan and no gram-level self-join") {
     val df = Registry.byName("q42_contamination").run(spark, TestSpark.sf0001)
     val p = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
