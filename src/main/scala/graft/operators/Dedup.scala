@@ -272,13 +272,17 @@ object Dedup {
     while (!converged && round < MaxLabelRounds) {
       val viaNeighbors = edges.join(labels, edges("src") === labels("doc_id"))
         .select(edges("dst").as("doc_id"), labels("label"))
-      val updated = labels.union(viaNeighbors)
-        .groupBy("doc_id").agg(min(col("label")).as("label"))
+      // the self rows carry their current label through the aggregation
+      // (`old`), so convergence is a filter-count over the SAME
+      // checkpointed frame — no per-round compare join
+      val updated = labels.withColumn("self", lit(1))
+        .union(viaNeighbors.withColumn("self", lit(0)))
+        .groupBy("doc_id")
+        .agg(min(col("label")).as("label"),
+          max(when(col("self") === 1, col("label"))).as("old"))
         .localCheckpoint()
-      val changes = labels.as("o").join(updated.as("n"), "doc_id")
-        .filter(col("o.label") =!= col("n.label")).count()
-      labels = updated
-      converged = changes == 0
+      converged = updated.filter(col("label") =!= col("old")).count() == 0
+      labels = updated.select(col("doc_id"), col("label"))
       round += 1
     }
     labels.select(col("doc_id"), col("label").as("cluster_id"))
