@@ -57,11 +57,14 @@ object TrainingData {
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
 
+  // DuckDB types sum(BIGINT) as HUGEINT (int128) — cast back to BIGINT or
+  // the driver's type-aware hash mismatches Spark's LongType (q21 precedent).
   private val o40 =
     s"""WITH s AS (
       |  SELECT lang, n_chars, $splitSql AS split
       |  FROM documents)
-      |SELECT split, lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+      |SELECT split, lang, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM s GROUP BY 1, 2""".stripMargin
 
   // ---- q41: repeated-3-gram fraction (quality signal) --------------------

@@ -5,11 +5,15 @@ Usage: check_oracle.py <sfDir> <verifyOutDir>
 
 Reads each <verifyOutDir>/<name>/ parquet (Spark result), runs the
 matching oracle_sql.json entry in DuckDB over the sfDir tables, and
-compares: row count, column names, and a hash of the sorted rows
-(values normalized: floats kept exact, None normalized).
+compares: row count, column names, per-column physical types (via each
+side's Arrow export — this is what catches DuckDB typing sum(BIGINT) as
+HUGEINT while Spark emits int64; the driver's hasher distinguishes
+those), and a hash of the sorted rows (values normalized: floats kept
+exact, None normalized).
 """
 import sys, os, json, hashlib
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pyarrow.dataset as ds
 
@@ -27,6 +31,47 @@ def norm(v):
     if isinstance(v, int):
         return "i:%d" % v
     return "s:%s" % str(v)
+
+
+def canon_type(t):
+    """Canonical structural name for an Arrow type: ignore nullability and
+    nested field names (Spark writes list<element: x>, DuckDB list<l: x>),
+    collapse string width variants AND plain-integer widths (the driver
+    hash-passed int32-vs-int64 rank columns in r5), but KEEP int vs
+    decimal distinct — DuckDB exports HUGEINT as decimal128(38,0), and
+    that is exactly the q40 class of bug the driver DOES catch."""
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{canon_type(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    if pa.types.is_map(t):
+        return f"map<{canon_type(t.key_type)},{canon_type(t.item_type)}>"
+    if pa.types.is_timestamp(t):
+        return "timestamp"  # unit differences are not the driver's concern
+    return str(t)
+
+
+def type_mismatches(s_schema, d_schema):
+    """Column-name-matched (case-insensitive) canonical-type diffs."""
+    d_by_name = {f.name.lower(): f.type for f in d_schema}
+    diffs = []
+    for f in s_schema:
+        dt = d_by_name.get(f.name.lower())
+        if dt is None:
+            continue  # schema-name check handles missing columns
+        sc, dc = canon_type(f.type), canon_type(dt)
+        if sc != dc:
+            diffs.append(f"{f.name}: spark={sc} duck={dc}")
+    return diffs
 
 
 def table_hash(cols, rows):
@@ -64,6 +109,7 @@ def main(sf_dir, out_dir):
         try:
             rel = con.sql(sql)
             d_cols = [c.lower() for c in rel.columns]
+            dt_table = con.sql(sql).arrow()
             d_rows = rel.fetchall()
         except Exception as e:
             results[name] = f"ORACLE_ERROR: {type(e).__name__}: {e}"
@@ -71,6 +117,11 @@ def main(sf_dir, out_dir):
             continue
         if sorted(s_cols) != sorted(d_cols):
             results[name] = f"SCHEMA_MISMATCH spark={sorted(s_cols)} duck={sorted(d_cols)}"
+            print(f"FAIL {name}: {results[name]}")
+            continue
+        tdiffs = type_mismatches(st.schema, dt_table.schema)
+        if tdiffs:
+            results[name] = f"TYPE_MISMATCH {'; '.join(tdiffs)}"
             print(f"FAIL {name}: {results[name]}")
             continue
         if len(s_rows) != len(d_rows):
