@@ -258,15 +258,30 @@ object Dedup {
   // count per round — labels never collect.
   private val MaxLabelRounds = 20
 
-  /** Cluster ids (= min doc_id reachable) for every doc in `pairs`. */
-  def dupClusters(pairs: DataFrame): DataFrame = {
+  /** Cluster ids (= min doc_id reachable) for every doc in `pairs`.
+    *
+    * `checkpointDir`: lineage-truncation durability. `localCheckpoint`
+    * (the default, used by tests and the q44 oracle query) is
+    * executor-memory-backed — an executor loss mid-iteration aborts the
+    * job because the truncated lineage cannot recompute. Cluster runs
+    * pass a durable dir (HDFS/object store) and get reliable
+    * `checkpoint`, which survives executor loss at the cost of a write
+    * per round. The per-round plan is identical either way (flat —
+    * lineage is cut at each round boundary).
+    */
+  def dupClusters(pairs: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val snap: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val edges = fwd
-      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-      .localCheckpoint()
+    val edges = snap(fwd
+      .union(fwd.select(col("dst").as("src"), col("src").as("dst"))))
+    var labels = snap(edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")))
     var converged = false
     var round = 0
     while (!converged && round < MaxLabelRounds) {
@@ -275,12 +290,11 @@ object Dedup {
       // the self rows carry their current label through the aggregation
       // (`old`), so convergence is a filter-count over the SAME
       // checkpointed frame — no per-round compare join
-      val updated = labels.withColumn("self", lit(1))
+      val updated = snap(labels.withColumn("self", lit(1))
         .union(viaNeighbors.withColumn("self", lit(0)))
         .groupBy("doc_id")
         .agg(min(col("label")).as("label"),
-          max(when(col("self") === 1, col("label"))).as("old"))
-        .localCheckpoint()
+          max(when(col("self") === 1, col("label"))).as("old")))
       converged = updated.filter(col("label") =!= col("old")).count() == 0
       labels = updated.select(col("doc_id"), col("label"))
       round += 1

@@ -159,6 +159,34 @@ object TextAnalysis {
       .filter(col("pr") <= keepFrac)
   }
 
+  /** Scale-safe variant of [[qualityFilter]] — the mega-language skew path.
+    * `percent_rank`'s window sorts each language on ONE partition, so a
+    * mega-language (English is ~half of any web corpus) becomes a straggler
+    * at 100 TB. This form replaces the window with a per-language
+    * `approx_percentile` THRESHOLD — a map-side-combining sketch aggregate,
+    * so nothing larger than the ≤|langs|-row threshold table ever reaches a
+    * single reducer — broadcast-joined back onto the scored docs. The
+    * force-broadcast is safe here because the build side is one row per
+    * LANGUAGE (hundreds at web scale), never near the 8 GB ceiling.
+    * Boundary docs within sketch error of the threshold may differ from the
+    * exact window (agreement is CI-asserted ≥95% at fixture scale); the
+    * exact form remains the q45 oracle. Costs a second pass over the scored
+    * projection (threshold branch + probe branch — Spark does not share
+    * scans across DataFrame branches), the same trade q37 makes.
+    */
+  def qualityFilterApprox(docs: DataFrame, keepFrac: Double,
+      accuracy: Int = 10000): DataFrame = {
+    val scored = withQuality(docs, "lang")
+      .select(col("doc_id"), col("lang"), col("quality"))
+    val thresholds = scored
+      .groupBy(col("lang"))
+      .agg(expr(s"approx_percentile(quality, ${1.0 - keepFrac}, $accuracy)")
+        .as("q_min"))
+    scored.join(broadcast(thresholds), "lang")
+      .filter(col("quality") >= col("q_min"))
+      .select(col("doc_id"), col("lang"), col("quality"))
+  }
+
   private def q45(s: SparkSession, d: String): DataFrame =
     qualityFilter(Tables.documents(s, d), QualityKeepFrac)
 

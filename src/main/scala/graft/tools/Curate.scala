@@ -20,9 +20,18 @@ import org.apache.spark.sql.functions._
   * Stage order matters and is deliberate: dedup BEFORE the quality
   * percentile (duplicate families would otherwise vote themselves past
   * the percentile), decontamination AFTER the split exists, packing
-  * only over the final train set. Each stage writes parquet so any
-  * stage is restartable/inspectable — the same reason the reference
-  * staged through files, minus the per-message hop.
+  * only over the final train set. Each stage writes parquet and the
+  * NEXT stage reads that parquet back — any stage is restartable/
+  * inspectable (the same reason the reference staged through files,
+  * minus the per-message hop), and no stage's lineage is ever
+  * recomputed (counts come from the written files, where parquet
+  * answers from footer metadata).
+  *
+  * The quality gate uses [[TextAnalysis.qualityFilterApprox]] — the
+  * threshold-broadcast form — as the production default: the exact
+  * percent_rank window would sort each language on one partition, and
+  * a mega-language makes that a straggler at corpus scale (the exact
+  * form remains the q45 oracle).
   *
   * Usage: Curate <sfDir> [outDir]
   */
@@ -35,45 +44,52 @@ object Curate {
   def run(spark: SparkSession, sfDir: String, outDir: String): StageCounts = {
     val docs = Tables.documents(spark, sfDir)
 
+    // write a stage, then hand back the WRITTEN parquet: downstream
+    // stages and counts read the file, never the stage's lineage
+    def stage(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$outDir/$name")
+      spark.read.parquet(s"$outDir/$name")
+    }
+
     // 1. cluster near-dups over the capped LSH candidate pairs; a doc is
     // a duplicate iff its component label is some OTHER (smaller) doc
     val dupes = Dedup.dupClusters(Dedup.candidatePairs(spark, sfDir))
       .filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
-    val deduped = docs.join(dupes, Seq("doc_id"), "left_anti")
-    deduped.write.mode("overwrite").parquet(s"$outDir/deduped")
+    val deduped = stage(docs.join(dupes, Seq("doc_id"), "left_anti"), "deduped")
 
-    // 2. quality gate: top half per language among the survivors
-    val kept = TextAnalysis.qualityFilter(deduped, keepFrac = 0.5)
+    // 2. quality gate: top half per language among the survivors —
+    // threshold-broadcast form (no per-language sort partition)
+    val kept = TextAnalysis.qualityFilterApprox(deduped, keepFrac = 0.5)
       .select("doc_id")
     val curated = deduped.join(kept, Seq("doc_id"), "left_semi")
 
     // 3. split assignment (stable across runs: pure function of doc_id)
-    val splitDocs = curated.withColumn("split", TrainingData.splitColumn)
-    splitDocs.write.mode("overwrite").parquet(s"$outDir/splits")
+    val splitDocs = stage(
+      curated.withColumn("split", TrainingData.splitColumn), "splits")
 
     // 4. decontaminate: test docs sharing an 8-gram with train are out
     val contaminated = TrainingData.contaminatedTestDocs(splitDocs)
       .select("doc_id")
-    val clean = splitDocs.join(contaminated, Seq("doc_id"), "left_anti")
-    clean.write.mode("overwrite").parquet(s"$outDir/clean")
+    val clean = stage(
+      splitDocs.join(contaminated, Seq("doc_id"), "left_anti"), "clean")
 
     // 5. pack the train split into fixed token budgets
-    val packed = TrainingData.packSequences(
-      clean.filter(col("split") === "train"), shards = 8, capacity = 512L)
-    packed.write.mode("overwrite").parquet(s"$outDir/train_packed")
+    val packed = stage(TrainingData.packSequences(
+      clean.filter(col("split") === "train"), shards = 8, capacity = 512L),
+      "train_packed")
 
-    def n(df: DataFrame): Long = df.count()
+    // counts read the written parquet (footer metadata, no recompute)
     val bySplit = clean.groupBy("split").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     StageCounts(
-      input = n(docs),
-      afterDedup = n(deduped),
-      afterQuality = n(curated),
+      input = docs.count(),
+      afterDedup = deduped.count(),
+      afterQuality = splitDocs.count(),
       train = bySplit.getOrElse("train", 0L),
       val_ = bySplit.getOrElse("val", 0L),
       testClean = bySplit.getOrElse("test", 0L),
-      testDropped = n(splitDocs.filter(col("split") === "test")) -
+      testDropped = splitDocs.filter(col("split") === "test").count() -
         bySplit.getOrElse("test", 0L),
       trainPacks = packed.select("shard", "pack_id").distinct().count())
   }

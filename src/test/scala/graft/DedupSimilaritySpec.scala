@@ -172,6 +172,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("dup clustering with a reliable checkpoint dir converges identically") {
+    val dir = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(pairs, checkpointDir = Some(dir)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // the durable path actually wrote checkpoint data (that is the point:
+    // it survives executor loss where localCheckpoint cannot)
+    def files(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(files) else Seq(f)
+    assert(files(new java.io.File(dir)).nonEmpty, "no reliable checkpoint written")
+  }
+
   test("exact dedup groups identical content") {
     val d = docs(Seq((1L, "same text"), (2L, "same text"), (3L, "other text")))
     val dir = java.nio.file.Files.createTempDirectory("ex").toString

@@ -108,6 +108,34 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(kept == Set(0L, 1L, 4L, 5L)) // most-distinct docs win per lang
   }
 
+  test("qualityFilterApprox agrees >=95% with the exact window filter") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val exact = Registry.byName("q45_quality_filter")
+      .run(spark, "/root/testdata/sf0.01")
+      .select("doc_id").as[Long].collect().toSet
+    val approx = TextAnalysis.qualityFilterApprox(docs, keepFrac = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // disagreement is confined to quality ties within sketch error of the
+    // per-language threshold
+    val overlap = (exact intersect approx).size.toDouble
+    assert(overlap / exact.size >= 0.95,
+      s"agreement ${overlap / exact.size} (exact=${exact.size} approx=${approx.size})")
+    assert(approx.size.toDouble / exact.size >= 0.9 &&
+      approx.size.toDouble / exact.size <= 1.1, "kept-set size comparable")
+  }
+
+  test("qualityFilterApprox plans no window and broadcasts the thresholds") {
+    import graft.operators.TextAnalysis
+    val p = TextAnalysis.qualityFilterApprox(
+      Tables.documents(spark, TestSpark.sf0001), keepFrac = 0.5)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Window"),
+      "approx path must not sort a language on one partition")
+    assert(p.contains("BroadcastHashJoin"),
+      "threshold table must broadcast, not shuffle the corpus")
+  }
+
   test("q46: next-fit packing respects capacity, shards, and oversized docs") {
     import graft.operators.TrainingData
     def words(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
