@@ -8,14 +8,14 @@ import org.apache.spark.sql.functions._
   * payloads are opaque `binary` columns with a typed metadata struct;
   * decode / feature-extraction runs batched per partition.
   *
-  * Codec note: images have a REAL dependency-free codec — 24bpp BMP
-  * decode / nearest-neighbor resize / encode ([[ImageCodec]]), used by
-  * [[resizeImages]] whenever the payload sniffs as BMP — and audio has
-  * its twin, PCM16 RIFF/WAVE decode / resample / encode ([[AudioCodec]]),
-  * used by [[extractFeatures]] (real sample rate and frame count) and
-  * [[resampleAudio]] whenever the payload sniffs as WAV. Video decode
-  * remains a clearly-marked deterministic STUB ([[StubCodec.decode]])
-  * because no av codec libraries ship in this
+  * Codec note: all three modalities have REAL dependency-free codecs
+  * for their library-free flavors — 24bpp BMP decode / nearest-neighbor
+  * resize / encode ([[ImageCodec]]), PCM16 RIFF/WAVE decode / resample /
+  * encode ([[AudioCodec]]), and uncompressed 24bpp RIFF/AVI decode /
+  * frame-sample / encode ([[VideoCodec]]) — each engaged whenever the
+  * payload sniffs as that format. COMPRESSED video (H.264 etc.) remains
+  * a clearly-marked deterministic STUB ([[StubCodec.decode]]) because
+  * no av codec libraries ship in this
   * environment. Everything around both — the schema contract, the
   * Dataset[MediaRecord] → Dataset[MediaFeatures] signature, the
   * per-partition batching, the partition-count control — is the real
@@ -52,23 +52,32 @@ object Multimodal {
       // WAV-magic payload in an unsupported flavor (float, ADPCM, 8-bit,
       // truncated) must fall back to the stub, not fail the task — one
       // malformed file in a 100 TB batch cannot kill the job.
-      val real =
+      val real: Option[MediaFeatures] =
         if (r.media_type == "audio" && AudioCodec.isWav(r.content))
-          scala.util.Try(AudioCodec.decode(r.content)).toOption
+          scala.util.Try(AudioCodec.decode(r.content)).toOption.map(a =>
+            MediaFeatures(r.media_id, r.media_type, len,
+              sample_rate_hz = a.sampleRate, n_frames = a.nFrames,
+              frame_digest = f"$xor%02x"))
+        else if (r.media_type == "video" && VideoCodec.isAvi(r.content))
+          // header-true frame count and rate; digest = byte-xor of the
+          // middle frame (a sampled-keyframe fingerprint, not the
+          // container's — re-muxing the same frames keeps the digest)
+          scala.util.Try(VideoCodec.decode(r.content)).toOption.map { v =>
+            val mid = v.frames(v.nFrames / 2)
+            val fxor = mid.foldLeft(0)((a, b) => (a ^ b) & 0xff)
+            MediaFeatures(r.media_id, r.media_type, len,
+              sample_rate_hz = v.fps, n_frames = v.nFrames,
+              frame_digest = f"$fxor%02x")
+          }
         else None
-      real match {
-        case Some(a) =>
-          MediaFeatures(r.media_id, r.media_type, len,
-            sample_rate_hz = a.sampleRate, n_frames = a.nFrames,
-            frame_digest = f"$xor%02x")
-        case None =>
-          // ??? real video codec goes here — fake "frames" = 1KiB chunks,
-          // fake digest = hex of a rolling byte xor per frame.
-          val frames = math.max(1, len / 1024)
-          MediaFeatures(r.media_id, r.media_type, len,
-            sample_rate_hz = if (r.media_type == "audio") 16000 else 0,
-            n_frames = frames,
-            frame_digest = f"$xor%02x")
+      real.getOrElse {
+        // ??? real COMPRESSED video codec goes here — fake "frames" =
+        // 1KiB chunks, fake digest = hex of a rolling byte xor.
+        val frames = math.max(1, len / 1024)
+        MediaFeatures(r.media_id, r.media_type, len,
+          sample_rate_hz = if (r.media_type == "audio") 16000 else 0,
+          n_frames = frames,
+          frame_digest = f"$xor%02x")
       }
     }
 
@@ -87,10 +96,20 @@ object Multimodal {
       }
     }
 
-    /** ??? real frame sampler goes here — picks `k` evenly-spaced fake
-      * frames (1KiB chunks) from the payload.
+    /** Frame sampling: REAL for uncompressed AVI — `k` evenly-spaced
+      * decoded DIB frames ([[VideoCodec.sampleFrames]]) — and the
+      * declared stub (evenly-spaced 1KiB chunks) for everything else
+      * (??? real compressed-video sampler goes here).
       */
     def sampleFrames(r: MediaRecord, k: Int): Seq[Array[Byte]] = {
+      if (r.media_type == "video" && VideoCodec.isAvi(r.content)) {
+        val real = scala.util.Try(
+          VideoCodec.sampleFrames(VideoCodec.decode(r.content), k)).toOption
+        real match {
+          case Some(fs) => return fs
+          case None => () // malformed AVI: fall through to the stub
+        }
+      }
       val frames = math.max(1, r.content.length / 1024)
       val picks = (0 until math.min(k, frames)).map(i => i * frames / math.min(k, frames))
       picks.map { f =>

@@ -121,6 +121,58 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out(2L).content.length < 200)
   }
 
+  test("multimodal: real AVI codec decodes, samples frames, drives the video stage") {
+    import graft.operators.VideoCodec
+    // 5x3 @ 25fps, 10 frames; width 5 forces row padding (15 -> 16-byte
+    // stride). Frame f is a constant fill of (f*17+3) so every frame's
+    // digest differs and sampled-frame identity is provable.
+    val w = 5; val h = 3; val n = 10
+    val frameSize = VideoCodec.stride(w) * h
+    val frames = Vector.tabulate(n)(f => Array.fill[Byte](frameSize)((f * 17 + 3).toByte))
+    val clip = VideoCodec.Video(w, h, microSecPerFrame = 40000, frames)
+    val bytes = VideoCodec.encode(clip)
+    assert(VideoCodec.isAvi(bytes))
+    // decode is the exact inverse of encode
+    val back = VideoCodec.decode(bytes)
+    assert(back.width == w && back.height == h && back.nFrames == n)
+    assert(back.fps == 25)
+    for (f <- 0 until n) assert(back.frames(f).toSeq == frames(f).toSeq)
+    // evenly-spaced sampling: 3 of 10 picks frames 0, 3, 6
+    val picked = VideoCodec.sampleFrames(back, 3)
+    assert(picked.map(_.head) == Vector(frames(0).head, frames(3).head, frames(6).head))
+    // through the Spark stage: header-true frame count and rate, digest
+    // is the middle frame's byte-xor (frame 5 = constant 0x58, xor of an
+    // even-length constant frame = 0); stub would report len/1024 frames
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, bytes, "video", "s"),
+      Multimodal.MediaRecord(2L, Array.fill[Byte](3000)(7), "video", "s"))
+    val feats = Multimodal.extractFeatures(spark.createDataset(recs))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).n_frames == n && feats(1L).sample_rate_hz == 25)
+    val midXor = frames(n / 2).foldLeft(0)((a, b) => (a ^ b) & 0xff)
+    assert(feats(1L).frame_digest == f"$midXor%02x")
+    assert(feats(2L).n_frames == 2) // non-AVI video bytes: stub path
+    // real frame sampling through the record-level API
+    val sampled = Multimodal.StubCodec.sampleFrames(
+      Multimodal.MediaRecord(1L, bytes, "video", "s"), 2)
+    assert(sampled.size == 2 && sampled.forall(_.length == frameSize))
+    // corrupt chunk size near Int.MaxValue must fail cleanly, and the
+    // Spark stage must fall back to the stub instead of failing the task
+    val corrupt = bytes.clone()
+    corrupt(16) = 0xf5.toByte; corrupt(17) = 0xff.toByte
+    corrupt(18) = 0xff.toByte; corrupt(19) = 0x7f.toByte // avih size 0x7ffffff5
+    val err = intercept[IllegalArgumentException] { VideoCodec.decode(corrupt) }
+    assert(err.getMessage.contains("truncated"))
+    val fb = Multimodal.extractFeatures(spark.createDataset(Seq(
+        Multimodal.MediaRecord(9L, corrupt, "video", "s"))))
+      .collect().head
+    assert(fb.n_frames == math.max(1, corrupt.length / 1024)) // stub, not a crash
+    // compressed fourcc (non-BI_RGB strf) is out of scope by design
+    val compressed = bytes.clone()
+    compressed(100 + 8 + 56 + 8 + 16) = 1 // strf biCompression: BI_RLE8
+    intercept[IllegalArgumentException] { VideoCodec.decode(compressed) }
+  }
+
   test("multimodal: real WAV codec decodes, resamples, and drives the audio stage") {
     import graft.operators.AudioCodec
     // mono 22050 Hz ramp — a rate the stub would never report (its
