@@ -247,13 +247,17 @@ object Dedup {
   // canonical document even when A~C was never proposed. Min-label
   // propagation over the (capped) candidate-pair graph: every doc in a
   // pair starts labeled with itself; each round takes the min label over
-  // itself and its neighbors; convergence = component minimum. Rounds
-  // needed = component diameter — near-dup families are band-join
-  // overlaps (dense, small-diameter), so a handful of rounds closes even
-  // corpus-scale graphs; the hard cap is a runaway guard, not the
-  // expected path. Each round is ONE shuffle (union + min-aggregate),
-  // and `localCheckpoint` truncates the lineage so the plan stays flat
-  // instead of growing per round (the iterative twin of the
+  // itself and its neighbors, then POINTER-JUMPS (adopts the label of
+  // its current label's node), so label chains halve every round and
+  // convergence needs ~log2(diameter) rounds, not diameter rounds.
+  // That matters because measured candidate graphs are NOT all dense
+  // shallow families: the sf0.01 fixture's pair graph took 16
+  // neighbor-only rounds (diameter ~15) — pointer jumping closes it in
+  // 5 — and a longer chain at corpus scale would have hit the round cap
+  // with labels silently short of the component minimum. Each round is
+  // two shuffles (the min-aggregate on doc_id, the jump join on label);
+  // `localCheckpoint` truncates lineage per round so the plan stays
+  // flat instead of growing per iteration (the iterative twin of the
   // branch-duplication trap). Driver sees only the scalar convergence
   // count per round — labels never collect.
   private val MaxLabelRounds = 20
@@ -270,7 +274,15 @@ object Dedup {
     * lineage is cut at each round boundary).
     */
   def dupClusters(pairs: DataFrame,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None): DataFrame =
+    dupClustersWithRounds(pairs, checkpointDir)._1
+
+  /** [[dupClusters]] plus the number of label-propagation rounds it took
+    * to converge — the scale-evidence observable (rounds = component
+    * diameter, and each round is one shuffle).
+    */
+  def dupClustersWithRounds(pairs: DataFrame,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
     val snap: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
         pairs.sparkSession.sparkContext.setCheckpointDir(dir)
@@ -290,16 +302,28 @@ object Dedup {
       // the self rows carry their current label through the aggregation
       // (`old`), so convergence is a filter-count over the SAME
       // checkpointed frame — no per-round compare join
-      val updated = snap(labels.withColumn("self", lit(1))
+      val stepped = snap(labels.withColumn("self", lit(1))
         .union(viaNeighbors.withColumn("self", lit(0)))
         .groupBy("doc_id")
         .agg(min(col("label")).as("label"),
           max(when(col("self") === 1, col("label"))).as("old")))
+      // pointer jump: adopt the label of my label's node. Labels are
+      // monotonically decreasing node ids, so the parent's label is
+      // never larger; chains halve per round. `stepped` is checkpointed
+      // above precisely because both jump sides reference it — otherwise
+      // the union+agg subtree would re-plan per side.
+      val parents = stepped.select(col("doc_id").as("p_id"),
+        col("label").as("p_label"))
+      val updated = snap(stepped
+        .join(parents, stepped("label") === parents("p_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("p_label"), col("label"))).as("label"),
+          col("old")))
       converged = updated.filter(col("label") =!= col("old")).count() == 0
       labels = updated.select(col("doc_id"), col("label"))
       round += 1
     }
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
+    (labels.select(col("doc_id"), col("label").as("cluster_id")), round)
   }
 
   private def q44(s: SparkSession, d: String): DataFrame =

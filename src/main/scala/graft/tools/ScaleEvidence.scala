@@ -1,0 +1,93 @@
+package graft.tools
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity, TrainingData}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale evidence for the round's heavy extension queries — the numbers
+  * SCALE.md cites for "would this hold one order of magnitude up?":
+  *
+  *  - q44 clustering: wall time AND rounds-to-converge (rounds =
+  *    near-dup component diameter; each round is one shuffle, so this
+  *    is the iteration-depth risk measured, not guessed);
+  *  - q42/q43 gram volume: exploded 8-gram rows = the one shuffle's
+  *    input cardinality, the quantity that grows with total corpus
+  *    words;
+  *  - production IVF: k-means fit (Lloyd passes), query wall time, and
+  *    recall of both centroid choices against the brute-force top-k —
+  *    the evidence that the data-adaptive path earns its fit cost.
+  *
+  * Usage: ScaleEvidence <sfDir> [k=16] [iters=2] [seed=7]
+  * Prints one JSON line.
+  */
+object ScaleEvidence {
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ScaleEvidence <sfDir> [k] [iters] [seed]")
+    val sfDir = args(0)
+    val k = if (args.length > 1) args(1).toInt else 16
+    val iters = if (args.length > 2) args(2).toInt else 2
+    val seed = if (args.length > 3) args(3).toLong else 7L
+    val spark = graft.GraftSession.local("graft-scale-evidence",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+
+    // ---- q44: clustering wall + rounds ----------------------------------
+    val (cluster, q44Sec) = timed {
+      val (labels, rounds) =
+        Dedup.dupClustersWithRounds(Dedup.candidatePairs(spark, sfDir))
+      (labels.count(), rounds)
+    }
+    val (q44Rows, q44Rounds) = cluster
+
+    // ---- q42/q43: gram shuffle volume -----------------------------------
+    // exploded 8-gram rows per doc = max(0, words - 7); summing it costs
+    // one scan and equals the rows entering the gram-hash shuffle
+    val gramVolume = Tables.documents(spark, sfDir)
+      .select(greatest(lit(0L),
+        (size(split(col("text"), " ")) - 7).cast("long")).as("g"))
+      .agg(sum(col("g"))).head().getLong(0)
+    val (q42Rows, q42Sec) = timed(
+      graft.Registry.byName("q42_contamination").run(spark, sfDir).count())
+    val (q43Rows, q43Sec) = timed(
+      graft.Registry.byName("q43_decontaminate").run(spark, sfDir).count())
+
+    // ---- IVF: demo vs production centroids ------------------------------
+    val emb = Tables.embeddings(spark, sfDir)
+    val queryPred = col("vec_id") % 100 === 0
+    val topK = 5
+    def recallOf(approx: DataFrame, exact: DataFrame): Double = {
+      val hits = exact.join(approx, Seq("qid", "nid"), "left_semi").count()
+      hits.toDouble / exact.count()
+    }
+    val exact = Similarity.cosineTopK(emb, queryPred, topK)
+      .select("qid", "nid").localCheckpoint()
+    val (_, demoSec) = timed(
+      Similarity.ivfTopK(emb, queryPred, topK).count())
+    val demoRecall = recallOf(
+      Similarity.ivfTopK(emb, queryPred, topK).select("qid", "nid"), exact)
+    val (cents, fitSec) = timed {
+      val c = Similarity.kmeansCentroids(emb, k, iters, seed)
+      c.count(); c
+    }
+    val (_, prodSec) = timed(
+      Similarity.ivfTopK(emb, queryPred, topK, centroids = Some(cents)).count())
+    val prodRecall = recallOf(
+      Similarity.ivfTopK(emb, queryPred, topK, centroids = Some(cents))
+        .select("qid", "nid"), exact)
+
+    println(s"""{"sf":"$sfDir","q44_rows":$q44Rows,"q44_rounds":$q44Rounds,""" +
+      s""""q44_sec":$q44Sec,"gram_rows":$gramVolume,"q42_rows":$q42Rows,""" +
+      s""""q42_sec":$q42Sec,"q43_rows":$q43Rows,"q43_sec":$q43Sec,""" +
+      s""""ivf_demo_sec":$demoSec,"ivf_demo_recall":$demoRecall,""" +
+      s""""kmeans_fit_sec":$fitSec,"ivf_kmeans_sec":$prodSec,""" +
+      s""""ivf_kmeans_recall":$prodRecall,"k":$k,"iters":$iters}""")
+    spark.stop()
+  }
+}
