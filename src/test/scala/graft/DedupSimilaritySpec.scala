@@ -172,6 +172,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("dup clustering frees superseded snapshot blocks") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    Dedup.dupClusters(pairs).collect()
+    // every per-round snapshot except the final labels frame must be
+    // unpersisted — leaked blocks tax whatever runs next in the JVM
+    // (measured 2-4x inflation on co-resident sf1 bench queries)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1, s"leaked ${after - before} snapshot RDDs")
+  }
+
   test("dup clustering with a reliable checkpoint dir converges identically") {
     val dir = java.nio.file.Files.createTempDirectory("ckpt").toString
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
