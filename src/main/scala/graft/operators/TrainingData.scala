@@ -245,10 +245,104 @@ object TrainingData {
        |  FROM p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1)
        |SELECT doc_id, shard, pack_id, n_tokens FROM p""".stripMargin
 
+  // ---- q47: deterministic stratified sampling ----------------------------
+  // Mixture re-balancing: downsample dominant languages by fixed rates
+  // (en keeps 64/256 ≈ 25%, de 128/256 = 50%, the rest everything).
+  // The sampling hash is md5 over a SALTED doc_id ('smp' prefix) — the
+  // split column hashes the bare doc_id, and sharing the hash would
+  // correlate sampling with split assignment (a sampled corpus would
+  // drain one split first). Scan-shaped: the keep decision is a pure
+  // row-local expression, reproducible across runs and engines.
+  private val SampleThresholds: Seq[(String, String)] =
+    Seq("en" -> "40", "de" -> "80") // 2-hex-char bucket upper bounds
+
+  /** Deterministic per-stratum hash sample: keep a doc iff its salted
+    * md5 bucket falls below the stratum's threshold (strata absent from
+    * `thresholds` are kept whole).
+    */
+  def stratifiedSample(docs: DataFrame,
+      thresholds: Seq[(String, String)]): DataFrame = {
+    val h2 = substring(
+      md5(concat(lit("smp"), col("doc_id").cast("string")).cast("binary")), 1, 2)
+    val keep = thresholds.foldRight(lit(true): org.apache.spark.sql.Column) {
+      case ((lang, thresh), elseCol) =>
+        when(col("lang") === lang, h2 < thresh).otherwise(elseCol)
+    }
+    docs.filter(keep)
+  }
+
+  private def q47(s: SparkSession, d: String): DataFrame =
+    stratifiedSample(Tables.documents(s, d), SampleThresholds)
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  private val o47 = {
+    val cases = SampleThresholds.map { case (l, t) =>
+      s"WHEN lang = '$l' THEN substr(md5('smp' || CAST(doc_id AS VARCHAR)), 1, 2) < '$t'"
+    }.mkString("\n      |          ")
+    s"""SELECT doc_id, lang, source FROM documents
+      |WHERE CASE $cases
+      |          ELSE TRUE END""".stripMargin
+  }
+
+  // ---- q48: source-mixture token-budget equalization ---------------------
+  // Curriculum mixing: every source should contribute the SAME token
+  // budget, so each source's keep-rate is minTokens/itsTokens and the
+  // keep decision is the same salted-hash bucket test with a
+  // runtime-computed threshold. Two documents scans (totals + filter —
+  // Spark does not share scans across branches, the q37 trade), one
+  // tiny aggregate, and the ≤|sources|-row rate table broadcast back;
+  // nothing shuffles but the final per-source stats aggregate. The
+  // smallest source keeps everything (tot = minTot guards the rate-1.0
+  // boundary, where a 3-hex-char '100' threshold would compare wrong
+  // against 2-char buckets).
+  def equalizeSourceTokens(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val totals = toks.groupBy(col("source")).agg(sum(col("n_tok")).as("tot"))
+    // global min as a window over the ≤|sources|-row aggregate — a
+    // separate min() branch would re-plan the totals subtree and cost a
+    // third documents scan (the branch-duplication trap); one partition
+    // holding |sources| rows is exactly what a window is safe for
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val rates = totals
+      .withColumn("min_tot", min(col("tot")).over(w))
+      .withColumn("thresh", format_string("%02x",
+        floor(col("min_tot").cast("double") / col("tot").cast("double") * 256)
+          .cast("int")))
+    val h2 = substring(
+      md5(concat(lit("smp"), col("doc_id").cast("string")).cast("binary")), 1, 2)
+    toks.join(broadcast(rates), "source")
+      .filter(col("tot") === col("min_tot") || h2 < col("thresh"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("tok_kept"))
+  }
+
+  private def q48(s: SparkSession, d: String): DataFrame =
+    equalizeSourceTokens(Tables.documents(s, d))
+
+  private val o48 =
+    """WITH toks AS (
+      |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |totals AS (
+      |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS tot FROM toks GROUP BY source),
+      |m AS (SELECT CAST(min(tot) AS BIGINT) AS min_tot FROM totals),
+      |rates AS (
+      |  SELECT source, tot, min_tot,
+      |         printf('%02x', CAST(floor(CAST(min_tot AS DOUBLE) / CAST(tot AS DOUBLE) * 256) AS INT)) AS thresh
+      |  FROM totals CROSS JOIN m)
+      |SELECT t.source, count(*) AS n_kept, CAST(sum(t.n_tok) AS BIGINT) AS tok_kept
+      |FROM toks t JOIN rates r USING (source)
+      |WHERE r.tot = r.min_tot
+      |   OR substr(md5('smp' || CAST(t.doc_id AS VARCHAR)), 1, 2) < r.thresh
+      |GROUP BY t.source""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q40_train_split", "deterministic hash train/val/test split stats", q40, Some(o40)),
     GraftQuery("q41_repetition", "repeated-3-gram fraction quality signal", q41, Some(o41)),
     GraftQuery("q42_contamination", "cross-source shared long-n-gram counts", q42, Some(o42)),
     GraftQuery("q43_decontaminate", "test docs sharing long n-grams with train", q43, Some(o43)),
-    GraftQuery("q46_pack_sequences", "sharded next-fit token packing", q46, Some(o46)))
+    GraftQuery("q46_pack_sequences", "sharded next-fit token packing", q46, Some(o46)),
+    GraftQuery("q47_stratified_sample", "deterministic per-language hash sampling", q47, Some(o47)),
+    GraftQuery("q48_source_mixture", "per-source token-budget equalization", q48, Some(o48)))
 }

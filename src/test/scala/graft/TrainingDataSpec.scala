@@ -179,6 +179,62 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(over.count() == 0)
   }
 
+  test("q47: sampling is deterministic, per-stratum, and split-independent") {
+    import graft.operators.TrainingData
+    val dir = java.nio.file.Files.createTempDirectory("strat").toString
+    (0L until 300L).map(i =>
+        (i, s"words for doc $i", if (i < 128) "en" else if (i < 256) "de" else "fr"))
+      .toDF("doc_id", "text", "lang")
+      .select(col("doc_id"), col("text"), col("lang"), lit("s").as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def kept() = Registry.byName("q47_stratified_sample").run(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang"))
+    val k1 = kept()
+    assert(kept().toSet == k1.toSet) // rerun identical: hash, not RNG
+    val byLang = k1.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byLang("fr") == 44) // unthresholded stratum kept whole
+    // en keeps ~64/256 of 128, de ~128/256 of 128 — exact counts are
+    // fixed by md5 but assert the shape, not the constant
+    assert(byLang("en") < byLang("de") && byLang("de") < 128)
+    // the sampling hash must NOT be the split hash: sampled docs still
+    // land in every split (a shared hash would drain train first)
+    val splits = Registry.byName("q40_train_split").run(spark, dir)
+      .collect().map(_.getAs[String]("split")).toSet
+    val sampledSplits = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id").isin(k1.map(_._1): _*))
+      .withColumn("split", TrainingData.splitColumn)
+      .select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(sampledSplits == splits, s"sampling correlates with split: $sampledSplits")
+  }
+
+  test("q48: every source converges to the smallest source's token budget") {
+    import graft.operators.TrainingData
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = ((0L until 20L).map(i => (i, words(50), "srcA")) ++
+      (100L until 110L).map(i => (i, words(50), "srcB")) ++
+      (200L until 210L).map(i => (i, words(25), "srcC")))
+      .toDF("doc_id", "text", "source")
+    val got = TrainingData.equalizeSourceTokens(docs)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("tok_kept"))).toMap
+    assert(got("srcC") == ((10L, 250L))) // smallest source kept whole
+    // the others sample toward 250 tokens; with 10-20 docs the hash
+    // variance is real, so assert budget bounds, not exact counts
+    assert(got("srcA")._2 <= 1000L && got("srcA")._2 < got("srcB")._2 + 500L)
+    assert(got("srcB")._2 <= 500L)
+    assert(got("srcA")._1 < 20L && got("srcB")._1 < 10L) // both downsampled
+  }
+
+  test("q48 plans broadcast rate joins over two documents scans") {
+    val p = Registry.byName("q48_source_mixture").run(spark, TestSpark.sf0001)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val scans = p.linesIterator.count(_.matches("""^\(\d+\) Scan parquet\s*$"""))
+    assert(scans == 2, s"expected totals + filter scans, got $scans")
+    assert(p.contains("BroadcastHashJoin"), "rate table must broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus must never shuffle for the rate join")
+  }
+
   test("q42 plans one documents scan and no gram-level self-join") {
     val df = Registry.byName("q42_contamination").run(spark, TestSpark.sf0001)
     val p = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
