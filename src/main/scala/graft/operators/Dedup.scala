@@ -313,17 +313,20 @@ object Dedup {
       // the self rows carry their current label through the aggregation
       // (`old`), so convergence is a filter-count over the SAME
       // checkpointed frame — no per-round compare join
-      val stepped = snap(labels.withColumn("self", lit(1))
+      val stepped = labels.withColumn("self", lit(1))
         .union(viaNeighbors.withColumn("self", lit(0)))
         .groupBy("doc_id")
         .agg(min(col("label")).as("label"),
-          max(when(col("self") === 1, col("label"))).as("old")))
-      // pointer jump: adopt the label of my label's node. Labels are
-      // monotonically decreasing node ids, so the parent's label is
-      // never larger; chains halve per round. `stepped` is checkpointed
-      // above precisely because both jump sides reference it — otherwise
-      // the union+agg subtree would re-plan per side.
-      val parents = stepped.select(col("doc_id").as("p_id"),
+          max(when(col("self") === 1, col("label"))).as("old"))
+      // pointer jump: adopt the label my new label's node held LAST
+      // round (synchronous pointer doubling). Labels only decrease, so
+      // the parent's label is never larger and chains still halve per
+      // round — but jumping through the previous round's CHECKPOINTED
+      // frame means `stepped` is referenced once, so the whole round
+      // (union + agg + jump join) is a single plan with ONE snapshot;
+      // jumping through `stepped` itself would either re-plan the agg
+      // subtree per join side or cost a second materialization.
+      val parents = labels.select(col("doc_id").as("p_id"),
         col("label").as("p_label"))
       val updated = snap(stepped
         .join(parents, stepped("label") === parents("p_id"), "left")
@@ -331,8 +334,7 @@ object Dedup {
           least(col("label"), coalesce(col("p_label"), col("label"))).as("label"),
           col("old")))
       converged = updated.filter(col("label") =!= col("old")).count() == 0
-      free(stepped) // superseded once `updated` is materialized (count above)
-      free(labels)  // previous round's labels
+      free(labels) // previous round's snapshot, superseded by `updated`
       labels = updated.select(col("doc_id"), col("label"))
       round += 1
     }
