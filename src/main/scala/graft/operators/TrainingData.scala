@@ -295,7 +295,11 @@ object TrainingData {
   // smallest source keeps everything (tot = minTot guards the rate-1.0
   // boundary, where a 3-hex-char '100' threshold would compare wrong
   // against 2-char buckets).
-  def equalizeSourceTokens(docs: DataFrame): DataFrame = {
+  /** Kept `(doc_id, source, n_tok)` rows under the equalized budget —
+    * the reusable kernel the q48 stats aggregate and the Curate mixture
+    * stage both delegate to.
+    */
+  def sourceBudgetKeep(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), col("source"),
       size(split(col("text"), " ")).cast("long").as("n_tok"))
     val totals = toks.groupBy(col("source")).agg(sum(col("n_tok")).as("tot"))
@@ -313,9 +317,13 @@ object TrainingData {
       md5(concat(lit("smp"), col("doc_id").cast("string")).cast("binary")), 1, 2)
     toks.join(broadcast(rates), "source")
       .filter(col("tot") === col("min_tot") || h2 < col("thresh"))
+      .select(col("doc_id"), col("source"), col("n_tok"))
+  }
+
+  def equalizeSourceTokens(docs: DataFrame): DataFrame =
+    sourceBudgetKeep(docs)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("tok_kept"))
-  }
 
   private def q48(s: SparkSession, d: String): DataFrame =
     equalizeSourceTokens(Tables.documents(s, d))

@@ -12,14 +12,18 @@ import org.apache.spark.sql.functions._
   *   1. near-dup clustering (capped LSH candidates → connected
   *      components) and CANONICALIZATION — keep one doc per cluster;
   *   2. per-language quality percentile filter over the survivors;
-  *   3. deterministic train/val/test hash split;
-  *   4. decontamination — drop test docs sharing a long n-gram with
+  *   3. source-mixture equalization — every source downsampled to the
+  *      smallest source's token budget (curriculum mixing);
+  *   4. deterministic train/val/test hash split;
+  *   5. decontamination — drop test docs sharing a long n-gram with
   *      any train doc;
-  *   5. next-fit token packing of the train split.
+  *   6. next-fit token packing of the train split.
   *
   * Stage order matters and is deliberate: dedup BEFORE the quality
   * percentile (duplicate families would otherwise vote themselves past
-  * the percentile), decontamination AFTER the split exists, packing
+  * the percentile), mixture balancing over the CLEAN corpus (balancing
+  * before the quality gate would re-skew when per-source quality
+  * differs), decontamination AFTER the split exists, packing
   * only over the final train set. Each stage writes parquet and the
   * NEXT stage reads that parquet back — any stage is restartable/
   * inspectable (the same reason the reference staged through files,
@@ -38,8 +42,8 @@ import org.apache.spark.sql.functions._
 object Curate {
 
   final case class StageCounts(input: Long, afterDedup: Long,
-      afterQuality: Long, train: Long, val_ : Long, testClean: Long,
-      testDropped: Long, trainPacks: Long)
+      afterQuality: Long, afterMixture: Long, train: Long, val_ : Long,
+      testClean: Long, testDropped: Long, trainPacks: Long)
 
   def run(spark: SparkSession, sfDir: String, outDir: String): StageCounts = {
     val docs = Tables.documents(spark, sfDir)
@@ -62,19 +66,26 @@ object Curate {
     // threshold-broadcast form (no per-language sort partition)
     val kept = TextAnalysis.qualityFilterApprox(deduped, keepFrac = 0.5)
       .select("doc_id")
-    val curated = deduped.join(kept, Seq("doc_id"), "left_semi")
+    val curated = stage(
+      deduped.join(kept, Seq("doc_id"), "left_semi"), "quality")
 
-    // 3. split assignment (stable across runs: pure function of doc_id)
+    // 3. mixture balancing: every source contributes the same token
+    // budget to what follows (deterministic salted-hash sampling)
+    val mixed = stage(curated.join(
+      TrainingData.sourceBudgetKeep(curated).select("doc_id"),
+      Seq("doc_id"), "left_semi"), "mixed")
+
+    // 4. split assignment (stable across runs: pure function of doc_id)
     val splitDocs = stage(
-      curated.withColumn("split", TrainingData.splitColumn), "splits")
+      mixed.withColumn("split", TrainingData.splitColumn), "splits")
 
-    // 4. decontaminate: test docs sharing an 8-gram with train are out
+    // 5. decontaminate: test docs sharing an 8-gram with train are out
     val contaminated = TrainingData.contaminatedTestDocs(splitDocs)
       .select("doc_id")
     val clean = stage(
       splitDocs.join(contaminated, Seq("doc_id"), "left_anti"), "clean")
 
-    // 5. pack the train split into fixed token budgets
+    // 6. pack the train split into fixed token budgets
     val packed = stage(TrainingData.packSequences(
       clean.filter(col("split") === "train"), shards = 8, capacity = 512L),
       "train_packed")
@@ -85,7 +96,8 @@ object Curate {
     StageCounts(
       input = docs.count(),
       afterDedup = deduped.count(),
-      afterQuality = splitDocs.count(),
+      afterQuality = curated.count(),
+      afterMixture = splitDocs.count(),
       train = bySplit.getOrElse("train", 0L),
       val_ = bySplit.getOrElse("val", 0L),
       testClean = bySplit.getOrElse("test", 0L),

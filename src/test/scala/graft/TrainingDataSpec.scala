@@ -164,7 +164,9 @@ class TrainingDataSpec extends AnyFunSuite {
     // percentile filter keeps ~half (per-language rounding)
     assert(c.afterQuality < c.afterDedup)
     assert(c.afterQuality >= c.afterDedup / 4)
-    assert(c.train + c.val_ + c.testClean + c.testDropped == c.afterQuality)
+    // mixture balancing only removes docs, never adds
+    assert(c.afterMixture <= c.afterQuality && c.afterMixture > 0)
+    assert(c.train + c.val_ + c.testClean + c.testDropped == c.afterMixture)
     assert(c.train > c.val_ + c.testClean) // 80/10/10 shape survives
     assert(c.trainPacks > 0 && c.trainPacks <= c.train)
     // every written stage is a readable parquet with the expected rows
