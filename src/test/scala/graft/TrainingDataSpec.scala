@@ -210,6 +210,12 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(sampledSplits == splits, s"sampling correlates with split: $sampledSplits")
   }
 
+  test("q47 is scan-shaped: zero exchanges") {
+    val p = Registry.byName("q47_stratified_sample").run(spark, TestSpark.sf0001)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Exchange"), "hash sampling must not shuffle")
+  }
+
   test("q48: every source converges to the smallest source's token budget") {
     import graft.operators.TrainingData
     def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
