@@ -171,25 +171,110 @@ object Dedup {
   // Frequency-weighted: every word occurrence votes. Bit j of a word's
   // hash = top bit of hex digit j of md5(word) (digit >= '8'); fingerprint
   // bit j is set when set-votes outnumber clear-votes (strict majority).
-  private def q24(s: SparkSession, d: String): DataFrame = {
-    val bitTerms: Seq[Column] = (1 to 16).map { j =>
+
+  /** Sum-of-bit-terms SimHash over a `wh` word-hash array column —
+    * shared by q24 (16-bit fingerprint) and q49 (32-bit banded pair
+    * detection) so the bit definition can't drift between them.
+    */
+  private def simhashExpr(bits: Int): Column =
+    (1 to bits).map { j =>
       when(size(filter(col("wh"), h => substring(h, j, 1) >= "8")) * 2 > size(col("wh")),
         lit(1L << (j - 1))).otherwise(lit(0L))
-    }
-    Tables.documents(s, d)
-      .select(col("doc_id"),
-        transform(split(col("text"), " "), w => md5(w.cast("binary"))).as("wh"))
-      .select(col("doc_id"), bitTerms.reduce(_ + _).as("simhash"))
-  }
+    }.reduce(_ + _)
 
-  private val o24 = {
-    val terms = (1 to 16).map { j =>
+  /** DuckDB twin of [[simhashExpr]]. */
+  private def simhashSql(bits: Int): String =
+    (1 to bits).map { j =>
       s"CASE WHEN 2 * len(list_filter(wh, h -> substr(h, $j, 1) >= '8')) > len(wh) " +
         s"THEN CAST(${1L << (j - 1)} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     }.mkString(" + ")
-    s"""SELECT doc_id, $terms AS simhash
+
+  private def withWordHashes(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      transform(split(col("text"), " "), w => md5(w.cast("binary"))).as("wh"))
+
+  /** `(doc_id, sh)` SimHash fingerprints of a `(doc_id, text)` frame —
+    * public so tests can brute-force the hamming neighborhood the banded
+    * q49 index must recall exactly.
+    */
+  def simhashFingerprints(docs: DataFrame, bits: Int): DataFrame =
+    withWordHashes(docs).select(col("doc_id"), simhashExpr(bits).as("sh"))
+
+  private def q24(s: SparkSession, d: String): DataFrame =
+    withWordHashes(Tables.documents(s, d))
+      .select(col("doc_id"), simhashExpr(16).as("simhash"))
+
+  private val o24 =
+    s"""SELECT doc_id, ${simhashSql(16)} AS simhash
        |FROM (SELECT doc_id, list_transform(string_split(text, ' '), x -> md5(x)) AS wh
        |      FROM documents)""".stripMargin
+
+  // ---- q49: SimHash banded near-dup pairs (hamming verify) ---------------
+  // q24's fingerprint turned into an actual dedup DECISION, the
+  // Manku-style (WWW'07) banded index: a 32-bit frequency-weighted
+  // SimHash split into SimBands bit-slices; any pair within hamming
+  // distance HammingMax agrees exactly on at least one slice
+  // (pigeonhole: ≤ HammingMax flipped bits cannot touch all
+  // `HammingMax + 1 ≤ SimBands` slices), so the all-pairs O(n²) becomes
+  // an equi-join on the slice key with NO recall loss — unlike MinHash
+  // banding this guarantee is exact, which is why the verify step is a
+  // cheap xor-popcount instead of q25's set intersection. Fewer, wider
+  // bands are the precision knob: 2×16-bit slices make accidental
+  // bucket collisions rare, while more/narrower bands would only add
+  // candidates the hamming filter then discards. Same scale shape as
+  // candidatePairs: one documents scan, one shuffle on the band key, a
+  // spill-safe window cap on degenerate buckets, map-side pair explode
+  // (the collected payload is one BIGINT per member — cheap, unlike
+  // q34's 64-dim vectors which stay join-shaped).
+  private val SimBits = 32
+  private val SimBands = 2
+  private val HammingMax = 1
+  private val SimBandCap = 200
+
+  private def q49(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sliceWidth = SimBits / SimBands
+    val mask = (1L << sliceWidth) - 1
+    val fp = simhashFingerprints(Tables.documents(s, d), SimBits)
+    fp.select(col("doc_id"), col("sh"), posexplode(array(
+        (0 until SimBands).map(i =>
+          shiftright(col("sh"), i * sliceWidth).bitwiseAND(lit(mask))): _*)))
+      .select(col("doc_id"), col("sh"),
+        concat(col("pos").cast("string"), lit(":"), col("col").cast("string")).as("bk"))
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("bk")))
+      .filter(col("bsz") <= SimBandCap)
+      .groupBy("bk")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sh")))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ms, (x, i) -> " +
+          "transform(slice(ms, i + 2, size(ms)), " +
+          "y -> named_struct('doc_a', x.doc_id, 'sha', x.sh, " +
+          "'doc_b', y.doc_id, 'shb', y.sh))))")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        bit_count(col("p.sha").bitwiseXOR(col("p.shb"))).as("hamming"))
+      .filter(col("hamming") <= HammingMax)
+      .distinct()
+  }
+
+  private val o49 = {
+    val sliceWidth = SimBits / SimBands
+    val mask = (1L << sliceWidth) - 1
+    s"""WITH w AS (
+       |  SELECT doc_id, list_transform(string_split(text, ' '), x -> md5(x)) AS wh
+       |  FROM documents),
+       |f AS (SELECT doc_id, ${simhashSql(SimBits)} AS sh FROM w),
+       |b AS (
+       |  SELECT doc_id, sh,
+       |         unnest(list_transform(range(0, $SimBands), i ->
+       |           CAST(i AS VARCHAR) || ':' ||
+       |           CAST(((sh >> (i * $sliceWidth)) & $mask) AS VARCHAR))) AS bk
+       |  FROM f),
+       |small AS (SELECT bk FROM b GROUP BY bk HAVING count(*) <= $SimBandCap)
+       |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.sh, c.sh)) AS INT) AS hamming
+       |FROM b a JOIN small USING (bk) JOIN b c ON a.bk = c.bk AND a.doc_id < c.doc_id
+       |WHERE bit_count(xor(a.sh, c.sh)) <= $HammingMax""".stripMargin
   }
 
   // ---- q25: Jaccard verification over LSH candidates ---------------------
@@ -362,5 +447,6 @@ object Dedup {
     GraftQuery("q23_minhash_lsh", "MinHash+LSH band join candidate pairs", q23, Some(o23)),
     GraftQuery("q24_simhash", "16-bit frequency-weighted SimHash", q24, Some(o24)),
     GraftQuery("q25_jaccard_pairs", "blocked word-set Jaccard pairs", q25, Some(o25)),
-    GraftQuery("q44_dup_clusters", "near-dup connected-component clustering", q44, Some(o44)))
+    GraftQuery("q44_dup_clusters", "near-dup connected-component clustering", q44, Some(o44)),
+    GraftQuery("q49_simhash_pairs", "banded SimHash near-dup pairs (hamming verify)", q49, Some(o49)))
 }

@@ -326,6 +326,148 @@ object TextAnalysis {
       |  FROM documents)
       |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 100""".stripMargin
 
+  // ---- q50: corpus-frequency boilerplate signal --------------------------
+  // The C4/Dolma-style cleaning rule "drop lines that repeat across the
+  // corpus", re-expressed over 3-grams (the fixtures have no line
+  // structure): a gram is boilerplate when it appears in more than
+  // BoilerPctDocs% of documents, and each document reports what fraction
+  // of its grams are boilerplate — the filter signal a curation run
+  // thresholds on. Distributed shape: per-doc DISTINCT grams collapse
+  // map-side (array_distinct before the explode), ONE shuffle computes
+  // corpus doc-frequency, the ≥threshold grams — a table bounded by
+  // |corpus grams| / (threshold · n_docs), i.e. a few thousand rows at
+  // any scale because a gram must recur across 1% of all documents to
+  // qualify — join back onto the per-doc gram explode (unhinted: AQE
+  // broadcasts a table that small, the q37 discipline), and the final
+  // per-doc aggregate groups on doc_id. Two documents scans (df branch +
+  // per-doc branch), the same branch trade q37 documents.
+  private val BoilerPctDocs = 1 // gram is boilerplate above this % of docs
+
+  private val gram3Expr =
+    "CASE WHEN size(w) >= 3 THEN transform(sequence(1, size(w) - 2), " +
+      "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), " +
+      "element_at(w, i + 2))) ELSE CAST(array() AS ARRAY<STRING>) END"
+
+  private val gram3Sql =
+    """CASE WHEN len(ws) >= 3 THEN
+      |  list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
+      |ELSE [] END""".stripMargin
+
+  /** Per-document boilerplate-gram fraction over any `(doc_id, text)`
+    * frame — the reusable curation kernel behind q50. One exploded
+    * per-doc branch carries BOTH counts (explode_outer keeps gram-less
+    * docs; the hot flag rides the unhinted left join and folds in the
+    * same per-doc aggregate), so the whole kernel is three documents
+    * scans: hot branch + per-doc branch + the n_docs count.
+    */
+  def boilerplateSignal(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), expr(gram3Expr).as("grams"))
+    val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val hot = grams
+      .select(explode(array_distinct(col("grams"))).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .filter(col("df") * 100 > col("n_docs") * BoilerPctDocs)
+      .select(col("gram"), lit(1L).as("is_hot"))
+    grams
+      .select(col("doc_id"), explode_outer(col("grams")).as("gram"))
+      .join(hot, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("gram")).as("n_grams"),
+        coalesce(sum(col("is_hot")), lit(0L)).as("n_boiler"))
+      .withColumn("boiler_frac",
+        when(col("n_grams") > 0,
+          col("n_boiler").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  private def q50(s: SparkSession, d: String): DataFrame =
+    boilerplateSignal(Tables.documents(s, d))
+
+  private val o50 =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |g AS (SELECT doc_id, $gram3Sql AS grams FROM w),
+       |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+       |df AS (SELECT gram, count(DISTINCT doc_id) AS df FROM e GROUP BY gram),
+       |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |hot AS (SELECT gram FROM df CROSS JOIN n WHERE df * 100 > n_docs * $BoilerPctDocs),
+       |per AS (SELECT e.doc_id, count(*) AS n_boiler FROM e JOIN hot USING (gram) GROUP BY e.doc_id)
+       |SELECT g.doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+       |       CAST(coalesce(per.n_boiler, 0) AS BIGINT) AS n_boiler,
+       |       CASE WHEN len(grams) > 0
+       |            THEN CAST(coalesce(per.n_boiler, 0) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
+       |            ELSE 0.0 END AS boiler_frac
+       |FROM g LEFT JOIN per ON g.doc_id = per.doc_id""".stripMargin
+
+  // ---- q52: PII detection + redaction ------------------------------------
+  // The privacy-scrub stage every released corpus runs (emails, phone
+  // numbers, IP addresses → typed placeholder tokens). Pure row-local
+  // regex — scan-shaped, zero shuffle, codegen'd regexp_replace. The
+  // patterns stay in the common subset of Java regex and RE2 (character
+  // classes, bounded repetition — no backreferences or lookarounds) so
+  // Spark and the DuckDB oracle redact identically. The fixture text is
+  // bare lowercase words, so the query plants deterministic doc_id-
+  // derived PII on both sides first — the regex logic is exercised for
+  // real, and the redacted-text hash proves byte-identical replacement.
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[a-z0-9.]+@[a-z0-9.]+[.][a-z]+" -> "<EMAIL>",
+    "[0-9]{3}-[0-9]{3}-[0-9]{4}" -> "<PHONE>",
+    "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+" -> "<IP>")
+
+  /** Replaces every PII match with its placeholder, in [[PiiPatterns]]
+    * order (emails first — their local parts may contain digits and
+    * dots that the narrower patterns would otherwise bite into).
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, tok)) => regexp_replace(c, pat, tok) }
+
+  /** Match counts per pattern kind, for audit stats. */
+  def piiCounts(text: Column): Seq[Column] =
+    PiiPatterns.map { case (pat, tok) =>
+      regexp_count(text, lit(pat))
+        .cast("long").as("n_" + tok.stripPrefix("<").stripSuffix(">").toLowerCase)
+    }
+
+  private def q52(s: SparkSession, d: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail"), (col("doc_id") % 10).cast("string"), lit(".example.com or "),
+      format_string("%03d-%03d-%04d",
+        lit(200) + col("doc_id") % 700, col("doc_id") % 1000, col("doc_id") % 10000),
+      lit(" node "),
+      format_string("10.%d.%d.%d",
+        col("doc_id") % 256, expr("(doc_id div 256) % 256"), col("doc_id") % 100),
+      when(col("doc_id") % 3 === 0, lit(" cc admin@example.org")).otherwise(lit("")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), planted.as("t"))
+      .select((col("doc_id") +: piiCounts(col("t")) :+
+        md5(redactPii(col("t")).cast("binary")).as("redacted_hash")): _*)
+  }
+
+  private val o52 = {
+    val counts = PiiPatterns.map { case (pat, tok) =>
+      s"CAST(len(regexp_extract_all(t, '$pat')) AS BIGINT) AS n_${tok.stripPrefix("<").stripSuffix(">").toLowerCase}"
+    }.mkString(",\n       |       ")
+    val redacted = PiiPatterns.foldLeft("t") { case (c, (pat, tok)) =>
+      s"regexp_replace($c, '$pat', '$tok', 'g')"
+    }
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+       |         '@mail' || CAST(doc_id % 10 AS VARCHAR) || '.example.com or ' ||
+       |         printf('%03d-%03d-%04d', 200 + doc_id % 700, doc_id % 1000, doc_id % 10000) ||
+       |         ' node ' ||
+       |         printf('10.%d.%d.%d', doc_id % 256, (doc_id // 256) % 256, doc_id % 100) ||
+       |         CASE WHEN doc_id % 3 = 0 THEN ' cc admin@example.org' ELSE '' END AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |       $counts,
+       |       md5($redacted) AS redacted_hash
+       |FROM aug""".stripMargin
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q27_langid", "marker-word language identification", q27, Some(o27)),
     GraftQuery("q28_quality", "document quality scoring", q28, Some(o28)),
@@ -333,5 +475,7 @@ object TextAnalysis {
     GraftQuery("q30_fingerprint", "canonical-form document fingerprints", q30, Some(o30)),
     GraftQuery("q37_term_salience", "top-3 salient terms per doc (tf·N/df)", q37, Some(o37)),
     GraftQuery("q38_bigram_stats", "corpus top-100 bigram counts", q38, Some(o38)),
-    GraftQuery("q45_quality_filter", "per-language quality percentile filter", q45, Some(o45)))
+    GraftQuery("q45_quality_filter", "per-language quality percentile filter", q45, Some(o45)),
+    GraftQuery("q50_boilerplate", "corpus-frequency boilerplate-gram fraction", q50, Some(o50)),
+    GraftQuery("q52_pii_redact", "PII detection and placeholder redaction", q52, Some(o52)))
 }

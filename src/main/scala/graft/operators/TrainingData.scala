@@ -39,15 +39,22 @@ object TrainingData {
       |     ELSE 'test' END""".stripMargin
 
   // Shared long-n-gram hash (q42, q43): md5 of each 8-word window over
-  // the staged word array `w`; empty below 8 words.
+  // the staged word array `w`, TRUNCATED to its first 16 hex chars —
+  // the gram hash exists only to be grouped on, and these queries
+  // shuffle one row per gram occurrence, so key width is shuffle volume:
+  // 64 bits halve the exchange payload vs the full digest while keeping
+  // collisions negligible (~n²/2⁶⁵ — at 10¹² corpus grams, odds of even
+  // ONE colliding pair stay ~3%, and a collision only adds one
+  // spurious candidate gram, it cannot drop a real one). Empty below 8
+  // words.
   private val gramHashExpr =
     "CASE WHEN size(w) >= 8 THEN transform(sequence(1, size(w) - 7), " +
-      "i -> md5(cast(concat_ws(' ', slice(w, i, 8)) AS BINARY))) " +
+      "i -> substring(md5(cast(concat_ws(' ', slice(w, i, 8)) AS BINARY)), 1, 16)) " +
       "ELSE CAST(array() AS ARRAY<STRING>) END"
 
   private val gramHashSql =
     """CASE WHEN len(ws) >= 8 THEN
-      |  list_transform(range(1, len(ws) - 6), i -> md5(array_to_string(ws[i:i+7], ' ')))
+      |  list_transform(range(1, len(ws) - 6), i -> substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 16))
       |ELSE [] END""".stripMargin
 
   // ---- q40: deterministic train/val/test hash split ----------------------
@@ -245,6 +252,52 @@ object TrainingData {
        |  FROM p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1)
        |SELECT doc_id, shard, pack_id, n_tokens FROM p""".stripMargin
 
+  // ---- q51: overlapping token-window chunking ----------------------------
+  // RAG/embedding-prep chunking: fixed word windows (ChunkWindow) with
+  // ChunkStride overlap, stable ids. Chunk count per doc is
+  // 1 + ceil(max(0, n - window) / stride) — the last chunk always
+  // reaches the document's end and no chunk start lies beyond a
+  // previous chunk's coverage (no fully-contained tail chunks).
+  // Scan-shaped: the word array is staged once, starts explode
+  // map-side, each chunk emits its token count and content hash (the
+  // downstream embedding key) — output rows stay in their input
+  // partition, zero shuffle at any corpus size.
+  private val ChunkWindow = 32
+  private val ChunkStride = 24
+
+  /** Overlapping word-window chunks of any `(doc_id, text)` frame:
+    * `(doc_id, chunk_idx, n_tokens, chunk_hash)`.
+    */
+  def chunkDocuments(docs: DataFrame, window: Int, stride: Int): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n", size(col("w")))
+      .select(col("doc_id"), col("w"),
+        explode(expr(
+          s"sequence(0, CASE WHEN n > $window THEN (n - $window + $stride - 1) div $stride ELSE 0 END)"))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        expr(s"slice(w, chunk_idx * $stride + 1, $window)").as("cw"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("cw")).cast("long").as("n_tokens"),
+        md5(array_join(col("cw"), " ").cast("binary")).as("chunk_hash"))
+
+  private def q51(s: SparkSession, d: String): DataFrame =
+    chunkDocuments(Tables.documents(s, d), ChunkWindow, ChunkStride)
+
+  private val o51 =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |c AS (
+       |  SELECT doc_id, ws,
+       |         unnest(range(0, 1 + (CASE WHEN len(ws) > $ChunkWindow
+       |           THEN (len(ws) - $ChunkWindow + $ChunkStride - 1) // $ChunkStride
+       |           ELSE 0 END))) AS chunk_idx
+       |  FROM w)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |       CAST(len(ws[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkWindow]) AS BIGINT) AS n_tokens,
+       |       md5(array_to_string(ws[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkWindow], ' ')) AS chunk_hash
+       |FROM c""".stripMargin
+
   // ---- q47: deterministic stratified sampling ----------------------------
   // Mixture re-balancing: downsample dominant languages by fixed rates
   // (en keeps 64/256 ≈ 25%, de 128/256 = 50%, the rest everything).
@@ -351,6 +404,7 @@ object TrainingData {
     GraftQuery("q42_contamination", "cross-source shared long-n-gram counts", q42, Some(o42)),
     GraftQuery("q43_decontaminate", "test docs sharing long n-grams with train", q43, Some(o43)),
     GraftQuery("q46_pack_sequences", "sharded next-fit token packing", q46, Some(o46)),
+    GraftQuery("q51_chunk", "overlapping token-window chunking", q51, Some(o51)),
     GraftQuery("q47_stratified_sample", "deterministic per-language hash sampling", q47, Some(o47)),
     GraftQuery("q48_source_mixture", "per-source token-budget equalization", q48, Some(o48)))
 }

@@ -161,6 +161,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(scanCount("q34_ann_lsh") <= 2)
   }
 
+  test("q49 banded simhash recalls EXACTLY the hamming<=1 pairs (pigeonhole guarantee)") {
+    // Brute-force the full 32-bit fingerprint neighborhood on the
+    // fixture and compare sets: the 2x16-bit band index must find every
+    // hamming<=1 pair (one flipped bit cannot touch both halves) and
+    // the xor-popcount verify must pass nothing beyond the threshold.
+    val fps = Dedup.simhashFingerprints(
+      Tables.documents(spark, TestSpark.sf0001).select("doc_id", "text"), 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val brute = (for {
+      i <- fps.indices.iterator
+      j <- (i + 1) until fps.length
+      if java.lang.Long.bitCount(fps(i)._2 ^ fps(j)._2) <= 1
+    } yield (fps(i)._1, fps(j)._1)).toSet
+    val banded = Registry.byName("q49_simhash_pairs").run(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute,
+      s"banded=${banded.size} brute=${brute.size} missing=${(brute -- banded).take(3)}")
+  }
+
+  test("q49 plans a single documents scan") {
+    val p = Registry.byName("q49_simhash_pairs").run(spark, TestSpark.sf0001)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val scans = p.linesIterator.count(_.matches("""^\(\d+\) Scan parquet\s*$"""))
+    assert(scans == 1, s"expected one scan, got $scans")
+  }
+
   test("dup clustering: chains collapse transitively, separate components stay apart") {
     // a 5-chain (diameter 4 — forces multiple label rounds) + an
     // isolated pair; labels converge to each component's min doc_id

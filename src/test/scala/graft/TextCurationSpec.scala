@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the corpus-cleaning kernels behind q50 (boilerplate
+  * signal) and q52 (PII redaction) on controlled inputs.
+  */
+class TextCurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("boilerplate: a gram recurring across >1% of docs is flagged, unique text is not") {
+    // 200 docs sharing one 3-gram ("click here now", df=200) + unique
+    // padding; threshold df*100 > n_docs (1%) flags only that gram
+    val boiler = "click here now"
+    val docs = (0L until 200L)
+      .map(i => (i, s"$boiler unique$i filler$i extra$i words$i"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.boilerplateSignal(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_boiler"),
+          r.getAs[Double]("boiler_frac"))).toMap
+    assert(got.size == 200)
+    // each doc: 7 words -> 5 grams; exactly 1 is corpus-hot ("click
+    // here now" — the grams bridging into unique$i words are unique)
+    assert(got.values.forall(_ == ((5L, 1L, 0.2))))
+  }
+
+  test("boilerplate: below-threshold corpora report zero and keep every doc") {
+    val docs = (0L until 200L)
+      .map(i => (i, s"alpha$i beta$i gamma$i delta$i"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.boilerplateSignal(docs).collect()
+    assert(got.length == 200)
+    assert(got.forall(_.getAs[Long]("n_boiler") == 0L))
+  }
+
+  test("pii: emails, phones and ips redact to placeholders, clean text unchanged") {
+    val rows = Seq(
+      (1L, "reach me at jane.doe42@corp.example.io thanks"),
+      (2L, "call 555-867-5309 or 555-123-4567 now"),
+      (3L, "host 192.168.0.1 gateway 10.0.0.254"),
+      (4L, "mixed bob@a.io then 555-000-1111 on 127.0.0.1"),
+      (5L, "no sensitive content in this row at all"))
+      .toDF("id", "t")
+      .select(col("id"), TextAnalysis.redactPii(col("t")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) == "reach me at <EMAIL> thanks")
+    assert(rows(2L) == "call <PHONE> or <PHONE> now")
+    assert(rows(3L) == "host <IP> gateway <IP>")
+    assert(rows(4L) == "mixed <EMAIL> then <PHONE> on <IP>")
+    assert(rows(5L) == "no sensitive content in this row at all")
+  }
+
+  test("pii: counts match the redactions, email pattern wins over ip inside addresses") {
+    // the email's dotted local/domain parts must not leak ip/phone
+    // matches after the email is replaced first
+    val df = Seq((1L, "a1.b2@x9.example.com and 1.2.3.4")).toDF("id", "t")
+    val counts = df.select(TextAnalysis.piiCounts(col("t")): _*).collect()(0)
+    assert(counts.getAs[Long]("n_email") == 1L)
+    assert(counts.getAs[Long]("n_phone") == 0L)
+    assert(counts.getAs[Long]("n_ip") == 1L)
+    val red = df.select(TextAnalysis.redactPii(col("t")).as("r"))
+      .collect()(0).getString(0)
+    assert(red == "<EMAIL> and <IP>")
+  }
+
+  test("q50 plans three documents scans with no window") {
+    val p = Registry.byName("q50_boilerplate").run(spark, TestSpark.sf0001)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val scans = p.linesIterator.count(_.matches("""^\(\d+\) Scan parquet\s*$"""))
+    assert(scans == 3, s"expected hot + per-doc + n_docs scans, got $scans")
+    assert(!p.contains("Window"), "corpus df must be an aggregate, not a window")
+  }
+
+  test("q52 is scan-shaped: zero exchanges") {
+    val p = Registry.byName("q52_pii_redact").run(spark, TestSpark.sf0001)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Exchange"), "redaction must not shuffle")
+  }
+}

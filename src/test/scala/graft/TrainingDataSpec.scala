@@ -234,6 +234,33 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got("srcA")._1 < 20L && got("srcB")._1 < 10L) // both downsampled
   }
 
+  test("q51: chunks tile each doc with the stride overlap and always reach the end") {
+    import graft.operators.TrainingData
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // window 32 / stride 24: 10 words -> one short chunk; 32 -> one
+    // exact chunk; 33 -> two (the tail starts at 25, len 9); 99 -> four
+    // (last start 73, covers w73..w99)
+    val docs = Seq((1L, words(10)), (2L, words(32)), (3L, words(33)), (4L, words(99)))
+      .toDF("doc_id", "text")
+    val got = TrainingData.chunkDocuments(docs, window = 32, stride = 24)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx")) ->
+        r.getAs[Long]("n_tokens")).toMap
+    assert(got.keys.count(_._1 == 1L) == 1 && got((1L, 0L)) == 10L)
+    assert(got.keys.count(_._1 == 2L) == 1 && got((2L, 0L)) == 32L)
+    assert(got.keys.count(_._1 == 3L) == 2 && got((3L, 1L)) == 9L)
+    assert(got.keys.count(_._1 == 4L) == 4 && got((4L, 3L)) == 27L)
+    // every chunk except a doc's last is full-window
+    val lastIdx = got.keys.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(got.forall { case ((d, i), n) => i == lastIdx(d) || n == 32L })
+  }
+
+  test("q51 is scan-shaped: zero exchanges") {
+    val p = Registry.byName("q51_chunk").run(spark, TestSpark.sf0001)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Exchange"), "chunking must not shuffle")
+  }
+
   test("q48 plans broadcast rate joins over two documents scans") {
     val p = Registry.byName("q48_source_mixture").run(spark, TestSpark.sf0001)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
