@@ -431,16 +431,78 @@ object Dedup {
   private def q44(s: SparkSession, d: String): DataFrame =
     dupClusters(candidatePairs(s, d))
 
+  /** DuckDB twin of [[dupClusters]] over `cand`, shared by o44/o53 so
+    * the clustering semantics cannot drift: `cl` is (doc_id,
+    * cluster_id) for every doc that appears in a candidate pair.
+    */
+  private val clusterCtes =
+    """e AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+      |      UNION ALL SELECT doc_b AS src, doc_a AS dst FROM cand),
+      |cc AS (
+      |  SELECT src AS doc_id, src AS label FROM e
+      |  UNION
+      |  SELECT e.dst AS doc_id, cc.label FROM cc JOIN e ON e.src = cc.doc_id
+      |),
+      |cl AS (SELECT doc_id, min(label) AS cluster_id FROM cc GROUP BY doc_id)""".stripMargin
+
   private val o44 =
     s"""WITH RECURSIVE $candidateCtes,
-       |e AS (SELECT doc_a AS src, doc_b AS dst FROM cand
-       |      UNION ALL SELECT doc_b AS src, doc_a AS dst FROM cand),
-       |cc AS (
-       |  SELECT src AS doc_id, src AS label FROM e
-       |  UNION
-       |  SELECT e.dst AS doc_id, cc.label FROM cc JOIN e ON e.src = cc.doc_id
-       |)
-       |SELECT doc_id, min(label) AS cluster_id FROM cc GROUP BY doc_id""".stripMargin
+       |$clusterCtes
+       |SELECT doc_id, cluster_id FROM cl""".stripMargin
+
+  // ---- q53: canonical-document selection (the dedup ACTION) --------------
+  // q44 names the clusters; this query performs the dedup decision:
+  // every document is assigned its near-dup cluster (its own id when it
+  // was never proposed as a candidate), and each cluster keeps exactly
+  // ONE survivor — the highest-quality member (q28's score, min doc_id
+  // on ties). Output = the deduplicated corpus roster. Scale shape: the
+  // docs→clusters equi-join on doc_id (shuffle join — the cluster map
+  // is proportional to the duplicated-doc population, NOT broadcastable
+  // at corpus scale), then ONE aggregation shuffle on cluster_id where
+  // `partial_max_by` collapses members before the exchange. The struct
+  // ordering buffer makes it a SortAggregate (sorted by the grouping
+  // key only) — still no rank window and no second pass to recover the
+  // survivor row.
+  private val o53 =
+    s"""WITH RECURSIVE $candidateCtes,
+       |$clusterCtes,
+       |${TextAnalysis.qualityCtes("", "k")},
+       |asg AS (
+       |  SELECT coalesce(cl.cluster_id, kq.doc_id) AS cluster_id,
+       |         kq.doc_id, kq.quality
+       |  FROM kq LEFT JOIN cl ON kq.doc_id = cl.doc_id),
+       |ranked AS (
+       |  SELECT cluster_id, doc_id, quality,
+       |         row_number() OVER (PARTITION BY cluster_id
+       |                            ORDER BY quality DESC, doc_id ASC) AS rn,
+       |         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |  FROM asg)
+       |SELECT doc_id, cluster_id, cluster_size, quality
+       |FROM ranked WHERE rn = 1""".stripMargin
+
+  /** One surviving (doc_id, cluster_id, cluster_size, quality) row per
+    * near-dup cluster: the highest-quality member, min doc_id on ties.
+    * Unclustered docs pass through as their own single-member cluster.
+    * The survivor is picked by `max_by` inside the cluster aggregation
+    * (ties broken by the negated doc_id in the ordering struct), so the
+    * whole selection is one shuffle with map-side partial aggregation —
+    * the oracle's window-rank formulation would sort every cluster's
+    * members on one reducer instead.
+    */
+  def canonicalDocs(docs: DataFrame, clusters: DataFrame): DataFrame =
+    TextAnalysis.withQuality(docs)
+      .select(col("doc_id"), col("quality"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"),
+        max_by(struct(col("doc_id"), col("quality")),
+          struct(col("quality"), -col("doc_id"))).as("keep"))
+      .select(col("keep.doc_id").as("doc_id"), col("cluster_id"),
+        col("cluster_size"), col("keep.quality").as("quality"))
+
+  private def q53(s: SparkSession, d: String): DataFrame =
+    canonicalDocs(Tables.documents(s, d), dupClusters(candidatePairs(s, d)))
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q22_dedup_exact", "exact dedup via content-hash groupBy", q22, Some(o22)),
@@ -448,5 +510,6 @@ object Dedup {
     GraftQuery("q24_simhash", "16-bit frequency-weighted SimHash", q24, Some(o24)),
     GraftQuery("q25_jaccard_pairs", "blocked word-set Jaccard pairs", q25, Some(o25)),
     GraftQuery("q44_dup_clusters", "near-dup connected-component clustering", q44, Some(o44)),
-    GraftQuery("q49_simhash_pairs", "banded SimHash near-dup pairs (hamming verify)", q49, Some(o49)))
+    GraftQuery("q49_simhash_pairs", "banded SimHash near-dup pairs (hamming verify)", q49, Some(o49)),
+    GraftQuery("q53_canonical_docs", "per-cluster best-quality survivor selection", q53, Some(o53)))
 }

@@ -81,7 +81,7 @@ object TextAnalysis {
     * columns alongside). Shared by q28 and the q45 percentile filter so
     * the score definition cannot drift between them.
     */
-  private def withQuality(docs: DataFrame, keep: String*): DataFrame =
+  private[operators] def withQuality(docs: DataFrame, keep: String*): DataFrame =
     docs
       .select((keep.map(col) :+ col("doc_id") :+ col("n_chars") :+
         split(col("text"), " ").as("w")): _*)
@@ -105,28 +105,28 @@ object TextAnalysis {
     * definition cannot drift. `extra` injects pass-through columns
     * (e.g. "lang,").
     */
-  private def qualityCtes(extra: String): String = {
+  private[operators] def qualityCtes(extra: String, p: String = ""): String = {
     val lst = Stopwords.map(w => s"'$w'").mkString(", ")
-    s"""w AS (
+    s"""${p}w AS (
        |  SELECT doc_id, $extra n_chars, string_split(text, ' ') AS w FROM documents),
-       |m AS (
+       |${p}m AS (
        |  SELECT doc_id, $extra n_chars,
        |         len(w) AS n_words,
        |         len(list_distinct(w)) AS n_uniq,
        |         len(list_filter(w, x -> x IN ($lst))) AS n_stop
-       |  FROM w),
-       |r AS (
+       |  FROM ${p}w),
+       |${p}r AS (
        |  SELECT doc_id, $extra n_words, n_uniq, n_stop,
        |         n_chars / (1.0 + n_words) AS avg_word_len,
        |         n_uniq / (1.0 + n_words) AS uniq_ratio,
        |         n_stop / (1.0 + n_words) AS stop_ratio
-       |  FROM m),
-       |q AS (
+       |  FROM ${p}m),
+       |${p}q AS (
        |  SELECT doc_id, $extra n_words, n_uniq, n_stop, avg_word_len,
        |         uniq_ratio, stop_ratio,
        |         100.0 * (uniq_ratio * 0.5 + (1.0 / (1.0 + stop_ratio)) * 0.3 +
        |                  least(1.0, n_words / 100.0) * 0.2) AS quality
-       |  FROM r)""".stripMargin
+       |  FROM ${p}r)""".stripMargin
   }
 
   private val o28 =
@@ -468,6 +468,62 @@ object TextAnalysis {
        |FROM aug""".stripMargin
   }
 
+  // ---- q54: corpus vocabulary + out-of-vocabulary rate -------------------
+  // Tokenizer-prep diagnostic: build the corpus "common vocabulary"
+  // (every word appearing in >= 5% of documents) and score each doc by
+  // the fraction of its tokens that fall OUTSIDE it — high OOV flags
+  // gibberish, codey text, or wrong-language docs that per-doc scores
+  // miss. Scale shape: the df threshold bounds the vocabulary
+  // structurally — each doc contributes its distinct words once, so
+  // |vocab| <= total distinct-word incidences / (0.05·N) ≈ 20× the mean
+  // distinct-words-per-doc, INDEPENDENT of corpus size. That makes the
+  // vocab genuinely broadcastable at 100 TB (unlike q37's full
+  // vocabulary, which grows by Heaps' law and stays unhinted), so the
+  // token→vocab membership join never shuffles the token stream — the
+  // hint is load-bearing here, not an optimism. Three documents scans
+  // (df branch, token branch, n_docs aggregate) and two aggregation
+  // shuffles — the df table and the per-doc regroup — both collapsed
+  // map-side by partial aggregation before their exchanges.
+  private val OovDfFrac = 0.05
+
+  /** Per-doc token/OOV counts against the >= `dfFrac` doc-frequency
+    * vocabulary (the q54 kernel).
+    */
+  def oovRate(docs: DataFrame, dfFrac: Double = OovDfFrac): DataFrame = {
+    val tokens = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("w"))
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val vocab = tokens.groupBy("w")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") >= col("n_docs") * dfFrac)
+      .select(col("w"), lit(1).as("in_vocab"))
+    tokens.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov") / (lit(1.0) * col("n_tokens")))
+  }
+
+  private def q54(s: SparkSession, d: String): DataFrame =
+    oovRate(Tables.documents(s, d))
+
+  private val o54 =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |voc AS (
+       |  SELECT w FROM toks CROSS JOIN nd
+       |  GROUP BY w, n_docs HAVING count(DISTINCT doc_id) >= n_docs * $OovDfFrac),
+       |flagged AS (
+       |  SELECT t.doc_id, v.w IS NULL AS oov
+       |  FROM toks t LEFT JOIN voc v ON t.w = v.w)
+       |SELECT doc_id,
+       |       count(*) AS n_tokens,
+       |       count(CASE WHEN oov THEN 1 END) AS n_oov,
+       |       count(CASE WHEN oov THEN 1 END) / (1.0 * count(*)) AS oov_rate
+       |FROM flagged GROUP BY doc_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q27_langid", "marker-word language identification", q27, Some(o27)),
     GraftQuery("q28_quality", "document quality scoring", q28, Some(o28)),
@@ -477,5 +533,6 @@ object TextAnalysis {
     GraftQuery("q38_bigram_stats", "corpus top-100 bigram counts", q38, Some(o38)),
     GraftQuery("q45_quality_filter", "per-language quality percentile filter", q45, Some(o45)),
     GraftQuery("q50_boilerplate", "corpus-frequency boilerplate-gram fraction", q50, Some(o50)),
-    GraftQuery("q52_pii_redact", "PII detection and placeholder redaction", q52, Some(o52)))
+    GraftQuery("q52_pii_redact", "PII detection and placeholder redaction", q52, Some(o52)),
+    GraftQuery("q54_oov_rate", "doc-frequency vocabulary + per-doc OOV rate", q54, Some(o54)))
 }

@@ -233,4 +233,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies")))
     assert(rows.toSet == Set((1L, 2L), (3L, 1L)))
   }
+
+  test("canonical docs: higher quality survives, ties break to min doc_id, singletons pass") {
+    // doc 1: stopword soup (low quality); doc 7: varied vocabulary
+    // (higher quality) — in one cluster, 7 must survive even though the
+    // cluster is labeled by min id 1. docs 5/2: identical text →
+    // identical quality → tie breaks to the smaller doc_id 2. doc 9 is
+    // unclustered and passes through as its own singleton cluster.
+    val d = docs(Seq(
+      (1L, "the the the of of and and a a to to"),
+      (7L, "spark plans broadcast joins across partitioned parquet scans"),
+      (5L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"),
+      (9L, "standalone unclustered document")))
+    val pairs = Seq((1L, 7L), (5L, 2L)).toDF("doc_a", "doc_b")
+    val got = Dedup.canonicalDocs(d, Dedup.dupClusters(pairs)).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        ((r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_size")))).toMap
+    assert(got == Map(1L -> ((7L, 2L)), 2L -> ((2L, 2L)), 9L -> ((9L, 1L))))
+  }
+
+  test("q53 survivor selection aggregates without a per-cluster sort window") {
+    val p = Registry.byName("q53_canonical_docs").run(spark, TestSpark.sf0001)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Window"),
+      s"survivor pick must be max_by aggregation, not a rank window:\n${p.take(2000)}")
+    assert(p.contains("max_by") || p.contains("MaxBy"),
+      s"expected a max_by aggregate in:\n${p.take(2000)}")
+  }
 }

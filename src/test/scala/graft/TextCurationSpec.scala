@@ -80,4 +80,31 @@ class TextCurationSpec extends AnyFunSuite {
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     assert(!p.contains("Exchange"), "redaction must not shuffle")
   }
+
+  test("oov: words under the df threshold count as out-of-vocabulary") {
+    // "common" appears in all 10 docs (df=10 >= 0.5*10 → in vocab);
+    // each "rareN" appears once (df=1 < 5 → OOV). Docs 0-4 carry one
+    // rare word; docs 5-9 are all-vocab.
+    val docs = (0L until 10L)
+      .map(i => (i, if (i < 5) s"common rare$i" else "common common"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("s").as("source"), length(col("text")).cast("long").as("n_chars"))
+    val got = TextAnalysis.oovRate(docs, dfFrac = 0.5).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Double]("oov_rate")))).toMap
+    assert(got.size == 10)
+    (0L until 5L).foreach(i => assert(got(i) == ((2L, 1L, 0.5))))
+    (5L until 10L).foreach(i => assert(got(i) == ((2L, 0L, 0.0))))
+  }
+
+  test("q54 broadcasts the bounded vocabulary; tokens never join-shuffle") {
+    val p = Registry.byName("q54_oov_rate").run(spark, TestSpark.sf0001)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab membership must be a broadcast join:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the token stream must not shuffle for the vocab join")
+  }
 }
