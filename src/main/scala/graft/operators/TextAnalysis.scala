@@ -96,6 +96,18 @@ object TextAnalysis {
           (lit(1.0) / (lit(1.0) + col("stop_ratio"))) * lit(0.3) +
           least(lit(1.0), col("n_words") / lit(100.0)) * lit(0.2)))
 
+  /** Streaming-safe quality gate: score with the shared q28 kernel and
+    * keep docs at or above a FIXED threshold. The percentile forms
+    * (q45 / `qualityFilterApprox`) need a corpus-wide aggregate, which a
+    * row-local streaming stage cannot run — production computes the
+    * threshold offline on a batch sample and this gate applies it in
+    * flight (see streaming.StreamingCurate).
+    */
+  def qualityAtLeast(docs: DataFrame, minQuality: Double): DataFrame =
+    withQuality(docs, "text", "lang", "source")
+      .filter(col("quality") >= minQuality)
+      .drop("w")
+
   private def q28(s: SparkSession, d: String): DataFrame =
     withQuality(Tables.documents(s, d))
       .select("doc_id", "n_words", "n_uniq", "n_stop",

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.operators.TextAnalysis
+import graft.sources.Schemas
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The streaming twin of [[graft.tools.Curate]]: corpus curation applied
+  * to documents IN FLIGHT instead of at rest.
+  *
+  * Which stages move into the stream is dictated by their plan shape,
+  * not preference:
+  *   - quality scoring, the threshold gate, and PII redaction are pure
+  *     row-local column expressions (zero state, zero shuffle) — they
+  *     run inside the micro-batch at ingest cost;
+  *   - near-dup detection needs cross-document memory, so it runs as
+  *     the [[StreamingDedup]] stateful leg (per-signature state bounded
+  *     by the watermark), and duplicates are anti-joined out when the
+  *     curated batch lands;
+  *   - the percentile threshold itself and anything corpus-global
+  *     (mixture balancing, train/test split, packing) stay BATCH:
+  *     a row-local stage cannot see the corpus, so production computes
+  *     thresholds offline (TextAnalysis.qualityFilterApprox) and feeds
+  *     the scalar here.
+  *
+  * At cluster scale both legs read the same feed partitions and the
+  * post-drain anti-join is duplicate-offsets-sized (tiny), so the whole
+  * path adds no shuffle to ingest beyond the dedup leg's signature
+  * grouping — the same admission-controlled micro-batch shape as
+  * Pipeline.runFromFeed.
+  */
+object StreamingCurate {
+
+  /** The row-local curation stages, composable onto any (streaming or
+    * batch) documents frame: q28 quality scoring + fixed-threshold
+    * gate, then PII redaction over the surviving text.
+    */
+  def curate(docs: DataFrame, minQuality: Double): DataFrame =
+    TextAnalysis.qualityAtLeast(docs, minQuality)
+      .withColumn("text", TextAnalysis.redactPii(col("text")))
+      .select("doc_id", "text", "lang", "source", "n_chars", "quality")
+
+  /** End-to-end feed curation: JSON documents arrive on the DSv2 feed
+    * `feed`, the row-local stages run in-stream, the near-dup leg
+    * verdicts every RAW document (pre-gate — a duplicate of a
+    * low-quality doc must not become "the original" just because its
+    * twin was gated), and the landed batch drops verdicted duplicates
+    * before the curated parquet is written.
+    */
+  def runFromFeed(spark: SparkSession, feed: String, workDir: String,
+      minQuality: Double, retentionMs: Long = 3600L * 1000): DataFrame = {
+    val trigger = Trigger.ProcessingTime(0L)
+    val stream = StreamingIngest.readFeedStream(
+      spark, feed, maxMessagesPerTrigger = Some(2L))
+    val docs = stream
+      .select(col("offset"), from_json(col("value"), Schemas.document).as("d"))
+      .select(col("offset"), col("d.doc_id"), col("d.text"), col("d.lang"),
+        col("d.source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+    // leg 1: row-local curation → landed parquet
+    val qCur = curate(docs, minQuality)
+      .writeStream.format("parquet")
+      .option("path", s"$workDir/curated_raw")
+      .option("checkpointLocation", s"$workDir/ckpt_curate")
+      .trigger(trigger)
+      .start()
+    // leg 2: near-dup verdicts over the RAW stream (event time from the
+    // feed offset, epoch-day based — see StreamingDedup's late-row note)
+    val qDup = StreamingDedup.nearDupVerdicts(
+        docs.select(col("doc_id"), col("text"),
+          timestamp_seconds(col("offset") + lit(86400)).as("ts")),
+        "ts", retentionMs)
+      .writeStream.format("parquet")
+      .option("path", s"$workDir/verdicts")
+      .option("checkpointLocation", s"$workDir/ckpt_verdicts")
+      .trigger(trigger)
+      .start()
+    qCur.processAllAvailable(); qDup.processAllAvailable()
+    qCur.stop(); qDup.stop()
+
+    val dups = spark.read.parquet(s"$workDir/verdicts")
+      .filter(col("dup_of") =!= col("doc_id"))
+      .select("doc_id")
+    spark.read.parquet(s"$workDir/curated_raw")
+      .join(dups, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$workDir/curated")
+    spark.read.parquet(s"$workDir/curated")
+  }
+}

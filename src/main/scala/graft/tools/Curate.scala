@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * reusable public kernel (no query re-implementation here):
   *
   *   1. near-dup clustering (capped LSH candidates → connected
-  *      components) and CANONICALIZATION — keep one doc per cluster;
+  *      components) and CANONICALIZATION — keep each cluster's
+  *      highest-quality member (canonicalDocs, the q53 kernel);
   *   2. per-language quality percentile filter over the survivors;
   *   3. source-mixture equalization — every source downsampled to the
   *      smallest source's token budget (curriculum mixing);
@@ -55,12 +56,15 @@ object Curate {
       spark.read.parquet(s"$outDir/$name")
     }
 
-    // 1. cluster near-dups over the capped LSH candidate pairs; a doc is
-    // a duplicate iff its component label is some OTHER (smaller) doc
-    val dupes = Dedup.dupClusters(Dedup.candidatePairs(spark, sfDir))
-      .filter(col("doc_id") =!= col("cluster_id"))
+    // 1. cluster near-dups over the capped LSH candidate pairs, then
+    // keep each cluster's HIGHEST-QUALITY member (the q53 kernel) — not
+    // an arbitrary/min-id copy: near-dup families often mix a clean
+    // original with mangled variants, and the quality-ranked survivor is
+    // what the downstream percentile gate should be judging
+    val survivors = Dedup.canonicalDocs(docs,
+        Dedup.dupClusters(Dedup.candidatePairs(spark, sfDir)))
       .select("doc_id")
-    val deduped = stage(docs.join(dupes, Seq("doc_id"), "left_anti"), "deduped")
+    val deduped = stage(docs.join(survivors, Seq("doc_id"), "left_semi"), "deduped")
 
     // 2. quality gate: top half per language among the survivors —
     // threshold-broadcast form (no per-language sort partition)

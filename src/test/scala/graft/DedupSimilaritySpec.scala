@@ -253,6 +253,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == Map(1L -> ((7L, 2L)), 2L -> ((2L, 2L)), 9L -> ((9L, 1L))))
   }
 
+  test("canonical docs invariants hold on a random pair graph") {
+    // seeded random corpus + pair graph: the roster must partition the
+    // corpus (sizes sum to n, survivor ids unique), and each survivor
+    // must carry its cluster's maximum quality
+    val rnd = new scala.util.Random(42)
+    val n = 60
+    val d = docs((0L until n).map(i => (i,
+      Seq.fill(3 + rnd.nextInt(8))("w" + rnd.nextInt(40)).mkString(" "))))
+    val pairs = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(p => p._1 != p._2).toDF("doc_a", "doc_b")
+    val clusters = Dedup.dupClusters(pairs)
+    val out = Dedup.canonicalDocs(d, clusters).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.length == out.length)
+    assert(out.map(_.getAs[Long]("cluster_size")).sum == n)
+    val dir = java.nio.file.Files.createTempDirectory("cq").toString
+    d.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val quality = Registry.byName("q28_quality").run(spark, dir)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    val label = clusters.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val members = (0L until n).groupBy(i => label.getOrElse(i, i))
+    out.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      assert(r.getAs[Long]("cluster_size") == members(cid).size.toLong)
+      assert(r.getAs[Double]("quality") == members(cid).map(quality).max)
+    }
+  }
+
   test("q53 survivor selection aggregates without a per-cluster sort window") {
     val p = Registry.byName("q53_canonical_docs").run(spark, TestSpark.sf0001)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)

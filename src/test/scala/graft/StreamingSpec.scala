@@ -385,6 +385,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(back.exceptAll(events).isEmpty && events.exceptAll(back).isEmpty)
   }
 
+  test("streaming curation: quality-gates, redacts PII, and drops near-dups in flight") {
+    val work = Files.createTempDirectory("scur").toString
+    val goodText = "spark plans broadcast joins across partitioned parquet scans contact admin@example.com"
+    graft.sources.FeedRegistry.clear("wscur")
+    graft.sources.FeedRegistry.post("wscur",
+      s"""{"doc_id":1,"text":"$goodText","lang":"en","source":"s"}""",
+      s"""{"doc_id":2,"text":"$goodText","lang":"en","source":"s"}""", // near-dup of 1
+      """{"doc_id":3,"text":"the the the of of and and a a to to in","lang":"en","source":"s"}""", // low quality
+      """{"doc_id":4,"text":"columnar executors fuse vectorized operators into pipelined stages","lang":"en","source":"s"}""")
+    val out = graft.streaming.StreamingCurate.runFromFeed(
+      spark, "wscur", work, minQuality = 50.0)
+    val byId = out.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    // doc 2 fell to the dedup leg, doc 3 to the quality gate
+    assert(byId.keySet == Set(1L, 4L))
+    // the survivor's email is redacted; PII-free text is untouched
+    assert(byId(1L).endsWith("contact <EMAIL>") && !byId(1L).contains("@"))
+    assert(byId(4L).startsWith("columnar executors"))
+    // quality scores ride along for downstream percentile audits
+    assert(out.columns.contains("quality"))
+  }
+
   test("normalization works on a streamed shape-2 drop dir") {
     val drop = Files.createTempDirectory("drop3").toString
     writeEventFile(drop, "h.json",

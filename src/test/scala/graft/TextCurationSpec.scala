@@ -99,6 +99,22 @@ class TextCurationSpec extends AnyFunSuite {
     (5L until 10L).foreach(i => assert(got(i) == ((2L, 0L, 0.0))))
   }
 
+  test("oov invariants: one row per doc, counts bounded, rate consistent") {
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 80L)
+      .map(i => (i, Seq.fill(2 + rnd.nextInt(10))("t" + rnd.nextInt(30)).mkString(" ")))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("s").as("source"), length(col("text")).cast("long").as("n_chars"))
+    val rows = TextAnalysis.oovRate(docs, dfFrac = 0.3).collect()
+    assert(rows.length == 80)
+    rows.foreach { r =>
+      val (nt, no) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"))
+      assert(no >= 0 && no <= nt && nt > 0)
+      assert(r.getAs[Double]("oov_rate") == no.toDouble / nt)
+    }
+  }
+
   test("q54 broadcasts the bounded vocabulary; tokens never join-shuffle") {
     val p = Registry.byName("q54_oov_rate").run(spark, TestSpark.sf0001)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
