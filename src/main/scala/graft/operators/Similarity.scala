@@ -281,6 +281,104 @@ object Similarity {
   private def q39(s: SparkSession, d: String): DataFrame =
     ivfTopK(Tables.embeddings(s, d), col("vec_id") % QueryStride === 0, TopK)
 
+  // ---- q55: SemDeDup-style within-cell semantic dedup --------------------
+  // The embedding-space dedup ACTION (SemDeDup, Abbas et al. 2023,
+  // arXiv:2303.09540): cluster the corpus into cells, then inside each
+  // cell drop every vector that has a higher-similarity twin — semantic
+  // near-dups that no n-gram method sees (paraphrases, translations,
+  // templated rewrites). The cell assignment reuses q39's IVF machinery
+  // (argmax against broadcast centroids collapses map-side; demo
+  // centroids keep the oracle deterministic, `kmeansCentroids` is the
+  // production path), so the all-pairs cosine never materializes — pairs
+  // exist only within a cell, and production scales by growing the cell
+  // COUNT with the corpus (SemDeDup uses k ~ sqrt(n); cell size stays
+  // bounded), with `cellCap` guarding the degenerate hot cell exactly
+  // like q34's BucketCap (spill-safe window count; a capped-out cell
+  // keeps all its members rather than dropping data). The survivor rule
+  // is min-vec_id (every dropped vector records its smallest qualifying
+  // twin as `dup_of`), deterministic and engine-portable; the within-cell
+  // self-join stays join-shaped because both sides carry 64-dim payload
+  // vectors (q34's discipline — collect-and-explode would materialize
+  // whole cells as array payloads). Three corpus scans (pair sides +
+  // survivor frame; Spark does not share scans across branches — the
+  // q37/q50 branch trade), plus three vec_id<numCells seed scans on the
+  // demo-centroid path that the pushed filter prunes to ~one row group
+  // (a kmeansCentroids frame is a literal and removes them).
+  private val SemThreshold = 0.30
+  private val CellCap = 10000
+
+  /** SemDeDup over an `(vec_id, embedding)` frame: one row per vector,
+    * `kept = false` iff a same-cell vector with smaller `vec_id` has
+    * cosine >= `threshold` (recorded as `dup_of`). Cells come from the
+    * deterministic demo centroid set unless `centroids` (shape
+    * `(cid, cv, cn)`, e.g. [[kmeansCentroids]]) overrides.
+    */
+  def semanticDedup(embeddings: DataFrame, threshold: Double = SemThreshold,
+      numCells: Int = NumCells, cellCap: Int = CellCap,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val base = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cents = centroids.getOrElse(base.filter(col("vec_id") < numCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn")))
+    val assigned = base.crossJoin(broadcast(cents))
+      .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("csim").as("s"), (-col("cid")).as("nc"),
+        struct(col("v").as("v"), col("nrm").as("n")).as("pay"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cid"),
+        col("m.pay.v").as("v"), col("m.pay.n").as("nrm"))
+    val capped = assigned
+      .withColumn("csz", count(lit(1)).over(Window.partitionBy("cid")))
+      .filter(col("csz") <= cellCap)
+    val a = capped.select(col("cid"), col("vec_id").as("va"),
+      col("v").as("av"), col("nrm").as("an"))
+    val b = capped.select(col("cid"), col("vec_id").as("vb"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    val dups = a.join(b, "cid").where(col("va") < col("vb"))
+      .withColumn("sim", dot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("vb"))
+      .agg(min(col("va")).as("dup_of"))
+      .withColumnRenamed("vb", "vec_id")
+    assigned.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        col("dup_of").isNull.as("kept"), col("dup_of"))
+  }
+
+  private def q55(s: SparkSession, d: String): DataFrame =
+    semanticDedup(Tables.embeddings(s, d))
+
+  private val o55 =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+       |  FROM v),
+       |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < $NumCells),
+       |scored AS (
+       |  SELECT n.vec_id, n.v, n.nrm, c.cid,
+       |         list_reduce(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i]),
+       |                     (a, b) -> a + b) / (n.nrm * c.cn) AS csim
+       |  FROM n CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, cid, v, nrm FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS ark
+       |    FROM scored)
+       |  WHERE ark = 1),
+       |small AS (SELECT cid FROM assigned GROUP BY cid HAVING count(*) <= $CellCap),
+       |dups AS (
+       |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+       |  FROM assigned a JOIN small USING (cid)
+       |       JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
+       |                    (x, y) -> x + y) / (a.nrm * b.nrm) >= $SemThreshold
+       |  GROUP BY b.vec_id)
+       |SELECT s.vec_id, s.cid, d.dup_of IS NULL AS kept, d.dup_of
+       |FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id""".stripMargin
+
   private val o39 =
     s"""WITH v AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -320,5 +418,6 @@ object Similarity {
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q26_cosine_topk", "brute-force cosine top-k (broadcast queries)", q26, Some(o26)),
     GraftQuery("q34_ann_lsh", "hyperplane-LSH bucketed cosine near-dup", q34, Some(o34)),
-    GraftQuery("q39_ivf_ann", "IVF cell-probed approximate cosine top-k", q39, Some(o39)))
+    GraftQuery("q39_ivf_ann", "IVF cell-probed approximate cosine top-k", q39, Some(o39)),
+    GraftQuery("q55_semantic_dedup", "SemDeDup within-cell cosine survivor selection", q55, Some(o55)))
 }

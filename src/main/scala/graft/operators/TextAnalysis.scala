@@ -536,6 +536,65 @@ object TextAnalysis {
        |       count(CASE WHEN oov THEN 1 END) / (1.0 * count(*)) AS oov_rate
        |FROM flagged GROUP BY doc_id""".stripMargin
 
+  // ---- q56: unigram LM likelihood score (CCNet-style quality proxy) ------
+  // The perplexity-filter stage of CCNet/RefinedWeb, reduced to the
+  // engine-portable core: score each document by the mean corpus-unigram
+  // probability of its tokens — templated/common text scores high, rare-
+  // vocabulary gibberish scores low, and downstream curation thresholds
+  // on the tails. The textbook form uses mean log-prob, but libm `log`
+  // is not bit-identical across engines (the q37 lesson), so the token
+  // probability is carried as an INTEGER: p_scaled = cnt * LmScale div
+  // total (both engines floor positive integer division identically).
+  // Per-doc sums are then exact BIGINTs and the final mean is ONE double
+  // division of exactly-representable operands (sum <= n_tokens*LmScale
+  // < 2^53 for docs up to ~9k tokens at this scale) — bit-identical by
+  // IEEE. Production knobs: LmScale must keep max(cnt)*LmScale < 2^63
+  // and maxDocTokens*LmScale < 2^53 (drop to 1e9 for web corpora, or
+  // carry the product as DECIMAL(38,0)).
+  //
+  // Distributed shape: the frequency table is vocabulary-sized and joins
+  // back UNHINTED (the q37 discipline — AQE broadcasts it at sane vocab
+  // sizes, shuffle-join fallback is skew-safe above the ceiling); the
+  // 1-row total is force-broadcast. Three documents scans (freq branch,
+  // total branch, per-doc branch) and two aggregation shuffles, both
+  // collapsed map-side.
+  private val LmScale = 1000000000000L
+
+  /** Per-doc mean corpus-unigram token probability over any
+    * `(doc_id, text)` frame (the q56 kernel).
+    */
+  def unigramLm(docs: DataFrame): DataFrame = {
+    val tokens = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("w"))
+    val freq = tokens.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = tokens.agg(count(lit(1)).as("total"))
+    val scaled = freq.crossJoin(broadcast(total))
+      .select(col("w"), expr(s"(cnt * ${LmScale}L) div total").as("p_scaled"))
+    tokens.join(scaled, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("p_scaled")).as("sum_scaled"))
+      .withColumn("mean_prob", col("sum_scaled").cast("double") /
+        (col("n_tokens").cast("double") * lit(LmScale.toDouble)))
+  }
+
+  private def q56(s: SparkSession, d: String): DataFrame =
+    unigramLm(Tables.documents(s, d))
+
+  private val o56 =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |freq AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+       |tot AS (SELECT count(*) AS total FROM toks),
+       |scaled AS (
+       |  SELECT w, (cnt * $LmScale) // total AS p_scaled FROM freq CROSS JOIN tot),
+       |per AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |         CAST(sum(p_scaled) AS BIGINT) AS sum_scaled
+       |  FROM toks JOIN scaled USING (w) GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, sum_scaled,
+       |       CAST(sum_scaled AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * ${LmScale}.0) AS mean_prob
+       |FROM per""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q27_langid", "marker-word language identification", q27, Some(o27)),
     GraftQuery("q28_quality", "document quality scoring", q28, Some(o28)),
@@ -546,5 +605,6 @@ object TextAnalysis {
     GraftQuery("q45_quality_filter", "per-language quality percentile filter", q45, Some(o45)),
     GraftQuery("q50_boilerplate", "corpus-frequency boilerplate-gram fraction", q50, Some(o50)),
     GraftQuery("q52_pii_redact", "PII detection and placeholder redaction", q52, Some(o52)),
-    GraftQuery("q54_oov_rate", "doc-frequency vocabulary + per-doc OOV rate", q54, Some(o54)))
+    GraftQuery("q54_oov_rate", "doc-frequency vocabulary + per-doc OOV rate", q54, Some(o54)),
+    GraftQuery("q56_unigram_lm", "mean corpus-unigram token probability (LM quality proxy)", q56, Some(o56)))
 }

@@ -128,6 +128,70 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall $recall < 0.8 (brute=${brute.size}, hit=${brute.intersect(ivf).size})")
   }
 
+  test("semantic dedup: same-cell twins collapse to the min-id survivor") {
+    val dim = 64
+    def axis(i: Int, scale: Float) = {
+      val a = Array.fill(dim)(0.01f); a(i) = scale; a
+    }
+    // demo centroids = ids 0/1 (axis 0 / axis 1); 20-22 ride axis 0 and
+    // are near-identical to seed 0, 30 rides axis 1 alone with seed 1
+    val df = Seq(
+      (0L, axis(0, 1.0f)), (1L, axis(1, 1.0f)),
+      (20L, axis(0, 0.9f)), (21L, axis(0, 0.9f)), (22L, axis(0, 0.9f)),
+      (30L, axis(1, 0.9f))).toDF("vec_id", "embedding")
+    val r = Similarity.semanticDedup(df, threshold = 0.95, numCells = 2)
+      .collect().map(x => x.getAs[Long]("vec_id") ->
+        (x.getAs[Boolean]("kept"),
+          Option(x.getAs[java.lang.Long]("dup_of")).map(_.toLong))).toMap
+    assert(r.size == 6)
+    // cell seeds survive; every later twin records the SMALLEST twin id
+    assert(r(0L) == (true, None) && r(1L) == (true, None))
+    assert(r(20L) == (false, Some(0L)))
+    assert(r(21L) == (false, Some(0L)))
+    assert(r(22L) == (false, Some(0L)))
+    assert(r(30L) == (false, Some(1L)))
+  }
+
+  test("semantic dedup: a capped-out cell keeps all members instead of dropping data") {
+    val dim = 64
+    def axis(i: Int, scale: Float) = {
+      val a = Array.fill(dim)(0.01f); a(i) = scale; a
+    }
+    val df = Seq(
+      (0L, axis(0, 1.0f)), (1L, axis(1, 1.0f)),
+      (20L, axis(0, 0.9f)), (21L, axis(0, 0.9f)), (22L, axis(0, 0.9f)),
+      (30L, axis(1, 0.9f))).toDF("vec_id", "embedding")
+    // cell 0 has 4 members > cap=2 → capped out of the pair join, all
+    // kept (conservative: a degenerate cell is never silently dropped);
+    // cell 1 has 2 members ≤ cap → 30 still dedups against seed 1
+    val r = Similarity.semanticDedup(df, threshold = 0.95, numCells = 2,
+        cellCap = 2)
+      .collect().map(x => x.getAs[Long]("vec_id") ->
+        x.getAs[Boolean]("kept")).toMap
+    assert(Seq(0L, 20L, 21L, 22L).forall(r(_)))
+    assert(r(1L) && !r(30L))
+  }
+
+  test("q55 plans <= 3 embeddings scans; centroids stay the broadcast side") {
+    val df = Registry.byName("q55_semantic_dedup").run(spark, TestSpark.sf0001)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // 3 corpus scans (pair sides + survivor frame) plus, on the demo
+    // centroid path only, one vec_id<16 seed scan per branch — those
+    // three are pruned to ~one row group by the pushed filter (a
+    // kmeansCentroids frame replaces them with a literal in production)
+    val scans = p.linesIterator.count(_.matches("""^\(\d+\) Scan parquet\s*$"""))
+    assert(scans <= 6, s"expected pair-sides + survivor frame (+ pruned centroid seeds), got $scans scans")
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,"),
+      "centroid-seed scans must prune via a pushed vec_id filter")
+    // the centroid cross join must broadcast the centroid side (BuildRight);
+    // a BuildLeft would mean the corpus became the build side
+    assert(p.contains("BroadcastNestedLoopJoin Cross BuildRight"),
+      s"centroid assignment must broadcast centroids:\n${p.take(2000)}")
+    assert(!p.contains("BuildLeft"),
+      "the corpus side must never become a broadcast build side")
+  }
+
   test("jaccard verification runs only over LSH candidate pairs") {
     // near-identical pair (one word changed) + unrelated doc: the pair is
     // an LSH candidate and survives verification; no candidate involving

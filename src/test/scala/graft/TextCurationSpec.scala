@@ -75,6 +75,27 @@ class TextCurationSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "corpus df must be an aggregate, not a window")
   }
 
+  test("unigram lm: mean token probability is the exact integer-scaled value") {
+    // freqs over the corpus: a=2, b=1, c=1, total=4 → scaled probs
+    // (×1e12, floored): a=5e11, b=2.5e11, c=2.5e11. Doc 1 = "a a b":
+    // sum=1.25e12 over 3 tokens → mean 0.41666…; doc 2 = "c" → 0.25.
+    val r = TextAnalysis.unigramLm(
+        Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text"))
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_tokens"), x.getAs[Long]("sum_scaled"),
+          x.getAs[Double]("mean_prob")))).toMap
+    assert(r(1L) == ((3L, 1250000000000L, 1.25e12 / 3e12)))
+    assert(r(2L) == ((1L, 250000000000L, 0.25)))
+  }
+
+  test("q56 plans three documents scans; the frequency join stays unhinted") {
+    val p = Registry.byName("q56_unigram_lm").run(spark, TestSpark.sf0001)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val scans = p.linesIterator.count(_.matches("""^\(\d+\) Scan parquet\s*$"""))
+    assert(scans == 3, s"expected freq + total + per-doc scans, got $scans")
+    assert(!p.contains("Window"), "corpus frequency must be an aggregate, not a window")
+  }
+
   test("q52 is scan-shaped: zero exchanges") {
     val p = Registry.byName("q52_pii_redact").run(spark, TestSpark.sf0001)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
