@@ -82,13 +82,20 @@ object Dedup {
       .select(keep ++ sigs: _*)
   }
 
-  private def bandedDocs(s: SparkSession, d: String): DataFrame =
-    withSigSlices(Tables.documents(s, d).select(col("doc_id"), col("text")))
+  /** `(doc_id, bk)` LSH band rows of a `(doc_id, text)` frame — the
+    * banding kernel shared by the batch candidate join (q23/q25) and the
+    * incremental index join (q57).
+    */
+  private def bandRows(df: DataFrame): DataFrame =
+    withSigSlices(df.select(col("doc_id"), col("text")))
       .select(col("doc_id"), posexplode(array(
         concat(col("s0"), col("s1")), concat(col("s2"), col("s3")),
         concat(col("s4"), col("s5")), concat(col("s6"), col("s7")))))
       .select(col("doc_id"),
         concat(col("pos").cast("string"), lit(":"), col("col")).as("bk"))
+
+  private def bandedDocs(s: SparkSession, d: String): DataFrame =
+    bandRows(Tables.documents(s, d))
 
   /** Candidate near-duplicate pairs from the capped LSH band join — the
     * production pair source both q23 (reported raw) and q25 (Jaccard-
@@ -134,10 +141,11 @@ object Dedup {
 
   private def q23(s: SparkSession, d: String): DataFrame = candidatePairs(s, d)
 
-  /** DuckDB twin of [[candidatePairs]], as a WITH-clause body ending in a
-    * `cand(doc_a, doc_b)` CTE so callers can append verification stages.
+  /** DuckDB twin of [[bandRows]] over `documents`, as a WITH-clause body
+    * ending in a `b(doc_id, bk)` CTE — shared by the batch candidate
+    * oracle (o23/o25) and the incremental index oracle (o57).
     */
-  private val candidateCtes =
+  private val bandCtes =
     s"""w AS (
       |  SELECT doc_id,
       |         list_transform($shingleSql, x -> md5(x)) AS wh
@@ -157,7 +165,13 @@ object Dedup {
       |  SELECT doc_id,
       |         unnest(['0:' || s0 || s1, '1:' || s2 || s3,
       |                 '2:' || s4 || s5, '3:' || s6 || s7]) AS bk
-      |  FROM s),
+      |  FROM s)""".stripMargin
+
+  /** DuckDB twin of [[candidatePairs]], as a WITH-clause body ending in a
+    * `cand(doc_a, doc_b)` CTE so callers can append verification stages.
+    */
+  private val candidateCtes =
+    s"""$bandCtes,
       |small AS (SELECT bk FROM b GROUP BY bk HAVING count(*) <= $BandCap),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
@@ -504,6 +518,59 @@ object Dedup {
   private def q53(s: SparkSession, d: String): DataFrame =
     canonicalDocs(Tables.documents(s, d), dupClusters(candidatePairs(s, d)))
 
+  // ---- q57: incremental crawl dedup (new batch vs indexed corpus) --------
+  // The daily-ingest pattern: the corpus is already signed into a
+  // persistent MinHash band index; only TODAY'S batch gets signed and
+  // joined against it — the corpus is never rescanned and new docs are
+  // never compared to each other (today's batch joins the index next
+  // round, after it is appended). The fixture models the split as
+  // doc_id % 5 == 4 ("every fifth doc arrived today"). Scale shape:
+  // the index side caps degenerate buckets (BandCap — a hot index
+  // bucket would otherwise fan every colliding new doc by |bucket|);
+  // band rows shuffle once on the band key; the per-new-doc aggregate
+  // collapses map-side. In production the index is bucketed-by-band-key
+  // parquet (Bucketing.writeBucketed), so the join reads co-located
+  // buckets with NO index-side shuffle — the (small) new batch is the
+  // only mover, which is what makes incremental ingest cheap at 100 TB.
+
+  /** New docs that collide with the banded index: `dup_of` = the
+    * smallest indexed doc sharing a band, `n_bands` = how many of the
+    * new doc's bands hit the index (1..4 — a crude confidence signal;
+    * Jaccard-verify survivors with [[candidatePairs]]' machinery when
+    * precision matters). Both inputs are `(doc_id, text)` frames.
+    */
+  def incrementalDupCandidates(newDocs: DataFrame, indexed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = bandRows(indexed)
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("bk")))
+      .filter(col("bsz") <= BandCap)
+      .select(col("bk"), col("doc_id").as("idx_id"))
+    bandRows(newDocs)
+      .join(idx, "bk")
+      .groupBy(col("doc_id"))
+      .agg(min(col("idx_id")).as("dup_of"),
+        countDistinct(col("bk")).as("n_bands"))
+  }
+
+  private def q57(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    incrementalDupCandidates(
+      docs.filter(col("doc_id") % 5 === 4),
+      docs.filter(col("doc_id") % 5 =!= 4))
+  }
+
+  private val o57 =
+    s"""WITH $bandCtes,
+      |idxb AS (SELECT doc_id AS idx_id, bk FROM b WHERE doc_id % 5 <> 4),
+      |small AS (SELECT bk FROM idxb GROUP BY bk HAVING count(*) <= $BandCap),
+      |hits AS (
+      |  SELECT nb.doc_id, i.idx_id, nb.bk
+      |  FROM b nb JOIN small USING (bk) JOIN idxb i ON nb.bk = i.bk
+      |  WHERE nb.doc_id % 5 = 4)
+      |SELECT doc_id, min(idx_id) AS dup_of,
+      |       CAST(count(DISTINCT bk) AS BIGINT) AS n_bands
+      |FROM hits GROUP BY doc_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q22_dedup_exact", "exact dedup via content-hash groupBy", q22, Some(o22)),
     GraftQuery("q23_minhash_lsh", "MinHash+LSH band join candidate pairs", q23, Some(o23)),
@@ -511,5 +578,6 @@ object Dedup {
     GraftQuery("q25_jaccard_pairs", "blocked word-set Jaccard pairs", q25, Some(o25)),
     GraftQuery("q44_dup_clusters", "near-dup connected-component clustering", q44, Some(o44)),
     GraftQuery("q49_simhash_pairs", "banded SimHash near-dup pairs (hamming verify)", q49, Some(o49)),
-    GraftQuery("q53_canonical_docs", "per-cluster best-quality survivor selection", q53, Some(o53)))
+    GraftQuery("q53_canonical_docs", "per-cluster best-quality survivor selection", q53, Some(o53)),
+    GraftQuery("q57_incremental_dedup", "new-batch vs banded-index incremental dedup", q57, Some(o57)))
 }

@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.Tables
-import graft.operators.{Dedup, TextAnalysis, TrainingData}
+import graft.operators.{Dedup, Similarity, TextAnalysis, TrainingData}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -12,6 +12,10 @@ import org.apache.spark.sql.functions._
   *   1. near-dup clustering (capped LSH candidates → connected
   *      components) and CANONICALIZATION — keep each cluster's
   *      highest-quality member (canonicalDocs, the q53 kernel);
+  *   1b. SEMANTIC dedup over the survivors' embeddings (semanticDedup,
+  *      the q55 kernel; vec_id == doc_id in the fixture layout) —
+  *      paraphrase-level duplicates that share no n-grams and are
+  *      invisible to stage 1;
   *   2. per-language quality percentile filter over the survivors;
   *   3. source-mixture equalization — every source downsampled to the
   *      smallest source's token budget (curriculum mixing);
@@ -43,8 +47,9 @@ import org.apache.spark.sql.functions._
 object Curate {
 
   final case class StageCounts(input: Long, afterDedup: Long,
-      afterQuality: Long, afterMixture: Long, train: Long, val_ : Long,
-      testClean: Long, testDropped: Long, trainPacks: Long)
+      afterSemDedup: Long, afterQuality: Long, afterMixture: Long,
+      train: Long, val_ : Long, testClean: Long, testDropped: Long,
+      trainPacks: Long)
 
   def run(spark: SparkSession, sfDir: String, outDir: String): StageCounts = {
     val docs = Tables.documents(spark, sfDir)
@@ -66,12 +71,25 @@ object Curate {
       .select("doc_id")
     val deduped = stage(docs.join(survivors, Seq("doc_id"), "left_semi"), "deduped")
 
+    // 1b. semantic dedup over the SURVIVING docs' embeddings (q55
+    // kernel): paraphrases and templated rewrites share no long n-grams,
+    // so stage 1 cannot see them; within-cell cosine can. Runs after
+    // canonicalization so already-collapsed families don't re-vote.
+    val semKeep = Similarity.semanticDedup(
+        Tables.embeddings(spark, sfDir)
+          .join(deduped.select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi"))
+      .filter(col("kept"))
+      .select(col("vec_id").as("doc_id"))
+    val semDeduped = stage(
+      deduped.join(semKeep, Seq("doc_id"), "left_semi"), "sem_deduped")
+
     // 2. quality gate: top half per language among the survivors —
     // threshold-broadcast form (no per-language sort partition)
-    val kept = TextAnalysis.qualityFilterApprox(deduped, keepFrac = 0.5)
+    val kept = TextAnalysis.qualityFilterApprox(semDeduped, keepFrac = 0.5)
       .select("doc_id")
     val curated = stage(
-      deduped.join(kept, Seq("doc_id"), "left_semi"), "quality")
+      semDeduped.join(kept, Seq("doc_id"), "left_semi"), "quality")
 
     // 3. mixture balancing: every source contributes the same token
     // budget to what follows (deterministic salted-hash sampling)
@@ -100,6 +118,7 @@ object Curate {
     StageCounts(
       input = docs.count(),
       afterDedup = deduped.count(),
+      afterSemDedup = semDeduped.count(),
       afterQuality = curated.count(),
       afterMixture = splitDocs.count(),
       train = bySplit.getOrElse("train", 0L),

@@ -128,6 +128,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall $recall < 0.8 (brute=${brute.size}, hit=${brute.intersect(ivf).size})")
   }
 
+  test("incremental dedup: new docs flag against the index, never each other") {
+    val idx = docs(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated indexed content about spark plans")))
+    val fresh = docs(Seq(
+      // near-identical to indexed doc 1 → flagged with dup_of = 1
+      (9L, "the quick brown fox jumps over the lazy dog tonight"),
+      // identical NEW pair sharing no index content → neither flags
+      (14L, "brand new material with no overlap whatsoever here"),
+      (19L, "brand new material with no overlap whatsoever here")))
+    val r = Dedup.incrementalDupCandidates(fresh, idx)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("dup_of"), x.getAs[Long]("n_bands")))).toMap
+    assert(r.contains(9L) && r(9L)._1 == 1L && r(9L)._2 >= 1L)
+    // new×new comparisons are out of scope by design — they run when
+    // today's batch has been appended to the index
+    assert(!r.contains(14L) && !r.contains(19L))
+  }
+
   test("semantic dedup: same-cell twins collapse to the min-id survivor") {
     val dim = 64
     def axis(i: Int, scale: Float) = {

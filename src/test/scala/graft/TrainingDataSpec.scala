@@ -161,9 +161,11 @@ class TrainingDataSpec extends AnyFunSuite {
     val c = graft.tools.Curate.run(spark, TestSpark.sf0001, out)
     assert(c.input == 500) // sf0.001 documents
     assert(c.afterDedup <= c.input && c.afterDedup > 0)
+    // semantic dedup only removes docs, and keeps at least the cell seeds
+    assert(c.afterSemDedup <= c.afterDedup && c.afterSemDedup > 0)
     // percentile filter keeps ~half (per-language rounding)
-    assert(c.afterQuality < c.afterDedup)
-    assert(c.afterQuality >= c.afterDedup / 4)
+    assert(c.afterQuality < c.afterSemDedup)
+    assert(c.afterQuality >= c.afterSemDedup / 4)
     // mixture balancing only removes docs, never adds
     assert(c.afterMixture <= c.afterQuality && c.afterMixture > 0)
     assert(c.train + c.val_ + c.testClean + c.testDropped == c.afterMixture)
