@@ -533,24 +533,52 @@ object Dedup {
   // buckets with NO index-side shuffle — the (small) new batch is the
   // only mover, which is what makes incremental ingest cheap at 100 TB.
 
+  /** Capped `(bk, idx_id)` index rows of a `(doc_id, text)` corpus —
+    * the in-memory form of the band index; [[writeBandIndex]] persists
+    * the same rows bucketed by band key.
+    */
+  private def cappedIndexRows(indexed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    bandRows(indexed)
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("bk")))
+      .filter(col("bsz") <= BandCap)
+      .select(col("bk"), col("doc_id").as("idx_id"))
+  }
+
+  /** Persist a corpus' capped band rows as a band-key-BUCKETED table —
+    * the on-disk MinHash index the production ingest path joins
+    * against. The mega-bucket cap is applied at WRITE time (amortized
+    * over every future ingest), and bucketing by `bk` means an
+    * ingest-time join reads co-located buckets with NO index-side
+    * exchange: only the (small) new batch shuffles, so per-ingest cost
+    * is proportional to the batch, not the corpus (BucketingSpec
+    * asserts the plan).
+    */
+  def writeBandIndex(docs: DataFrame, table: String, buckets: Int): Unit =
+    Bucketing.writeBucketed(cappedIndexRows(docs), table, "bk", buckets)
+
+  /** Ingest-time verdicts of a new `(doc_id, text)` batch against a
+    * pre-signed `(bk, idx_id)` index frame (e.g. `spark.table` over a
+    * [[writeBandIndex]] table): the batch is signed and joined; the
+    * index is read as-is.
+    */
+  def incrementalAgainstIndex(newDocs: DataFrame, index: DataFrame): DataFrame =
+    bandRows(newDocs)
+      .join(index, "bk")
+      .groupBy(col("doc_id"))
+      .agg(min(col("idx_id")).as("dup_of"),
+        countDistinct(col("bk")).as("n_bands"))
+
   /** New docs that collide with the banded index: `dup_of` = the
     * smallest indexed doc sharing a band, `n_bands` = how many of the
     * new doc's bands hit the index (1..4 — a crude confidence signal;
     * Jaccard-verify survivors with [[candidatePairs]]' machinery when
-    * precision matters). Both inputs are `(doc_id, text)` frames.
+    * precision matters). Both inputs are `(doc_id, text)` frames; this
+    * one-shot form signs the index in-query (the fixture/oracle path —
+    * production persists it once with [[writeBandIndex]]).
     */
-  def incrementalDupCandidates(newDocs: DataFrame, indexed: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val idx = bandRows(indexed)
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("bk")))
-      .filter(col("bsz") <= BandCap)
-      .select(col("bk"), col("doc_id").as("idx_id"))
-    bandRows(newDocs)
-      .join(idx, "bk")
-      .groupBy(col("doc_id"))
-      .agg(min(col("idx_id")).as("dup_of"),
-        countDistinct(col("bk")).as("n_bands"))
-  }
+  def incrementalDupCandidates(newDocs: DataFrame, indexed: DataFrame): DataFrame =
+    incrementalAgainstIndex(newDocs, cappedIndexRows(indexed))
 
   private def q57(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)

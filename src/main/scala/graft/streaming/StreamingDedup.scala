@@ -89,4 +89,29 @@ object StreamingDedup {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         verdicts(retentionMs))
   }
+
+  /** In-flight incremental dedup against a PERSISTED band index — the
+    * streaming twin of `Dedup.incrementalAgainstIndex` (q57's production
+    * shape). Each micro-batch of `(doc_id, text)` docs is signed and
+    * joined against the static `index` frame inside `foreachBatch`
+    * (stream rows shuffle onto the index's band-key bucketing; the
+    * index side never moves — BucketingSpec pins the batch plan), and
+    * the batch's verdicts append to `outPath`.
+    *
+    * Complementary to [[nearDupVerdicts]]: that leg remembers WITHIN the
+    * stream via keyed state; this leg remembers the HISTORICAL corpus
+    * via the on-disk index and needs no state store at all — the
+    * pipeline refreshes the index by re-signing on its own cadence
+    * (e.g. nightly, appending verdicted originals).
+    */
+  def indexVerdictStream(docs: DataFrame, index: DataFrame, outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Dedup.incrementalAgainstIndex(batch, index)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

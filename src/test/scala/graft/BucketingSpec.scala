@@ -31,4 +31,35 @@ class BucketingSpec extends AnyFunSuite {
       assert(joined.count() == expected)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
+
+  test("persisted band index joins ingest batches with no index-side exchange") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated indexed content about spark plans"),
+      (3L, "another indexed document with its own distinct words"))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.writeBandIndex(corpus, "band_idx", 4)
+    val batch = Seq(
+      (9L, "the quick brown fox jumps over the lazy dog tonight"),
+      (10L, "fresh never-seen material with zero corpus overlap"))
+      .toDF("doc_id", "text")
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val verdicts = graft.operators.Dedup.incrementalAgainstIndex(
+        batch, spark.table("band_idx"))
+      // the asymmetric plan: the batch side shuffles onto the index's
+      // bucketing (exactly one band-key exchange); the index side reads
+      // its buckets exchange-free — ingest cost ∝ batch, not corpus
+      val plan = verdicts.queryExecution.executedPlan.toString
+      val bandExchanges = "hashpartitioning\\(bk".r.findAllIn(plan).size
+      assert(bandExchanges == 1,
+        s"expected exactly one band-key exchange (batch side only) in:\n$plan")
+      val r = verdicts.collect()
+        .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("dup_of")).toMap
+      assert(r.get(9L).contains(1L)) // near-dup of indexed doc 1
+      assert(!r.contains(10L))       // novel doc passes
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
 }

@@ -367,6 +367,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(verdicts()(6L) == (6L, 0L))
   }
 
+  test("stream-static incremental dedup verdicts micro-batches against the persisted index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.operators.Dedup.writeBandIndex(Seq(
+        (1L, "the quick brown fox jumps over the lazy dog today"),
+        (2L, "completely unrelated indexed content about spark plans"))
+      .toDF("doc_id", "text"), "band_idx_stream", 4)
+    val mem = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("ivout").toString
+    val q = graft.streaming.StreamingDedup.indexVerdictStream(
+      mem.toDF().toDF("doc_id", "text"), spark.table("band_idx_stream"),
+      out, Files.createTempDirectory("ivck").toString)
+    mem.addData(
+      (9L, "the quick brown fox jumps over the lazy dog tonight"),
+      (10L, "novel content with no index overlap at all"))
+    q.processAllAvailable()
+    mem.addData((14L, "the quick brown fox jumps over the lazy dog toward")) // second batch
+    q.processAllAvailable()
+    q.stop()
+    val r = spark.read.parquet(out).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("dup_of")).toMap
+    assert(r.get(9L).contains(1L))  // flagged against the historical corpus
+    assert(r.get(14L).contains(1L)) // later micro-batch, same index
+    assert(!r.contains(10L))        // novel doc passes
+  }
+
   test("JS2: to_json sink round-trips through from_json losslessly") {
     import spark.implicits._
     val events = Seq(
