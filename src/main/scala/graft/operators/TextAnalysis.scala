@@ -595,6 +595,97 @@ object TextAnalysis {
        |       CAST(sum_scaled AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * ${LmScale}.0) AS mean_prob
        |FROM per""".stripMargin
 
+  // ---- q58: BM25-shaped lexical retrieval (top-k docs for a query) -------
+  // The RAG-side lexical search primitive: score every document against
+  // a fixed query term set with BM25's tf-saturation and doc-length
+  // normalization, idf as the exact integer ratio N/df (libm log is not
+  // cross-engine bit-stable — the q37 lesson; ranking behavior matches).
+  // Per-doc scores sum a handful of per-term doubles, so the fold is
+  // made order-deterministic: collect the (term, score) structs, sort,
+  // fold left-to-right — both engines add in the identical sequence.
+  //
+  // Distributed shape: the token stream filters to the query terms
+  // BEFORE any shuffle (|Q| terms — the tf aggregate moves only hit
+  // rows, a tiny fraction of the corpus); doc length rides the groupBy
+  // key (functionally dependent on doc_id — no extra join); df derives
+  // from the tf frame and is ≤|Q| rows, force-broadcast safe; corpus
+  // stats are a 1-row broadcast. Top-k plans as TakeOrderedAndProject
+  // (per-partition heaps — no global sort). Three documents scans (tf
+  // subtree ×2 for the df branch + the stats aggregate).
+  private val QueryTerms = Seq("spark", "join", "window", "dup")
+  private val RetrievalK = 10
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  /** Top-`k` docs for query `terms` by BM25-shaped score (rational idf).
+    * Input: any `(doc_id, text)` frame.
+    */
+  def lexicalTopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("w0"))
+      .select(col("doc_id"), size(col("w0")).as("dl"), col("w0"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total"))
+      .select(col("n_docs"),
+        (col("total").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("w0")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val k1 = lit(Bm25K1); val b = lit(Bm25B)
+    val scored = tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        (col("n_docs").cast("double") / col("df").cast("double")) *
+          ((col("tf").cast("double") * (k1 + lit(1.0))) /
+            (col("tf").cast("double") + k1 * (lit(1.0) - b +
+              b * (col("dl").cast("double") / col("avgdl"))))))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        array_sort(collect_list(struct(col("term").as("t"), col("s").as("s"))))
+          .as("ts"))
+      .withColumn("score",
+        aggregate(col("ts"), lit(0.0), (acc, x) => acc + x.getField("s")))
+      .select(col("doc_id"), col("n_hits"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  private def q58(s: SparkSession, d: String): DataFrame =
+    lexicalTopK(Tables.documents(s, d), QueryTerms, RetrievalK)
+
+  private val o58 = {
+    val lst = QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |         string_split(text, ' ') AS w0
+       |  FROM documents),
+       |stats AS (
+       |  SELECT count(*) AS n_docs,
+       |         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       |  FROM base),
+       |tf AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+       |    SELECT doc_id, dl, unnest(w0) AS term FROM base)
+       |  WHERE term IN ($lst)
+       |  GROUP BY doc_id, dl, term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term,
+       |         (CAST(n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) *
+       |         ((CAST(tf.tf AS DOUBLE) * ($Bm25K1 + 1.0)) /
+       |          (CAST(tf.tf AS DOUBLE) + $Bm25K1 * (1.0 - $Bm25B +
+       |           $Bm25B * (CAST(tf.dl AS DOUBLE) / avgdl)))) AS s
+       |  FROM tf JOIN df USING (term) CROSS JOIN stats)
+       |SELECT doc_id, n_hits, score FROM (
+       |  SELECT doc_id, count(*) AS n_hits,
+       |         list_reduce(list_transform(
+       |           list_sort(list(struct_pack(t := term, s := s))), x -> x.s),
+       |           (a, b) -> a + b) AS score
+       |  FROM scored GROUP BY doc_id)
+       |ORDER BY score DESC, doc_id ASC LIMIT $RetrievalK""".stripMargin
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q27_langid", "marker-word language identification", q27, Some(o27)),
     GraftQuery("q28_quality", "document quality scoring", q28, Some(o28)),
@@ -606,5 +697,6 @@ object TextAnalysis {
     GraftQuery("q50_boilerplate", "corpus-frequency boilerplate-gram fraction", q50, Some(o50)),
     GraftQuery("q52_pii_redact", "PII detection and placeholder redaction", q52, Some(o52)),
     GraftQuery("q54_oov_rate", "doc-frequency vocabulary + per-doc OOV rate", q54, Some(o54)),
-    GraftQuery("q56_unigram_lm", "mean corpus-unigram token probability (LM quality proxy)", q56, Some(o56)))
+    GraftQuery("q56_unigram_lm", "mean corpus-unigram token probability (LM quality proxy)", q56, Some(o56)),
+    GraftQuery("q58_lexical_topk", "BM25-shaped lexical top-k retrieval (rational idf)", q58, Some(o58)))
 }

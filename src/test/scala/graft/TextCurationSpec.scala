@@ -96,6 +96,27 @@ class TextCurationSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "corpus frequency must be an aggregate, not a window")
   }
 
+  test("lexical retrieval: rare terms dominate, shorter docs outrank at equal tf") {
+    // query = {x, common}: 'common' is in docs 1+2 (idf 2), 'x' only in
+    // doc 3 (idf 4) → doc 3 ranks first; docs 1 vs 2 tie on tf but doc 2
+    // is 3x longer → BM25 length normalization ranks doc 1 above it;
+    // doc 4 matches nothing and is absent
+    val r = TextAnalysis.lexicalTopK(Seq(
+        (1L, "common alpha beta"),
+        (2L, "common alpha beta gamma delta epsilon zeta eta theta"),
+        (3L, "x alpha beta"),
+        (4L, "alpha beta gamma")).toDF("doc_id", "text"),
+      Seq("x", "common"), 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(r == Seq(3L, 1L, 2L))
+  }
+
+  test("q58 top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = Registry.byName("q58_lexical_topk").run(spark, TestSpark.sf0001)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k heap in:\n${p.take(1500)}")
+  }
+
   test("q52 is scan-shaped: zero exchanges") {
     val p = Registry.byName("q52_pii_redact").run(spark, TestSpark.sf0001)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
