@@ -16,7 +16,13 @@ import org.apache.spark.sql.functions._
   *    words;
   *  - production IVF: k-means fit (Lloyd passes), query wall time, and
   *    recall of both centroid choices against the brute-force top-k —
-  *    the evidence that the data-adaptive path earns its fit cost.
+  *    the evidence that the data-adaptive path earns its fit cost;
+  *  - incremental dedup: the same new batch verdicted by the one-shot
+  *    form (re-signs the whole index from text) vs against the
+  *    pre-signed bucketed band index — the measured gap is what
+  *    persisting the index buys every ingest;
+  *  - semantic dedup: demo vs k-means cells (wall + dropped counts) —
+  *    the data-adaptive cell path for q55.
   *
   * Usage: ScaleEvidence <sfDir> [k=16] [iters=2] [seed=7]
   * Prints one JSON line.
@@ -82,12 +88,39 @@ object ScaleEvidence {
       Similarity.ivfTopK(emb, queryPred, topK, centroids = Some(cents))
         .select("qid", "nid"), exact)
 
+    // ---- q57: one-shot re-sign vs pre-signed bucketed index -------------
+    // same new batch (~2% of docs), two index forms: the one-shot form
+    // re-signs the whole corpus from text per ingest; the production
+    // form signs once (writeBandIndex) and every ingest joins the
+    // bucketed band rows — batch-side signing + co-located join only
+    val docsAll = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val batchPred = col("doc_id") % 53 === 0
+    val corpus = docsAll.filter(!batchPred)
+    val batch = docsAll.filter(batchPred)
+    val (_, signSec) = timed(Dedup.writeBandIndex(corpus, "se_band_idx", 32))
+    val (oneShotRows, oneShotSec) = timed(
+      Dedup.incrementalDupCandidates(batch, corpus).count())
+    val (preRows, preSec) = timed(
+      Dedup.incrementalAgainstIndex(batch, spark.table("se_band_idx")).count())
+
+    // ---- q55: demo vs k-means cells -------------------------------------
+    val (semDemoDropped, semDemoSec) = timed(
+      Similarity.semanticDedup(emb).filter(!col("kept")).count())
+    val (semProdDropped, semProdSec) = timed(
+      Similarity.semanticDedup(emb, centroids = Some(cents))
+        .filter(!col("kept")).count())
+
     println(s"""{"sf":"$sfDir","q44_rows":$q44Rows,"q44_rounds":$q44Rounds,""" +
       s""""q44_sec":$q44Sec,"gram_rows":$gramVolume,"q42_rows":$q42Rows,""" +
       s""""q42_sec":$q42Sec,"q43_rows":$q43Rows,"q43_sec":$q43Sec,""" +
       s""""ivf_demo_sec":$demoSec,"ivf_demo_recall":$demoRecall,""" +
       s""""kmeans_fit_sec":$fitSec,"ivf_kmeans_sec":$prodSec,""" +
-      s""""ivf_kmeans_recall":$prodRecall,"k":$k,"iters":$iters}""")
+      s""""ivf_kmeans_recall":$prodRecall,"k":$k,"iters":$iters,""" +
+      s""""index_sign_sec":$signSec,"ingest_oneshot_sec":$oneShotSec,""" +
+      s""""ingest_presigned_sec":$preSec,"ingest_rows":$preRows,""" +
+      s""""ingest_oneshot_rows":$oneShotRows,""" +
+      s""""sem_demo_sec":$semDemoSec,"sem_demo_dropped":$semDemoDropped,""" +
+      s""""sem_kmeans_sec":$semProdSec,"sem_kmeans_dropped":$semProdDropped}""")
     spark.stop()
   }
 }

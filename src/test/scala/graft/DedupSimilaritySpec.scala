@@ -242,6 +242,9 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(scanCount("q25_jaccard_pairs") <= 2)
     // q34's window-capped self-join: one embeddings scan per join side
     assert(scanCount("q34_ann_lsh") <= 2)
+    // q57's one-shot form: one scan per side (batch + in-query index);
+    // the production path replaces the index side with a bucketed read
+    assert(scanCount("q57_incremental_dedup") <= 2)
   }
 
   test("q49 banded simhash recalls EXACTLY the hamming<=1 pairs (pigeonhole guarantee)") {
