@@ -191,6 +191,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(r(1L) && !r(30L))
   }
 
+  test("semantic dedup invariants on random vectors: survivors pairwise dissimilar, drops cite smaller same-cell partners") {
+    val rnd = new scala.util.Random(7)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    for (_ <- 1 to 3) {
+      val n = 10 + rnd.nextInt(10)
+      val vecs = (0L until n.toLong).map(i =>
+        (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      val thr = 0.5
+      val rows = Similarity.semanticDedup(
+        vecs.toDF("vec_id", "embedding"), threshold = thr, numCells = 2).collect()
+      assert(rows.length == n) // one verdict per vector, always
+      val cells = rows.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+      val kept = rows.filter(_.getAs[Boolean]("kept")).map(_.getAs[Long]("vec_id")).toSet
+      val vmap = vecs.toMap
+      // the min-id rule makes the survivor set PAIRWISE dissimilar: a
+      // same-cell pair of survivors at >= thr would have dropped the larger
+      for (a <- kept; b <- kept if a < b && cells(a) == cells(b))
+        assert(cos(vmap(a), vmap(b)) < thr, s"survivors $a,$b still >= $thr")
+      // every drop is justified: smaller id, same cell, actually similar
+      rows.filterNot(_.getAs[Boolean]("kept")).foreach { r =>
+        val id = r.getAs[Long]("vec_id"); val d = r.getAs[Long]("dup_of")
+        assert(d < id && cells(d) == cells(id), s"$id cites invalid twin $d")
+        assert(cos(vmap(d), vmap(id)) >= thr, s"$id->$d below threshold")
+      }
+    }
+  }
+
   test("q55 plans <= 3 embeddings scans; centroids stay the broadcast side") {
     val df = Registry.byName("q55_semantic_dedup").run(spark, TestSpark.sf0001)
     val p = df.queryExecution.explainString(
