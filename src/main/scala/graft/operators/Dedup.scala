@@ -186,37 +186,31 @@ object Dedup {
   // hash = top bit of hex digit j of md5(word) (digit >= '8'); fingerprint
   // bit j is set when set-votes outnumber clear-votes (strict majority).
 
-  /** Sum-of-bit-terms SimHash over a `wh` word-hash array column —
-    * shared by q24 (16-bit fingerprint) and q49 (32-bit banded pair
-    * detection) so the bit definition can't drift between them.
+  /** DuckDB twin of [[graft.functions.SimHash]] (over the hex word-hash
+    * array `wh`; the engine side is the native codegen'd expression —
+    * same votes, same strict majority, bit-identical fingerprints).
     */
-  private def simhashExpr(bits: Int): Column =
-    (1 to bits).map { j =>
-      when(size(filter(col("wh"), h => substring(h, j, 1) >= "8")) * 2 > size(col("wh")),
-        lit(1L << (j - 1))).otherwise(lit(0L))
-    }.reduce(_ + _)
-
-  /** DuckDB twin of [[simhashExpr]]. */
   private def simhashSql(bits: Int): String =
     (1 to bits).map { j =>
       s"CASE WHEN 2 * len(list_filter(wh, h -> substr(h, $j, 1) >= '8')) > len(wh) " +
         s"THEN CAST(${1L << (j - 1)} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     }.mkString(" + ")
 
-  private def withWordHashes(df: DataFrame): DataFrame =
-    df.select(col("doc_id"),
-      transform(split(col("text"), " "), w => md5(w.cast("binary"))).as("wh"))
-
   /** `(doc_id, sh)` SimHash fingerprints of a `(doc_id, text)` frame —
     * public so tests can brute-force the hamming neighborhood the banded
-    * q49 index must recall exactly.
+    * q49 index must recall exactly. The fingerprint is the native
+    * [[graft.functions.SimHash]] expression: the composable
+    * per-bit-filter form cost 11.3s of q49's 19.6s at sf1 (32
+    * interpreted higher-order filters over hex strings); the native
+    * byte-slice loop removes that entirely.
     */
   def simhashFingerprints(docs: DataFrame, bits: Int): DataFrame =
-    withWordHashes(docs).select(col("doc_id"), simhashExpr(bits).as("sh"))
+    docs.select(col("doc_id"), graft.functions.SimHash(col("text"), bits).as("sh"))
 
   private def q24(s: SparkSession, d: String): DataFrame =
-    withWordHashes(Tables.documents(s, d))
-      .select(col("doc_id"), simhashExpr(16).as("simhash"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.SimHash(col("text"), 16).as("simhash"))
 
   private val o24 =
     s"""SELECT doc_id, ${simhashSql(16)} AS simhash

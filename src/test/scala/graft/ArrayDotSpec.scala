@@ -53,6 +53,37 @@ class ArrayDotSpec extends AnyFunSuite {
     assert(r == 11.0)
   }
 
+  test("SimHash matches the composable md5-hex-digit form bit-for-bit") {
+    // the interpreted form SimHash replaced: per bit j, strict majority
+    // of words whose md5 hex digit j is >= '8'
+    def hofForm(bits: Int) = (1 to bits).map { j =>
+      when(size(filter(col("wh"), h => substring(h, j, 1) >= "8")) * 2 >
+        size(col("wh")), lit(1L << (j - 1))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val rnd = new scala.util.Random(11)
+    val texts = Seq("", "a", " ", "a ", " a", "a  b", "word",
+      "the quick brown fox", "x y z x y z x") ++
+      (0 until 40).map(_ => Seq.fill(1 + rnd.nextInt(12))(
+        rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString).mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .withColumn("wh", transform(split(col("text"), " "), w => md5(w.cast("binary"))))
+    for (bits <- Seq(16, 32)) {
+      val out = df.select(
+        graft.functions.SimHash(col("text"), bits).as("native"),
+        hofForm(bits).as("hof")).collect()
+      out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    }
+  }
+
+  test("simhash registers as a SQL function with a literal bit width") {
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT simhash('a b c', 16) AS s").collect().head.getLong(0)
+    val viaApi = Seq(Tuple1("a b c")).toDF("text")
+      .select(graft.functions.SimHash(col("text"), 16)).collect().head.getLong(0)
+    assert(viaSql == viaApi)
+  }
+
   test("participates in codegen (no fallback) and works under it") {
     val rows = (0 until 1000).map(i => (i.toLong, Array.fill(8)(i * 0.5)))
     val df = rows.toDF("id", "v")
