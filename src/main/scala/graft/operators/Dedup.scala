@@ -27,18 +27,13 @@ object Dedup {
 
   /** Adds a `ws` column: distinct 2-word shingles of `text` (the dedup
     * unit for MinHash/Jaccard — positional n-grams discriminate much
-    * better than unigram sets over a small vocabulary). The split is
-    * materialized once; inlining it in the lambda would re-split the
-    * text per shingle (CollapseProject keeps non-cheap exprs staged).
+    * better than unigram sets over a small vocabulary). The shingle set
+    * is the native [[graft.functions.ShingleSet]] expression; the
+    * composable split + interpreted transform + array_distinct it
+    * replaces was the remaining hot cost of the q25 verification stage.
     */
   private def withShingleSet(df: DataFrame): DataFrame =
-    df.withColumn("w0", split(col("text"), " "))
-      .withColumn("ws", expr(
-        "array_distinct(CASE WHEN size(w0) >= 2 THEN " +
-          "transform(sequence(1, size(w0) - 1), " +
-          "i -> concat(element_at(w0, i), ' ', element_at(w0, i + 1))) " +
-          "ELSE array(text) END)"))
-      .drop("w0")
+    df.withColumn("ws", graft.functions.ShingleSet(col("text")))
 
   /** DuckDB twin of [[shingleSet]] (w = string_split(text, ' ')). */
   private val shingleSql =
@@ -67,19 +62,21 @@ object Dedup {
   private val BandCap = 100
 
   /** Adds the MinhashK per-slice signature columns `s0..s7` (keeping the
-    * input's columns): one md5 per distinct shingle, its 32 hex chars
-    * sliced into MinhashK independent 16-bit hash functions, min per
-    * slice over the shingle set. Shared by the batch LSH banding and the
-    * full-sketch key ([[withSignature]]) so the two can't drift.
+    * input's columns): one md5 per shingle, its 32 hex chars sliced into
+    * MinhashK independent 16-bit hash functions, min per slice over the
+    * shingle set. Shared by the batch LSH banding and the full-sketch
+    * key ([[withSignature]]) so the two can't drift. The signature is
+    * the native [[graft.functions.MinHashSlices]] expression (the
+    * interpreted per-shingle-md5 + k array_min passes were the dominant
+    * cost of the candidate pipeline); the two-step projection keeps
+    * CollapseProject from inlining the non-cheap expression once per
+    * slice column.
     */
   private def withSigSlices(df: DataFrame): DataFrame = {
     val keep = df.columns.map(col).toSeq
-    val sigs = (0 until MinhashK).map { i =>
-      array_min(transform(col("wh"), h => substring(h, i * 4 + 1, 4))).as(s"s$i")
-    }
-    withShingleSet(df)
-      .withColumn("wh", transform(col("ws"), w => md5(w.cast("binary"))))
-      .select(keep ++ sigs: _*)
+    df.withColumn("mhs", graft.functions.MinHashSlices(col("text"), MinhashK))
+      .select(keep ++ (0 until MinhashK).map(i =>
+        element_at(col("mhs"), i + 1).as(s"s$i")): _*)
   }
 
   /** `(doc_id, bk)` LSH band rows of a `(doc_id, text)` frame — the

@@ -76,6 +76,36 @@ class ArrayDotSpec extends AnyFunSuite {
     }
   }
 
+  test("MinHashSlices and ShingleSet match their composable forms exactly") {
+    val rnd = new scala.util.Random(13)
+    val texts = Seq("", "a", " ", "a ", " a", "a  b", "word", "a b a b",
+      "the quick brown fox", "x y z x y z x") ++
+      (0 until 40).map(_ => Seq.fill(1 + rnd.nextInt(12))(
+        rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString).mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .withColumn("w0", split(col("text"), " "))
+      .withColumn("wsRef", expr(
+        "array_distinct(CASE WHEN size(w0) >= 2 THEN " +
+          "transform(sequence(1, size(w0) - 1), " +
+          "i -> concat(element_at(w0, i), ' ', element_at(w0, i + 1))) " +
+          "ELSE array(text) END)"))
+      .withColumn("whRef", transform(col("wsRef"), w => md5(w.cast("binary"))))
+    val k = 8
+    val sigRef = (0 until k).map { i =>
+      array_min(transform(col("whRef"), h => substring(h, i * 4 + 1, 4)))
+    }
+    val out = df.select(
+      graft.functions.MinHashSlices(col("text"), k).as("native"),
+      array(sigRef: _*).as("ref"),
+      graft.functions.ShingleSet(col("text")).as("wsNative"),
+      col("wsRef")).collect()
+    out.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"minhash slices differ: $r")
+      assert(r.getSeq[String](2) == r.getSeq[String](3), s"shingle sets differ: $r")
+    }
+  }
+
   test("simhash registers as a SQL function with a literal bit width") {
     GraftFunctions.register(spark)
     val viaSql = spark.sql("SELECT simhash('a b c', 16) AS s").collect().head.getLong(0)
