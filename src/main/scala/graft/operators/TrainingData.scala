@@ -47,10 +47,11 @@ object TrainingData {
   // ONE colliding pair stay ~3%, and a collision only adds one
   // spurious candidate gram, it cannot drop a real one). Empty below 8
   // words.
-  private val gramHashExpr =
-    "CASE WHEN size(w) >= 8 THEN transform(sequence(1, size(w) - 7), " +
-      "i -> substring(md5(cast(concat_ws(' ', slice(w, i, 8)) AS BINARY)), 1, 16)) " +
-      "ELSE CAST(array() AS ARRAY<STRING>) END"
+  // (engine side is the native graft.functions.GramHashes expression —
+  // an n-word window joined by single spaces is a contiguous slice of
+  // the text's UTF-8 bytes, so each gram hashes in place; the
+  // interpreted slice+concat_ws+md5+substring chain it replaced
+  // dominated these queries' scan cost. Bit-identical output.)
 
   private val gramHashSql =
     """CASE WHEN len(ws) >= 8 THEN
@@ -117,8 +118,8 @@ object TrainingData {
   // shared by every source costs |sources|², not |corpus|².
   private def q42(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("source"), split(col("text"), " ").as("w"))
-      .select(col("source"), explode(expr(gramHashExpr)).as("gh"))
+      .select(col("source"),
+        explode(graft.functions.GramHashes(col("text"), 8, 16)).as("gh"))
       .groupBy(col("gh"))
       .agg(sort_array(collect_set(col("source"))).as("srcs"))
       .filter(size(col("srcs")) >= 2)
@@ -157,8 +158,8 @@ object TrainingData {
   def contaminatedTestDocs(docs: DataFrame): DataFrame =
     docs
       .withColumn("split", splitCol)
-      .select(col("doc_id"), col("split"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), col("split"), explode(expr(gramHashExpr)).as("gh"))
+      .select(col("doc_id"), col("split"),
+        explode(graft.functions.GramHashes(col("text"), 8, 16)).as("gh"))
       .groupBy(col("gh"))
       .agg(
         max(when(col("split") === "train", 1).otherwise(0)).as("has_train"),

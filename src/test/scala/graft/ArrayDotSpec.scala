@@ -106,6 +106,25 @@ class ArrayDotSpec extends AnyFunSuite {
     }
   }
 
+  test("GramHashes matches the composable slice+concat_ws+md5 form exactly") {
+    val composable =
+      "CASE WHEN size(w) >= 8 THEN transform(sequence(1, size(w) - 7), " +
+        "i -> substring(md5(cast(concat_ws(' ', slice(w, i, 8)) AS BINARY)), 1, 16)) " +
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    val rnd = new scala.util.Random(17)
+    val texts = Seq("", "a", "short text under eight words",
+      "exactly eight words one two three four five", "a  b c d e f g h i") ++
+      (0 until 30).map(_ => Seq.fill(1 + rnd.nextInt(20))(
+        rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString).mkString(" "))
+    val out = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .withColumn("w", split(col("text"), " "))
+      .select(
+        graft.functions.GramHashes(col("text"), 8, 16).as("native"),
+        expr(composable).as("ref")).collect()
+    out.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), s"grams differ: $r"))
+  }
+
   test("simhash registers as a SQL function with a literal bit width") {
     GraftFunctions.register(spark)
     val viaSql = spark.sql("SELECT simhash('a b c', 16) AS s").collect().head.getLong(0)
