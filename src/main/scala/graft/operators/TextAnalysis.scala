@@ -317,15 +317,7 @@ object TextAnalysis {
   // shuffle; top-k is TakeOrdered.
   private def q38(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(split(col("text"), " ").as("w")) // materialize once
-      .select(explode(expr(
-        // guard: Spark sequence(1, 0) counts DOWN, so a 1-word doc
-        // would index position 0 — empty array instead
-        "CASE WHEN size(w) >= 2 THEN " +
-          "transform(sequence(1, size(w) - 1), " +
-          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) " +
-          "ELSE CAST(array() AS ARRAY<STRING>) END"))
-        .as("bigram"))
+      .select(explode(graft.functions.WordGrams(col("text"), 2)).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram").asc)
@@ -355,11 +347,8 @@ object TextAnalysis {
   // per-doc branch), the same branch trade q37 documents.
   private val BoilerPctDocs = 1 // gram is boilerplate above this % of docs
 
-  private val gram3Expr =
-    "CASE WHEN size(w) >= 3 THEN transform(sequence(1, size(w) - 2), " +
-      "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), " +
-      "element_at(w, i + 2))) ELSE CAST(array() AS ARRAY<STRING>) END"
-
+  // (engine side is the native graft.functions.WordGrams expression —
+  // 3-word grams are contiguous byte slices of the text)
   private val gram3Sql =
     """CASE WHEN len(ws) >= 3 THEN
       |  list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
@@ -374,8 +363,8 @@ object TextAnalysis {
     */
   def boilerplateSignal(docs: DataFrame): DataFrame = {
     val grams = docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), expr(gram3Expr).as("grams"))
+      .select(col("doc_id"),
+        graft.functions.WordGrams(col("text"), 3).as("grams"))
     val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
     val hot = grams
       .select(explode(array_distinct(col("grams"))).as("gram"))

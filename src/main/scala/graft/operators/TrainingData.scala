@@ -82,12 +82,8 @@ object TrainingData {
   // and no shuffle exists anywhere in the plan.
   private def q41(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), expr(
-        "CASE WHEN size(w) >= 3 THEN transform(sequence(1, size(w) - 2), " +
-          "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), " +
-          "element_at(w, i + 2))) ELSE CAST(array() AS ARRAY<STRING>) END")
-        .as("grams"))
+      .select(col("doc_id"),
+        graft.functions.WordGrams(col("text"), 3).as("grams"))
       .select(col("doc_id"),
         size(col("grams")).cast("long").as("n_grams"),
         size(array_distinct(col("grams"))).cast("long").as("n_distinct"),

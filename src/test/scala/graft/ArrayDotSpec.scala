@@ -125,6 +125,25 @@ class ArrayDotSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), s"grams differ: $r"))
   }
 
+  test("WordGrams matches the composable concat_ws form for widths 2 and 3") {
+    def composable(n: Int) =
+      s"CASE WHEN size(w) >= $n THEN transform(sequence(1, size(w) - ${n - 1}), " +
+        s"i -> concat_ws(' ', ${(0 until n).map(o => s"element_at(w, i + $o)").mkString(", ")})) " +
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    val rnd = new scala.util.Random(19)
+    val texts = Seq("", "a", "a b", "a b c", "a  b  c", " x y ") ++
+      (0 until 30).map(_ => Seq.fill(1 + rnd.nextInt(10))(
+        rnd.alphanumeric.take(1 + rnd.nextInt(5)).mkString).mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").withColumn("w", split(col("text"), " "))
+    for (n <- Seq(2, 3)) {
+      val out = df.select(
+        graft.functions.WordGrams(col("text"), n).as("native"),
+        expr(composable(n)).as("ref")).collect()
+      out.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), s"grams($n) differ: $r"))
+    }
+  }
+
   test("simhash registers as a SQL function with a literal bit width") {
     GraftFunctions.register(spark)
     val viaSql = spark.sql("SELECT simhash('a b c', 16) AS s").collect().head.getLong(0)
