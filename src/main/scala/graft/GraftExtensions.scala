@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayDot, SimHash}
+import graft.functions.{ArrayDot, GramHashes, MinHashSlices, ShingleSet, SimHash, WordGrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -21,6 +21,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash"),
       new ExpressionInfo(classOf[SimHash].getName, "simhash"),
       (exprs: Seq[Expression]) => SimHash(exprs(0), SimHash.bitsArg(exprs(1)))))
+    e.injectFunction((
+      FunctionIdentifier("minhash_slices"),
+      new ExpressionInfo(classOf[MinHashSlices].getName, "minhash_slices"),
+      (exprs: Seq[Expression]) => MinHashSlices(exprs(0), SimHash.bitsArg(exprs(1)))))
+    e.injectFunction((
+      FunctionIdentifier("shingle_set"),
+      new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
+      (exprs: Seq[Expression]) => ShingleSet(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("gram_hashes"),
+      new ExpressionInfo(classOf[GramHashes].getName, "gram_hashes"),
+      (exprs: Seq[Expression]) => GramHashes(exprs(0),
+        SimHash.bitsArg(exprs(1)), SimHash.bitsArg(exprs(2)))))
+    e.injectFunction((
+      FunctionIdentifier("word_grams"),
+      new ExpressionInfo(classOf[WordGrams].getName, "word_grams"),
+      (exprs: Seq[Expression]) => WordGrams(exprs(0), SimHash.bitsArg(exprs(1)))))
   }
 }
 
@@ -31,5 +48,14 @@ object GraftFunctions {
       spark, "array_dot", exprs => ArrayDot(exprs(0), exprs(1)))
     org.apache.spark.sql.graftshim.ColumnBridge.registerTempFunction(
       spark, "simhash", exprs => SimHash(exprs(0), SimHash.bitsArg(exprs(1))))
+    org.apache.spark.sql.graftshim.ColumnBridge.registerTempFunction(
+      spark, "minhash_slices", exprs => MinHashSlices(exprs(0), SimHash.bitsArg(exprs(1))))
+    org.apache.spark.sql.graftshim.ColumnBridge.registerTempFunction(
+      spark, "shingle_set", exprs => ShingleSet(exprs(0)))
+    org.apache.spark.sql.graftshim.ColumnBridge.registerTempFunction(
+      spark, "gram_hashes", exprs => GramHashes(exprs(0),
+        SimHash.bitsArg(exprs(1)), SimHash.bitsArg(exprs(2))))
+    org.apache.spark.sql.graftshim.ColumnBridge.registerTempFunction(
+      spark, "word_grams", exprs => WordGrams(exprs(0), SimHash.bitsArg(exprs(1))))
   }
 }

@@ -100,12 +100,13 @@ object SimHash {
   def apply(text: Column, bits: Int): Column =
     ColumnBridge.column(SimHash(ColumnBridge.expression(text), bits))
 
-  /** SQL-registration helper: the second argument must be an integer
-    * literal (bit width is part of the expression's shape, not data).
+  /** SQL-registration helper shared by the graft function family: a
+    * width/count argument must be an integer literal (it is part of the
+    * expression's shape, not data).
     */
   def bitsArg(e: Expression): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
-      s"simhash(text, bits): bits must be an integer literal, got $other")
+      s"width argument must be an integer literal, got $other")
   }
 }

@@ -152,6 +152,19 @@ class ArrayDotSpec extends AnyFunSuite {
     assert(viaSql == viaApi)
   }
 
+  test("the whole native text-kernel family registers to SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT size(minhash_slices('a b c', 8)) AS mh, " +
+        "size(shingle_set('a b c')) AS ss, " +
+        "size(gram_hashes('one two three four five six seven eight nine', 8, 16)) AS gh, " +
+        "size(word_grams('a b c', 2)) AS wg").collect().head
+    assert(r.getInt(0) == 8)  // 8 slice minima
+    assert(r.getInt(1) == 2)  // "a b", "b c"
+    assert(r.getInt(2) == 2)  // 9 words → two 8-grams
+    assert(r.getInt(3) == 2)  // "a b", "b c"
+  }
+
   test("participates in codegen (no fallback) and works under it") {
     val rows = (0 until 1000).map(i => (i.toLong, Array.fill(8)(i * 0.5)))
     val df = rows.toDF("id", "v")
