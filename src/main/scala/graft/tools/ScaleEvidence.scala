@@ -97,6 +97,18 @@ object ScaleEvidence {
     val batchPred = col("doc_id") % 53 === 0
     val corpus = docsAll.filter(!batchPred)
     val batch = docsAll.filter(batchPred)
+    // a previous JVM's managed-table location survives this session's
+    // fresh metastore — drop both the (possibly unknown) table and its
+    // directory or saveAsTable fails with LOCATION_ALREADY_EXISTS
+    spark.sql("DROP TABLE IF EXISTS se_band_idx")
+    val loc = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      "se_band_idx")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    if (loc.exists) rm(loc)
     val (_, signSec) = timed(Dedup.writeBandIndex(corpus, "se_band_idx", 32))
     val (oneShotRows, oneShotSec) = timed(
       Dedup.incrementalDupCandidates(batch, corpus).count())
