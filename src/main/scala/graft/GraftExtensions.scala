@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayDot, GramHashes, MinHashSlices, ShingleSet, SimHash, WordGrams}
+import graft.functions.{ArrayDot, GramHashes, MinHashSlices, ShingleHashes, ShingleSet, SimHash, WordGrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
       (exprs: Seq[Expression]) => ShingleSet(exprs(0))))
     e.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (exprs: Seq[Expression]) => ShingleHashes(exprs(0))))
+    e.injectFunction((
       FunctionIdentifier("gram_hashes"),
       new ExpressionInfo(classOf[GramHashes].getName, "gram_hashes"),
       (exprs: Seq[Expression]) => GramHashes(exprs(0),
@@ -52,6 +56,8 @@ object GraftFunctions {
       spark, "minhash_slices", exprs => MinHashSlices(exprs(0), SimHash.bitsArg(exprs(1))))
     org.apache.spark.sql.graftshim.ColumnBridge.registerTempFunction(
       spark, "shingle_set", exprs => ShingleSet(exprs(0)))
+    org.apache.spark.sql.graftshim.ColumnBridge.registerTempFunction(
+      spark, "shingle_hashes", exprs => ShingleHashes(exprs(0)))
     org.apache.spark.sql.graftshim.ColumnBridge.registerTempFunction(
       spark, "gram_hashes", exprs => GramHashes(exprs(0),
         SimHash.bitsArg(exprs(1)), SimHash.bitsArg(exprs(2))))

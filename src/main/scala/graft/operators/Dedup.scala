@@ -25,17 +25,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Adds a `ws` column: distinct 2-word shingles of `text` (the dedup
-    * unit for MinHash/Jaccard — positional n-grams discriminate much
-    * better than unigram sets over a small vocabulary). The shingle set
-    * is the native [[graft.functions.ShingleSet]] expression; the
-    * composable split + interpreted transform + array_distinct it
-    * replaces was the remaining hot cost of the q25 verification stage.
+  /** DuckDB twin of the distinct-2-word-shingle set (the dedup unit for
+    * MinHash/Jaccard — positional n-grams discriminate much better than
+    * unigram sets over a small vocabulary; w = string_split(text, ' ')).
+    * The Spark side never materializes the string form: the native
+    * [[graft.functions.ShingleHashes]] / [[graft.functions.MinHashSlices]]
+    * kernels hash each shingle as a contiguous byte slice in place.
     */
-  private def withShingleSet(df: DataFrame): DataFrame =
-    df.withColumn("ws", graft.functions.ShingleSet(col("text")))
-
-  /** DuckDB twin of [[shingleSet]] (w = string_split(text, ' ')). */
   private val shingleSql =
     "list_distinct(CASE WHEN len(string_split(text, ' ')) >= 2 THEN " +
       "list_transform(range(1, len(string_split(text, ' '))), " +
@@ -295,13 +291,20 @@ object Dedup {
   private val JaccardThreshold = 0.6
 
   def jaccardVerify(cands: DataFrame, docs: DataFrame): DataFrame = {
-    val sets = withShingleSet(docs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), col("ws"))
+    // PRE-HASHED shingle sets: Jaccard needs only intersection/union
+    // SIZES, which any relabeling shared by both engines preserves, so
+    // each member row carries a primitive array<long> of 60-bit shingle
+    // hashes (native ShingleHashes kernel) instead of the shingle
+    // strings — ~10× smaller exchange rows, no per-element objects, and
+    // the one measured GC-fragile shuffle in the engine goes away
+    // (SCALE.md: the string form spread 11–75s at sf1 with GC pressure).
+    val sets = docs.select(col("doc_id"),
+      graft.functions.ShingleHashes(col("text")).as("wh"))
     // One join, not two: exploding each pair into its two member rows
     // lets a single pass over `sets` serve both sides (joining sets
     // per-side would re-evaluate the shingle subtree per branch). The
     // regroup shuffles only candidate-pair rows — tiny next to the
-    // corpus. max() picks the single non-null ws per role (deterministic
+    // corpus. max() picks the single non-null wh per role (deterministic
     // — each group has exactly one row per member).
     cands
       .select(col("doc_a"), col("doc_b"),
@@ -309,11 +312,11 @@ object Dedup {
       .join(sets, "doc_id")
       .groupBy("doc_a", "doc_b")
       .agg(
-        max(when(col("doc_id") === col("doc_a"), col("ws"))).as("ws_a"),
-        max(when(col("doc_id") === col("doc_b"), col("ws"))).as("ws_b"))
+        max(when(col("doc_id") === col("doc_a"), col("wh"))).as("wh_a"),
+        max(when(col("doc_id") === col("doc_b"), col("wh"))).as("wh_b"))
       .withColumn("jaccard",
-        size(array_intersect(col("ws_a"), col("ws_b"))) /
-          size(array_union(col("ws_a"), col("ws_b"))))
+        size(array_intersect(col("wh_a"), col("wh_b"))) /
+          size(array_union(col("wh_a"), col("wh_b"))))
       .filter(col("jaccard") >= JaccardThreshold)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -323,14 +326,16 @@ object Dedup {
 
   private val o25 =
     s"""WITH $candidateCtes,
-       |sets AS (SELECT doc_id, $shingleSql AS ws FROM documents)
+       |sets AS (SELECT doc_id, list_distinct(list_transform($shingleSql,
+       |           s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS wh
+       |         FROM documents)
        |SELECT doc_a, doc_b,
-       |       len(list_intersect(x.ws, y.ws)) /
-       |       len(list_distinct(list_concat(x.ws, y.ws))) AS jaccard
+       |       len(list_intersect(x.wh, y.wh)) /
+       |       len(list_distinct(list_concat(x.wh, y.wh))) AS jaccard
        |FROM cand JOIN sets x ON cand.doc_a = x.doc_id
        |          JOIN sets y ON cand.doc_b = y.doc_id
-       |WHERE len(list_intersect(x.ws, y.ws)) /
-       |      len(list_distinct(list_concat(x.ws, y.ws))) >= $JaccardThreshold""".stripMargin
+       |WHERE len(list_intersect(x.wh, y.wh)) /
+       |      len(list_distinct(list_concat(x.wh, y.wh))) >= $JaccardThreshold""".stripMargin
 
   // ---- q44: near-dup clustering (connected components) -------------------
   // Pairs are not a dedup decision: A~B and B~C must collapse to ONE

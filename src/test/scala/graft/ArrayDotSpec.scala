@@ -106,6 +106,27 @@ class ArrayDotSpec extends AnyFunSuite {
     }
   }
 
+  test("ShingleHashes matches the composable md5-prefix form exactly") {
+    // reference: distinct 2-word shingles (ShingleSet semantics), each
+    // hashed to the first 15 md5 hex chars read as one 60-bit number,
+    // deduped on the hash, sorted ascending — the relabeling q25's
+    // Jaccard verify shuffles instead of the shingle strings.
+    val rnd = new scala.util.Random(23)
+    val texts = Seq("", "a", " ", "a ", " a", "a  b", "word", "a b a b",
+      "the quick brown fox", "x y z x y z x") ++
+      (0 until 40).map(_ => Seq.fill(1 + rnd.nextInt(12))(
+        rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString).mkString(" "))
+    val out = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .withColumn("wsRef", graft.functions.ShingleSet(col("text")))
+      .select(
+        graft.functions.ShingleHashes(col("text")).as("native"),
+        array_sort(array_distinct(transform(col("wsRef"),
+          s => conv(substring(md5(s.cast("binary")), 1, 15), 16, 10)
+            .cast("long")))).as("ref")).collect()
+    out.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"hashes differ: $r"))
+  }
+
   test("GramHashes matches the composable slice+concat_ws+md5 form exactly") {
     val composable =
       "CASE WHEN size(w) >= 8 THEN transform(sequence(1, size(w) - 7), " +
@@ -157,12 +178,14 @@ class ArrayDotSpec extends AnyFunSuite {
     val r = spark.sql(
       "SELECT size(minhash_slices('a b c', 8)) AS mh, " +
         "size(shingle_set('a b c')) AS ss, " +
+        "size(shingle_hashes('a b c')) AS sh, " +
         "size(gram_hashes('one two three four five six seven eight nine', 8, 16)) AS gh, " +
         "size(word_grams('a b c', 2)) AS wg").collect().head
     assert(r.getInt(0) == 8)  // 8 slice minima
     assert(r.getInt(1) == 2)  // "a b", "b c"
-    assert(r.getInt(2) == 2)  // 9 words → two 8-grams
-    assert(r.getInt(3) == 2)  // "a b", "b c"
+    assert(r.getInt(2) == 2)  // hashed "a b", "b c"
+    assert(r.getInt(3) == 2)  // 9 words → two 8-grams
+    assert(r.getInt(4) == 2)  // "a b", "b c"
   }
 
   test("participates in codegen (no fallback) and works under it") {
