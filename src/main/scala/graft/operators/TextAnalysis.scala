@@ -537,31 +537,48 @@ object TextAnalysis {
   // Per-doc sums are then exact BIGINTs and the final mean is ONE double
   // division of exactly-representable operands (sum <= n_tokens*LmScale
   // < 2^53 for docs up to ~9k tokens at this scale) — bit-identical by
-  // IEEE. Production knobs: LmScale must keep max(cnt)*LmScale < 2^63
-  // and maxDocTokens*LmScale < 2^53 (drop to 1e9 for web corpora, or
-  // carry the product as DECIMAL(38,0)).
+  // IEEE. The 2^63 side is ENFORCED at runtime: any corpus-wide token
+  // count above Long.MaxValue/LmScale raises instead of silently
+  // wrapping (non-ANSI Long arithmetic would corrupt scores exactly at
+  // scale; drop LmScale to 1e9 for web corpora, or carry the product as
+  // DECIMAL(38,0)).
   //
-  // Distributed shape: the frequency table is vocabulary-sized and joins
-  // back UNHINTED (the q37 discipline — AQE broadcasts it at sane vocab
-  // sizes, shuffle-join fallback is skew-safe above the ceiling); the
-  // 1-row total is force-broadcast. Three documents scans (freq branch,
-  // total branch, per-doc branch) and two aggregation shuffles, both
-  // collapsed map-side.
+  // Distributed shape (round 7): the exploded token stream is FIRST
+  // collapsed to its (doc_id, w, cnt) aggregate, and every downstream
+  // branch — freq (sum cnt by w), total (sum cnt), and the per-doc
+  // score join — derives from it, so the physical plan materializes ONE
+  // token-level exchange and AQE reuses it three times (ReusedExchange,
+  // CI-pinned). The join against the vocabulary-sized freq table is
+  // UNHINTED (the q37 discipline — AQE broadcasts it at sane vocab
+  // sizes); above the broadcast ceiling the shuffle-join input is now
+  // the (doc_id, w, cnt) aggregate, not raw token occurrences — smaller
+  // by the in-doc repetition factor, and the pre-aggregate exchange
+  // hashes on the UNIFORM (doc_id, w) pair, not the Zipf-skewed word
+  // alone. n_tokens = sum(cnt) and sum_scaled = sum(cnt * p_scaled) are
+  // exact in the same integer arithmetic as the per-occurrence form.
   private val LmScale = 1000000000000L
 
   /** Per-doc mean corpus-unigram token probability over any
     * `(doc_id, text)` frame (the q56 kernel).
     */
   def unigramLm(docs: DataFrame): DataFrame = {
-    val tokens = docs.select(col("doc_id"),
+    val perDoc = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("w"))
-    val freq = tokens.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    val total = tokens.agg(count(lit(1)).as("total"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val freq = perDoc.groupBy(col("w")).agg(sum(col("c")).as("cnt"))
+    val total = perDoc.agg(sum(col("c")).as("total"))
+    val maxSafeCnt = Long.MaxValue / LmScale
     val scaled = freq.crossJoin(broadcast(total))
-      .select(col("w"), expr(s"(cnt * ${LmScale}L) div total").as("p_scaled"))
-    tokens.join(scaled, "w")
+      .select(col("w"),
+        when(col("cnt") > maxSafeCnt, raise_error(concat(
+          lit(s"unigramLm: token count > Long-safe ceiling $maxSafeCnt " +
+            s"for LmScale=$LmScale (lower LmScale or use DECIMAL): "),
+          col("w"))))
+          .otherwise(expr(s"(cnt * ${LmScale}L) div total")).as("p_scaled"))
+    perDoc.join(scaled, "w")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("p_scaled")).as("sum_scaled"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("p_scaled")).as("sum_scaled"))
       .withColumn("mean_prob", col("sum_scaled").cast("double") /
         (col("n_tokens").cast("double") * lit(LmScale.toDouble)))
   }

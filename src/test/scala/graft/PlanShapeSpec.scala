@@ -61,6 +61,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
   }
 
+  test("q56 aggregates the token stream once and reuses the exchange") {
+    val p = planOf("q56_unigram_lm")
+    // every branch (freq, total, per-doc score) derives from the
+    // (doc_id, w, cnt) pre-aggregate: exactly one token-level exchange
+    // materializes and the others read it back — raw token occurrences
+    // never feed the freq join, so the above-broadcast-ceiling fallback
+    // shuffles the aggregate, not the Zipf-skewed occurrence stream.
+    // AQE materializes the reuse at runtime, so execute, then pin.
+    val df = Registry.byName("q56_unigram_lm").run(spark, TestSpark.sf0001)
+    df.collect()
+    val fin = df.queryExecution.explainString(FormattedMode)
+    assert(fin.contains("ReusedExchange"),
+      s"expected the (doc_id, w) pre-aggregate exchange to be reused:\n${fin.take(2000)}")
+  }
+
   test("q39 broadcasts centroids and probes; corpus rows never join-shuffle") {
     val p = planOf("q39_ivf_ann")
     // centroid/probe frames are always the right side of their joins;
