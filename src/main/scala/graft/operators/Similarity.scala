@@ -239,6 +239,23 @@ object Similarity {
     cents.toDF("cid", "cv").withColumn("cn", norm(col("cv")))
   }
 
+  /** The deterministic lowest-`vec_id` demo centroid set over a
+    * normalized `(vec_id, v, nrm)` frame. An empty seed (possible on
+    * filtered frames where every low-id vector was dropped upstream)
+    * would assign nothing and make the caller silently return zero
+    * rows — fail loudly instead; production callers pass explicit
+    * centroids ([[kmeansCentroids]]). The check is one pushed-filter
+    * existence probe.
+    */
+  private def demoCentroids(base: DataFrame, numCells: Int): DataFrame = {
+    val seed = base.filter(col("vec_id") < numCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    require(!seed.isEmpty,
+      s"demo-centroid seed (vec_id < $numCells) matched no rows on this " +
+        "frame; pass explicit centroids (e.g. kmeansCentroids)")
+    seed
+  }
+
   /** IVF approximate top-k cosine neighbors for each query vector.
     * `centroids` (shape `(cid, cv, cn)`, e.g. from [[kmeansCentroids]])
     * overrides the deterministic lowest-`vec_id` demo centroid set.
@@ -249,8 +266,7 @@ object Similarity {
     val base = embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val cents = centroids.getOrElse(base.filter(col("vec_id") < numCells)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn")))
+    val cents = centroids.getOrElse(demoCentroids(base, numCells))
     def scoreCells(df: DataFrame): DataFrame =
       df.crossJoin(broadcast(cents))
         .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
@@ -319,8 +335,7 @@ object Similarity {
     val base = embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val cents = centroids.getOrElse(base.filter(col("vec_id") < numCells)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn")))
+    val cents = centroids.getOrElse(demoCentroids(base, numCells))
     val assigned = base.crossJoin(broadcast(cents))
       .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
       .groupBy(col("vec_id"))

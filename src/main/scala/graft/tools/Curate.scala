@@ -75,14 +75,18 @@ object Curate {
     // kernel): paraphrases and templated rewrites share no long n-grams,
     // so stage 1 cannot see them; within-cell cosine can. Runs after
     // canonicalization so already-collapsed families don't re-vote.
-    val semKeep = Similarity.semanticDedup(
+    // Anti-join on the DROPPED set, not semi-join on the kept set: a doc
+    // with no embedding row has no semanticDedup verdict at all, and it
+    // must survive the stage — on corpora with partial embedding
+    // coverage a kept-set semi-join would silently discard it.
+    val semDropped = Similarity.semanticDedup(
         Tables.embeddings(spark, sfDir)
           .join(deduped.select(col("doc_id").as("vec_id")),
             Seq("vec_id"), "left_semi"))
-      .filter(col("kept"))
+      .filter(!col("kept"))
       .select(col("vec_id").as("doc_id"))
     val semDeduped = stage(
-      deduped.join(semKeep, Seq("doc_id"), "left_semi"), "sem_deduped")
+      deduped.join(semDropped, Seq("doc_id"), "left_anti"), "sem_deduped")
 
     // 2. quality gate: top half per language among the survivors —
     // threshold-broadcast form (no per-language sort partition)

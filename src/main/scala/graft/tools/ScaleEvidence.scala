@@ -99,16 +99,17 @@ object ScaleEvidence {
     val batch = docsAll.filter(batchPred)
     // a previous JVM's managed-table location survives this session's
     // fresh metastore — drop both the (possibly unknown) table and its
-    // directory or saveAsTable fails with LOCATION_ALREADY_EXISTS
+    // directory or saveAsTable fails with LOCATION_ALREADY_EXISTS.
+    // The stale location is resolved the way the catalog will resolve
+    // the managed table (current database locationUri + table name, via
+    // Hadoop Path) — hand-parsing the warehouse URI resolved relative/
+    // scheme-less settings against the process CWD instead.
     spark.sql("DROP TABLE IF EXISTS se_band_idx")
-    val loc = new java.io.File(
-      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
-      "se_band_idx")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rm)
-      f.delete(); ()
-    }
-    if (loc.exists) rm(loc)
+    val dbLoc = spark.catalog.getDatabase(spark.catalog.currentDatabase).locationUri
+    val loc = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(dbLoc), "se_band_idx")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) { fs.delete(loc, true); () }
     val (_, signSec) = timed(Dedup.writeBandIndex(corpus, "se_band_idx", 32))
     val (oneShotRows, oneShotSec) = timed(
       Dedup.incrementalDupCandidates(batch, corpus).count())

@@ -191,6 +191,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(r(1L) && !r(30L))
   }
 
+  test("semantic dedup fails loudly when the demo-centroid seed is empty") {
+    // a filtered frame can lose every vec_id < numCells row (e.g. a
+    // curation stage running on post-dedup survivors); assigning against
+    // an empty centroid set would silently return zero rows — the
+    // ADVICE-flagged failure mode that made Curate drop its whole corpus
+    val df = Seq((100L, Array.fill(8)(1.0f)), (101L, Array.fill(8)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDedup(df, numCells = 16)
+    }
+    assert(e.getMessage.contains("demo-centroid seed"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(df, col("vec_id") === 100L, k = 1, numCells = 16)
+    }
+    assert(e2.getMessage.contains("demo-centroid seed"))
+  }
+
   test("semantic dedup invariants on random vectors: survivors pairwise dissimilar, drops cite smaller same-cell partners") {
     val rnd = new scala.util.Random(7)
     def cos(a: Array[Float], b: Array[Float]): Double = {

@@ -88,11 +88,15 @@ class TextCurationSpec extends AnyFunSuite {
     assert(r(2L) == ((1L, 250000000000L, 0.25)))
   }
 
-  test("q56 plans three documents scans; the frequency join stays unhinted") {
+  test("q56 static plan: three branches of one shared pre-aggregate, no window") {
+    // the static plan still shows a scan per branch (freq/total/per-doc
+    // all derive from the same (doc_id, w, cnt) pre-aggregate subtree);
+    // AQE collapses them to ONE materialized scan at runtime via
+    // exchange reuse — pinned in PlanShapeSpec's executed-plan test
     val p = Registry.byName("q56_unigram_lm").run(spark, TestSpark.sf0001)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     val scans = p.linesIterator.count(_.matches("""^\(\d+\) Scan parquet\s*$"""))
-    assert(scans == 3, s"expected freq + total + per-doc scans, got $scans")
+    assert(scans == 3, s"expected freq + total + per-doc scan branches, got $scans")
     assert(!p.contains("Window"), "corpus frequency must be an aggregate, not a window")
   }
 

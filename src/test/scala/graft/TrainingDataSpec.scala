@@ -183,6 +183,29 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(over.count() == 0)
   }
 
+  test("curation preserves docs with no embedding row (partial coverage)") {
+    // stage 1b anti-joins on semanticDedup's DROPPED set: a doc absent
+    // from the embeddings table has no verdict and must pass through —
+    // the old kept-set semi-join silently discarded it (ADVICE r6)
+    val dir = java.nio.file.Files.createTempDirectory("curatecov").toString
+    val out = java.nio.file.Files.createTempDirectory("curatecovout").toString
+    Tables.documents(spark, TestSpark.sf0001)
+      .write.parquet(s"$dir/documents.parquet")
+    // keep the demo-centroid seeds (vec_id < 16), drop every 7th other row
+    Tables.embeddings(spark, TestSpark.sf0001)
+      .filter(col("vec_id") < 16 || col("vec_id") % 7 =!= 3)
+      .write.parquet(s"$dir/embeddings.parquet")
+    graft.tools.Curate.run(spark, dir, out)
+    val deduped = spark.read.parquet(s"$out/deduped")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val semDeduped = spark.read.parquet(s"$out/sem_deduped")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val uncovered = deduped.filter(id => id >= 16 && id % 7 == 3)
+    assert(uncovered.nonEmpty, "fixture must exercise uncovered docs")
+    assert(uncovered.subsetOf(semDeduped),
+      s"docs without embeddings must survive stage 1b; lost ${(uncovered -- semDeduped).take(5)}")
+  }
+
   test("q47: sampling is deterministic, per-stratum, and split-independent") {
     import graft.operators.TrainingData
     val dir = java.nio.file.Files.createTempDirectory("strat").toString
