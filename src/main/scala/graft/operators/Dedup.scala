@@ -75,17 +75,26 @@ object Dedup {
         element_at(col("mhs"), i + 1).as(s"s$i")): _*)
   }
 
-  /** `(doc_id, bk)` LSH band rows of a `(doc_id, text)` frame — the
-    * banding kernel shared by the batch candidate join (q23/q25) and the
-    * incremental index join (q57).
+  /** `(doc_id, sig, bk)` LSH band rows of a `(doc_id, text)` frame,
+    * carrying the full concatenated sketch alongside each band key —
+    * the banding kernel shared by the batch candidate join (q23/q25),
+    * the incremental index join (q57), and the signature-verified
+    * ingest (q59). Callers that don't need `sig` project it away and
+    * column pruning removes the concat.
     */
-  private def bandRows(df: DataFrame): DataFrame =
+  private def sigBandRows(df: DataFrame): DataFrame =
     withSigSlices(df.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), posexplode(array(
-        concat(col("s0"), col("s1")), concat(col("s2"), col("s3")),
-        concat(col("s4"), col("s5")), concat(col("s6"), col("s7")))))
       .select(col("doc_id"),
+        concat((0 until MinhashK).map(i => col(s"s$i")): _*).as("sig"),
+        posexplode(array(
+          concat(col("s0"), col("s1")), concat(col("s2"), col("s3")),
+          concat(col("s4"), col("s5")), concat(col("s6"), col("s7")))))
+      .select(col("doc_id"), col("sig"),
         concat(col("pos").cast("string"), lit(":"), col("col")).as("bk"))
+
+  /** `(doc_id, bk)` LSH band rows — [[sigBandRows]] without the sketch. */
+  private def bandRows(df: DataFrame): DataFrame =
+    sigBandRows(df).select(col("doc_id"), col("bk"))
 
   private def bandedDocs(s: SparkSession, d: String): DataFrame =
     bandRows(Tables.documents(s, d))
@@ -529,16 +538,20 @@ object Dedup {
   // buckets with NO index-side shuffle — the (small) new batch is the
   // only mover, which is what makes incremental ingest cheap at 100 TB.
 
-  /** Capped `(bk, idx_id)` index rows of a `(doc_id, text)` corpus —
-    * the in-memory form of the band index; [[writeBandIndex]] persists
-    * the same rows bucketed by band key.
+  /** Capped `(bk, idx_id, sig)` index rows of a `(doc_id, text)`
+    * corpus — the in-memory form of the band index; [[writeBandIndex]]
+    * persists the same rows bucketed by band key. Each row carries the
+    * indexed doc's FULL 8-slice sketch so ingest can verify a collision
+    * by signature agreement without re-reading any indexed text
+    * ([[incrementalVerifiedAgainstIndex]]); the band-only join prunes
+    * the column away.
     */
   private def cappedIndexRows(indexed: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    bandRows(indexed)
+    sigBandRows(indexed)
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("bk")))
       .filter(col("bsz") <= BandCap)
-      .select(col("bk"), col("doc_id").as("idx_id"))
+      .select(col("bk"), col("doc_id").as("idx_id"), col("sig"))
   }
 
   /** Persist a corpus' capped band rows as a band-key-BUCKETED table —
@@ -560,17 +573,51 @@ object Dedup {
     */
   def incrementalAgainstIndex(newDocs: DataFrame, index: DataFrame): DataFrame =
     bandRows(newDocs)
-      .join(index, "bk")
+      .join(index.select(col("bk"), col("idx_id")), "bk")
       .groupBy(col("doc_id"))
       .agg(min(col("idx_id")).as("dup_of"),
         countDistinct(col("bk")).as("n_bands"))
 
+  /** Ingest verdicts with the FULL-SKETCH verify (q59): every colliding
+    * `(new doc, indexed doc)` pair compares all [[MinhashK]] signature
+    * slices straight from the index rows — no indexed text is ever
+    * re-read — and the verdict keeps the best-agreeing indexed doc.
+    * `sig_agree` is the agreeing-slice fraction: a band collision only
+    * requires 2 consecutive slices to match, so a borderline pair can
+    * collide at 2/8 agreement while a true near-duplicate agrees on
+    * most slices — thresholding on `sig_agree` buys precision the band
+    * count alone cannot (BucketingSpec plants exactly that contrast).
+    * Plan shape matches [[incrementalAgainstIndex]]: the batch side
+    * shuffles onto the index bucketing; both aggregates group batch-
+    * sized keys; the index side stays exchange-free.
+    */
+  def incrementalVerifiedAgainstIndex(newDocs: DataFrame,
+      index: DataFrame): DataFrame = {
+    val agree = (0 until MinhashK).map(i =>
+      when(substring(col("sig"), i * 4 + 1, 4) ===
+        substring(col("isig"), i * 4 + 1, 4), 1).otherwise(0))
+      .reduce(_ + _)
+    sigBandRows(newDocs)
+      .join(index.select(col("bk"), col("idx_id"), col("sig").as("isig")), "bk")
+      .withColumn("agree", agree)
+      .groupBy(col("doc_id"), col("idx_id"))
+      .agg(countDistinct(col("bk")).as("n_bands"), max(col("agree")).as("agree"))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("agree").as("a"), col("n_bands").as("nb"),
+        (-col("idx_id")).as("ni"))).as("m"))
+      .select(col("doc_id"), (-col("m.ni")).as("dup_of"),
+        col("m.nb").as("n_bands"),
+        (col("m.a") / lit(MinhashK.toDouble)).as("sig_agree"))
+  }
+
   /** New docs that collide with the banded index: `dup_of` = the
     * smallest indexed doc sharing a band, `n_bands` = how many of the
     * new doc's bands hit the index (1..4 — a crude confidence signal;
-    * Jaccard-verify survivors with [[candidatePairs]]' machinery when
-    * precision matters). Both inputs are `(doc_id, text)` frames; this
-    * one-shot form signs the index in-query (the fixture/oracle path —
+    * upgrade to a signature-agreement fraction with
+    * [[incrementalVerifiedAgainstIndex]], or Jaccard-verify survivors
+    * with [[candidatePairs]]' machinery when text-level precision
+    * matters). Both inputs are `(doc_id, text)` frames; this one-shot
+    * form signs the index in-query (the fixture/oracle path —
     * production persists it once with [[writeBandIndex]]).
     */
   def incrementalDupCandidates(newDocs: DataFrame, indexed: DataFrame): DataFrame =
@@ -595,6 +642,42 @@ object Dedup {
       |       CAST(count(DISTINCT bk) AS BIGINT) AS n_bands
       |FROM hits GROUP BY doc_id""".stripMargin
 
+  // ---- q59: signature-verified incremental ingest ------------------------
+  // q57's collision set upgraded with the full-sketch verify: the
+  // persisted index rows already carry each indexed doc's 8-slice
+  // sketch, so agreement is computed entirely from index columns.
+  private def q59(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    incrementalVerifiedAgainstIndex(
+      docs.filter(col("doc_id") % 5 === 4),
+      cappedIndexRows(docs.filter(col("doc_id") % 5 =!= 4)))
+  }
+
+  private val o59 =
+    s"""WITH $bandCtes,
+      |sg AS (SELECT doc_id, s0 || s1 || s2 || s3 || s4 || s5 || s6 || s7 AS sig FROM s),
+      |idxb AS (SELECT doc_id AS idx_id, bk FROM b WHERE doc_id % 5 <> 4),
+      |small AS (SELECT bk FROM idxb GROUP BY bk HAVING count(*) <= $BandCap),
+      |hits AS (
+      |  SELECT nb.doc_id, i.idx_id, nb.bk
+      |  FROM b nb JOIN small USING (bk) JOIN idxb i ON nb.bk = i.bk
+      |  WHERE nb.doc_id % 5 = 4),
+      |pairs AS (
+      |  SELECT doc_id, idx_id, CAST(count(DISTINCT bk) AS BIGINT) AS n_bands
+      |  FROM hits GROUP BY doc_id, idx_id),
+      |agreed AS (
+      |  SELECT p.doc_id, p.idx_id, p.n_bands,
+      |         (${(0 until MinhashK).map(i =>
+               s"CASE WHEN substr(a.sig, ${i * 4 + 1}, 4) = substr(x.sig, ${i * 4 + 1}, 4) " +
+                 "THEN 1 ELSE 0 END").mkString(" + ")}) AS agree
+      |  FROM pairs p JOIN sg a ON p.doc_id = a.doc_id
+      |               JOIN sg x ON p.idx_id = x.doc_id)
+      |SELECT doc_id,
+      |       first(idx_id ORDER BY agree DESC, n_bands DESC, idx_id) AS dup_of,
+      |       first(n_bands ORDER BY agree DESC, n_bands DESC, idx_id) AS n_bands,
+      |       first(agree ORDER BY agree DESC, n_bands DESC, idx_id) / ${MinhashK}.0 AS sig_agree
+      |FROM agreed GROUP BY doc_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q22_dedup_exact", "exact dedup via content-hash groupBy", q22, Some(o22)),
     GraftQuery("q23_minhash_lsh", "MinHash+LSH band join candidate pairs", q23, Some(o23)),
@@ -603,5 +686,6 @@ object Dedup {
     GraftQuery("q44_dup_clusters", "near-dup connected-component clustering", q44, Some(o44)),
     GraftQuery("q49_simhash_pairs", "banded SimHash near-dup pairs (hamming verify)", q49, Some(o49)),
     GraftQuery("q53_canonical_docs", "per-cluster best-quality survivor selection", q53, Some(o53)),
-    GraftQuery("q57_incremental_dedup", "new-batch vs banded-index incremental dedup", q57, Some(o57)))
+    GraftQuery("q57_incremental_dedup", "new-batch vs banded-index incremental dedup", q57, Some(o57)),
+    GraftQuery("q59_verified_ingest", "incremental ingest verified by full-sketch slice agreement", q59, Some(o59)))
 }
