@@ -256,6 +256,74 @@ object Similarity {
     seed
   }
 
+  /** Normalize an `(vec_id, embedding)` frame into a `(cid, cv, cn)`
+    * centroid frame (each vector becomes a cell centroid) — for callers
+    * supplying hand-picked centroid vectors to the `centroids` options
+    * or the cell-index API.
+    */
+  def asCentroids(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id").as("cid"),
+        asDouble(col("embedding")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+
+  /** Map-side argmax cell assignment of a normalized `(vec_id, v, nrm)`
+    * frame against broadcast `(cid, cv, cn)` centroids — highest cosine,
+    * ties to the lowest cid; the vector payload rides the aggregate
+    * without tipping the order ((csim, -cid) is unique per vector).
+    * Shared by [[semanticDedup]] and the persisted cell-index path.
+    */
+  private def assignToCells(base: DataFrame, cents: DataFrame): DataFrame =
+    base.crossJoin(broadcast(cents))
+      .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("csim").as("s"), (-col("cid")).as("nc"),
+        struct(col("v").as("v"), col("nrm").as("n")).as("pay"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cid"),
+        col("m.pay.v").as("v"), col("m.pay.n").as("nrm"))
+
+  /** `(vec_id, cid, v, nrm)` cell assignments of a raw `(vec_id,
+    * embedding)` frame against `(cid, cv, cn)` centroids.
+    */
+  def cellAssignments(embeddings: DataFrame, centroids: DataFrame): DataFrame =
+    assignToCells(
+      embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", norm(col("v"))),
+      centroids)
+
+  /** Persist survivor vectors as a cell-id-BUCKETED table — the semantic
+    * twin of `Dedup.writeBandIndex`: ingest-time verdicts join arriving
+    * vectors to co-located cell buckets with no index-side exchange, and
+    * the index grows by appending each batch's survivors
+    * ([[Bucketing.appendBucketed]]), never by re-clustering the corpus.
+    */
+  def writeCellIndex(embeddings: DataFrame, centroids: DataFrame,
+      table: String, buckets: Int): Unit =
+    Bucketing.writeBucketed(
+      indexRowsOf(cellAssignments(embeddings, centroids)), table, "cid", buckets)
+
+  /** Shape `(vec_id, cid, v, nrm)` assignments as index rows
+    * `(cid, idx_id, iv, inrm)`.
+    */
+  def indexRowsOf(assigned: DataFrame): DataFrame =
+    assigned.select(col("cid"), col("vec_id").as("idx_id"),
+      col("v").as("iv"), col("nrm").as("inrm"))
+
+  /** Verdicts of pre-assigned batch vectors against a persisted cell
+    * index: `dup_of` = the highest-cosine (ties: smallest-id) indexed
+    * survivor in the same cell at `sim >= threshold`. Vectors with no
+    * qualifying survivor are absent — they are the batch's new
+    * survivors. Cost ∝ batch × cell-occupancy; the index side never
+    * shuffles (bucketed on cid).
+    */
+  def cellIndexVerdicts(assigned: DataFrame, index: DataFrame,
+      threshold: Double = SemThreshold): DataFrame =
+    assigned.join(index, "cid")
+      .withColumn("sim", dot(col("v"), col("iv")) / (col("nrm") * col("inrm")))
+      .filter(col("sim") >= threshold && col("idx_id") =!= col("vec_id"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim").as("s"), (-col("idx_id")).as("ni"))).as("m"))
+      .select(col("vec_id"), (-col("m.ni")).as("dup_of"), col("m.s").as("sim"))
+
   /** IVF approximate top-k cosine neighbors for each query vector.
     * `centroids` (shape `(cid, cv, cn)`, e.g. from [[kmeansCentroids]])
     * overrides the deterministic lowest-`vec_id` demo centroid set.
@@ -336,13 +404,7 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
     val cents = centroids.getOrElse(demoCentroids(base, numCells))
-    val assigned = base.crossJoin(broadcast(cents))
-      .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("csim").as("s"), (-col("cid")).as("nc"),
-        struct(col("v").as("v"), col("nrm").as("n")).as("pay"))).as("m"))
-      .select(col("vec_id"), (-col("m.nc")).as("cid"),
-        col("m.pay.v").as("v"), col("m.pay.n").as("nrm"))
+    val assigned = assignToCells(base, cents)
     val capped = assigned
       .withColumn("csz", count(lit(1)).over(Window.partitionBy("cid")))
       .filter(col("csz") <= cellCap)

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import graft.operators.TextAnalysis
+import graft.operators.{Bucketing, Similarity, TextAnalysis}
 import graft.sources.Schemas
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -88,4 +88,51 @@ object StreamingCurate {
       .write.mode("overwrite").parquet(s"$workDir/curated")
     spark.read.parquet(s"$workDir/curated")
   }
+
+  /** The SEMANTIC dedup leg, stream-static: q55's verdict applied in
+    * flight against a persisted survivor index — the q57 index pattern
+    * (`Dedup.writeBandIndex` / `indexVerdictStream`) transposed from
+    * band keys to IVF cells.
+    *
+    * Per micro-batch: arriving `doc_id`s join the static `embeddings`
+    * table (docs without an embedding row simply have no semantic
+    * verdict — the batch-Curate contract), cells are assigned map-side
+    * against broadcast `centroids`, and each vector is verdicted
+    * against the co-located bucket of the cell-survivor index seeded by
+    * [[graft.operators.Similarity.writeCellIndex]]. Batch survivors
+    * APPEND to the index (same bucket spec, no rewrite), so a
+    * paraphrase arriving later is verdicted against an earlier batch's
+    * survivor. No state store exists on this leg at all — cross-batch
+    * memory lives in the bucketed table, exactly like the band-index
+    * leg; batch-internal duplicates are deliberately not compared
+    * (today's batch joins the index next micro-batch, the q57
+    * discipline).
+    */
+  def semanticVerdictStream(docs: DataFrame, embeddings: DataFrame,
+      centroids: DataFrame, indexTable: String, outPath: String,
+      checkpoint: String, threshold: Double,
+      buckets: Int = 32): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        val batchEmb = embeddings.join(
+          batch.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+        val assigned = Similarity.cellAssignments(batchEmb, centroids)
+        // resolve the table INSIDE the batch so each micro-batch sees
+        // the survivors every earlier batch appended; cache the
+        // (batch-sized) verdicts so the survivor append never reads the
+        // index table it is appending to
+        val verdicts = Similarity.cellIndexVerdicts(
+          assigned, spark.table(indexTable), threshold).cache()
+        try {
+          verdicts.withColumnRenamed("vec_id", "doc_id")
+            .write.mode("append").parquet(outPath)
+          Bucketing.appendBucketed(
+            Similarity.indexRowsOf(
+              assigned.join(verdicts.select("vec_id"), Seq("vec_id"), "left_anti")),
+            indexTable, "cid", buckets)
+        } finally { verdicts.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.Similarity
 import graft.streaming.StreamingIngest
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -391,6 +392,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.get(9L).contains(1L))  // flagged against the historical corpus
     assert(r.get(14L).contains(1L)) // later micro-batch, same index
     assert(!r.contains(10L))        // novel doc passes
+  }
+
+  test("stream-static semantic dedup verdicts paraphrases against earlier-batch survivors") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 8
+    def axis(i: Int, scale: Float) = {
+      val a = Array.fill(dim)(0.01f); a(i) = scale; a
+    }
+    // static embeddings for every doc that may arrive; centroids are two
+    // fixed axis vectors (cids 1000/1001)
+    val embeddings = Seq(
+      (1L, axis(0, 0.9f)), (2L, axis(1, 0.9f)),
+      (20L, axis(0, 0.85f)),           // near-identical to indexed doc 1
+      (21L, axis(2, 0.9f)),            // novel direction: a new survivor
+      (30L, axis(2, 0.88f)),           // paraphrase of 21, arrives later
+      (31L, axis(3, 0.9f)))            // novel again
+      .toDF("vec_id", "embedding")
+    val centroids = Similarity.asCentroids(
+      Seq((1000L, axis(0, 1.0f)), (1001L, axis(1, 1.0f)))
+        .toDF("vec_id", "embedding"))
+    // seed the survivor index with the historical corpus (docs 1 and 2)
+    Similarity.writeCellIndex(
+      embeddings.filter(col("vec_id") <= 2L), centroids, "cell_idx_stream", 4)
+    val mem = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("semvout").toString
+    val q = graft.streaming.StreamingCurate.semanticVerdictStream(
+      mem.toDF().toDF("doc_id", "text"), embeddings, centroids,
+      "cell_idx_stream", out, Files.createTempDirectory("semvck").toString,
+      threshold = 0.8, buckets = 4)
+    // batch 1: 20 dups against the seeded index; 21 survives and is
+    // APPENDED to the index
+    mem.addData((20L, "ignored"), (21L, "ignored"))
+    q.processAllAvailable()
+    // batch 2: 30 is a paraphrase of batch-1 survivor 21 — the index
+    // remembered it with no state store; 31 is novel
+    mem.addData((30L, "ignored"), (31L, "ignored"))
+    q.processAllAvailable()
+    // this leg keeps NO streaming state: cross-batch memory is the table
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "semantic leg must not grow a state store")
+    q.stop()
+    val r = spark.read.parquet(out).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("dup_of")).toMap
+    assert(r.get(20L).contains(1L))   // historical-corpus duplicate
+    assert(r.get(30L).contains(21L))  // batch-2 paraphrase vs batch-1 survivor
+    assert(!r.contains(21L) && !r.contains(31L)) // survivors pass
+    // and the index grew by exactly the survivors
+    val idx = spark.table("cell_idx_stream").select("idx_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(idx == Set(1L, 2L, 21L, 31L))
   }
 
   test("JS2: to_json sink round-trips through from_json losslessly") {
