@@ -241,18 +241,31 @@ object Dedup {
   private val HammingMax = 1
   private val SimBandCap = 200
 
-  private def q49(s: SparkSession, d: String): DataFrame = {
+  /** Banded-hamming near-dup pairs over ANY `(doc_id, sh)` integer-
+    * fingerprint frame (SimHash text prints, aHash image prints, …):
+    * `bits` split into `nBands` equal bit-slices; any pair within
+    * hamming distance `maxHamming` agrees exactly on ≥1 slice whenever
+    * `maxHamming < nBands` (pigeonhole — `require`d, so recall is EXACT
+    * by construction, never a tuning accident). Same scale shape as
+    * [[candidatePairs]]: one input scan, one shuffle on the slice key,
+    * spill-safe window cap on degenerate buckets, map-side pair explode
+    * with one BIGINT of payload per member.
+    */
+  def bandedHammingPairs(hashes: DataFrame, bits: Int, nBands: Int,
+      maxHamming: Int, bandCap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sliceWidth = SimBits / SimBands
-    val mask = (1L << sliceWidth) - 1
-    val fp = simhashFingerprints(Tables.documents(s, d), SimBits)
-    fp.select(col("doc_id"), col("sh"), posexplode(array(
-        (0 until SimBands).map(i =>
+    require(bits % nBands == 0, s"$nBands bands must divide $bits bits")
+    require(maxHamming < nBands,
+      s"exact recall needs maxHamming ($maxHamming) < nBands ($nBands)")
+    val sliceWidth = bits / nBands
+    val mask = if (sliceWidth == 64) -1L else (1L << sliceWidth) - 1
+    hashes.select(col("doc_id"), col("sh"), posexplode(array(
+        (0 until nBands).map(i =>
           shiftright(col("sh"), i * sliceWidth).bitwiseAND(lit(mask))): _*)))
       .select(col("doc_id"), col("sh"),
         concat(col("pos").cast("string"), lit(":"), col("col").cast("string")).as("bk"))
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("bk")))
-      .filter(col("bsz") <= SimBandCap)
+      .filter(col("bsz") <= bandCap)
       .groupBy("bk")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sh")))).as("ms"))
       .filter(size(col("ms")) >= 2)
@@ -263,9 +276,13 @@ object Dedup {
           "'doc_b', y.doc_id, 'shb', y.sh))))")).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         bit_count(col("p.sha").bitwiseXOR(col("p.shb"))).as("hamming"))
-      .filter(col("hamming") <= HammingMax)
+      .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  private def q49(s: SparkSession, d: String): DataFrame =
+    bandedHammingPairs(simhashFingerprints(Tables.documents(s, d), SimBits),
+      SimBits, SimBands, HammingMax, SimBandCap)
 
   private val o49 = {
     val sliceWidth = SimBits / SimBands

@@ -128,4 +128,36 @@ object ImageCodec {
     */
   def resizeBmp(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] =
     encode(resize(decode(bytes), targetW, targetH))
+
+  /** Average-hash (aHash) perceptual fingerprint: decode, nearest-
+    * neighbor resample to 8×8, integer grayscale (b+g+r per pixel —
+    * no float weights), then bit i set iff pixel i is strictly
+    * brighter than the mean. INTEGER-ONLY end to end: the mean compare
+    * is `gray * 64 > total` (exact — no division rounding), so two
+    * JVMs, or a reimplementation in any language, produce identical
+    * hashes. Near-identical images differ in few bits; hamming
+    * distance over these 64 bits is the image twin of q49's SimHash
+    * distance, and the same banded index dedups them at scale
+    * ([[Dedup.bandedHammingPairs]]).
+    */
+  def aHash(bytes: Array[Byte]): Long = {
+    val img = resize(decode(bytes), 8, 8)
+    val gray = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < 64) {
+      val p = i * 3
+      gray(i) = (img.pixels(p) & 0xff).toLong + (img.pixels(p + 1) & 0xff) +
+        (img.pixels(p + 2) & 0xff)
+      total += gray(i)
+      i += 1
+    }
+    var h = 0L
+    i = 0
+    while (i < 64) {
+      if (gray(i) * 64L > total) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
 }

@@ -178,6 +178,66 @@ object Multimodal {
       when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("media_type"),
       col("source"))
 
+  /** `(media_id, sh)` aHash perceptual fingerprints of the decodable BMP
+    * payloads in a media frame — the image half of the dedup
+    * composition: binary is consumed MAP-SIDE (one decode + 8×8
+    * resample per payload, [[ImageCodec.aHash]]), only the 8-byte
+    * fingerprint flows on, and [[graft.operators.Dedup.bandedHammingPairs]]
+    * turns the fingerprints into near-dup pairs with exact
+    * hamming-bounded recall. Undecodable payloads are skipped, not
+    * failed — one corrupt image in a 100 TB batch cannot kill the job.
+    */
+  def imageAHashes(records: Dataset[MediaRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.flatMap { r =>
+      if (r.media_type == "image" && ImageCodec.isBmp(r.content))
+        scala.util.Try(ImageCodec.aHash(r.content)).toOption
+          .map(h => (r.media_id, h))
+      else None
+    }).toDF("doc_id", "sh")
+  }
+
+  /** Fixture image corpus: each "image" payload rendered as a REAL 8×8
+    * 24bpp BMP from its first 192 content bytes — deterministic, and
+    * near-identical payloads (the fixture's near-dup document families)
+    * render to near-identical rasters, so the aHash pipeline has true
+    * positives to find.
+    */
+  def bmpMediaTable(s: SparkSession, d: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    mediaTable(s, d).filter(col("media_type") === "image")
+      .as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        val px = new Array[Byte](192)
+        System.arraycopy(r.content, 0, px, 0, math.min(r.content.length, 192))
+        r.copy(content = ImageCodec.encode(ImageCodec.Image(8, 8, px)))
+      })
+  }
+
+  // ---- q60: image near-dup pairs (aHash + banded hamming) ----------------
+  // The multimodal and dedup families composed as first-class
+  // co-operators: decode → perceptual hash map-side, then the exact
+  // same banded index that dedups SimHash text prints (q49) dedups the
+  // image fingerprints — 64 bits, 4×16-bit slices, pigeonhole-exact for
+  // hamming ≤ 3. No DuckDB oracle exists (BMP decode is not
+  // expressible there — the q32 rows-only precedent); recall-exactness
+  // is CI-asserted instead by brute force in MultimodalSpec/
+  // DedupSimilaritySpec.
+  private val AHashBits = 64
+  private val AHashBands = 4
+  private val AHashHammingMax = 3
+  private val AHashBandCap = 200
+
+  private def q60(s: SparkSession, d: String): DataFrame =
+    Dedup.bandedHammingPairs(imageAHashes(bmpMediaTable(s, d)),
+      AHashBits, AHashBands, AHashHammingMax, AHashBandCap)
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q33_media_meta", "opaque-payload metadata extraction", q33, Some(o33)),
+    GraftQuery("q60_image_near_dups",
+      "aHash perceptual image dedup via the banded-hamming index (rows-only: no BMP decode in DuckDB)",
+      q60, None))
+
   // ---- q33: metadata extraction over opaque payloads (pure columns) ------
   // byte length, full-content digest, head-window digest ("thumbnail"),
   // and a strided frame sample — all computable without decoding.
@@ -202,6 +262,4 @@ object Multimodal {
       |                                      i -> substr(text, i * 97 + 1, 1)), '') AS frame_sample
       |FROM documents""".stripMargin
 
-  val queries: Seq[GraftQuery] = Seq(
-    GraftQuery("q33_media_meta", "opaque-payload metadata extraction", q33, Some(o33)))
 }

@@ -121,6 +121,87 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out(2L).content.length < 200)
   }
 
+  test("multimodal: aHash flips exactly the edited cell on margin-safe rasters") {
+    import graft.operators.ImageCodec
+    // 8x8 rasters whose pixels sit FAR from the mean (30 vs 220 gray):
+    // editing one pixel moves the mean by (190*3)/64 ≈ 9 gray — well
+    // inside every other pixel's ~90+ margin — so exactly one bit flips
+    def bmpOf(bits: Long): Array[Byte] = {
+      val px = new Array[Byte](192)
+      for (i <- 0 until 64) {
+        val v: Byte = if ((bits & (1L << i)) != 0) 220.toByte else 30.toByte
+        px(i * 3) = v; px(i * 3 + 1) = v; px(i * 3 + 2) = v
+      }
+      ImageCodec.encode(ImageCodec.Image(8, 8, px))
+    }
+    val rnd = new scala.util.Random(31)
+    val pattern = rnd.nextLong() | 1L // at least one bright pixel
+    val base = ImageCodec.aHash(bmpOf(pattern))
+    assert(base == pattern, "bright pixels above the mean ARE the hash bits")
+    assert(ImageCodec.aHash(bmpOf(pattern)) == base) // deterministic
+    val oneFlip = ImageCodec.aHash(bmpOf(pattern ^ (1L << 13)))
+    assert(java.lang.Long.bitCount(base ^ oneFlip) == 1)
+    // scale-invariance: the same pattern rendered 32x32 hashes identically
+    val big = new Array[Byte](32 * 32 * 3)
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val bit = (y / 4) * 8 + (x / 4)
+      val v: Byte = if ((pattern & (1L << bit)) != 0) 220.toByte else 30.toByte
+      val i = (y * 32 + x) * 3
+      big(i) = v; big(i + 1) = v; big(i + 2) = v
+    }
+    assert(ImageCodec.aHash(ImageCodec.encode(ImageCodec.Image(32, 32, big))) == base)
+  }
+
+  test("multimodal: banded aHash dedup recalls EXACTLY the hamming<=3 image pairs") {
+    import graft.operators.{Dedup, ImageCodec}
+    def bmpOf(bits: Long): Array[Byte] = {
+      val px = new Array[Byte](192)
+      for (i <- 0 until 64) {
+        val v: Byte = if ((bits & (1L << i)) != 0) 220.toByte else 30.toByte
+        px(i * 3) = v; px(i * 3 + 1) = v; px(i * 3 + 2) = v
+      }
+      ImageCodec.encode(ImageCodec.Image(8, 8, px))
+    }
+    val rnd = new scala.util.Random(37)
+    // 40 random images + planted families: exact copy, 1-, 2-, 3-bit
+    // edits (must be recalled — pigeonhole guarantees ≤3 with 4 bands),
+    // and a 4-bit edit that may legitimately miss
+    val p0 = rnd.nextLong()
+    def flips(n: Int): Long = (0 until n).map(i => 1L << (i * 11 + 2)).reduce(_ | _)
+    val payloads =
+      Seq(100L -> p0, 101L -> p0, 102L -> (p0 ^ flips(1)),
+        103L -> (p0 ^ flips(2)), 104L -> (p0 ^ flips(3))) ++
+        (0 until 40).map(i => i.toLong -> rnd.nextLong())
+    val recs = payloads.map { case (id, bits) =>
+      Multimodal.MediaRecord(id, bmpOf(bits), "image", "s")
+    } :+ Multimodal.MediaRecord(999L, Array.fill[Byte](40)(9), "image", "s") // undecodable: skipped
+    val hashes = Multimodal.imageAHashes(spark.createDataset(recs))
+    val pairs = Dedup.bandedHammingPairs(hashes, 64, 4, 3, 200)
+    // pin: binary never enters an exchange — the decode/hash
+    // MapPartitions stage sits BELOW every Exchange in the plan tree
+    // (tree prints root-first), so shuffled rows are always the
+    // post-projection (doc_id, sh) shape
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions") && plan.contains("Exchange"))
+    assert(plan.indexOf("MapPartitions") > plan.lastIndexOf("Exchange"),
+      s"binary payload must be consumed map-side, below all exchanges:\n$plan")
+    val got = pairs.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Int]("hamming")))
+    // brute force over the same hashes: EXACT set equality
+    val hs = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val expected = (for {
+      i <- hs.indices; j <- (i + 1) until hs.length
+      d = java.lang.Long.bitCount(hs(i)._2 ^ hs(j)._2) if d <= 3
+    } yield (hs(i)._1, hs(j)._1, d)).toSet
+    assert(got.toSet == expected, "banded recall must equal brute force")
+    assert(!hs.exists(_._1 == 999L), "undecodable payload skipped, not failed")
+    val byPair = got.map(t => (t._1, t._2) -> t._3).toMap
+    assert(byPair((100L, 101L)) == 0)
+    assert(byPair((100L, 102L)) == 1)
+    assert(byPair((100L, 103L)) == 2)
+    assert(byPair((100L, 104L)) == 3)
+  }
+
   test("multimodal: real AVI codec decodes, samples frames, drives the video stage") {
     import graft.operators.VideoCodec
     // 5x3 @ 25fps, 10 frames; width 5 forces row padding (15 -> 16-byte

@@ -9,11 +9,17 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  test("registry names are unique; only approx/sketch ops lack oracles") {
+  // the two declared rows-only queries: q32's HLL sketch has no DuckDB
+  // twin (accuracy CI-asserted in ExtensionsSpec) and q60's BMP decode
+  // is not expressible in SQL (recall brute-force-asserted in
+  // ExtensionsSpec); everything else must carry an oracle
+  private val declaredRowsOnly = Set("q32_approx_distinct", "q60_image_near_dups")
+
+  test("registry names are unique; only declared rows-only ops lack oracles") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.size == names.size)
     val noOracle = Registry.all.filter(_.oracle.isEmpty).map(_.name).toSet
-    assert(noOracle == Set("q32_approx_distinct"))
+    assert(noOracle == declaredRowsOnly)
   }
 
   Registry.all.foreach { q =>
@@ -28,8 +34,8 @@ class RegistrySpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("oracle SQL covers every query except the declared sketch ops") {
+  test("oracle SQL covers every query except the declared rows-only ops") {
     assert(SparkEntry.oracleSql.keySet ==
-      SparkEntry.queries.keySet - "q32_approx_distinct")
+      SparkEntry.queries.keySet -- declaredRowsOnly)
   }
 }
