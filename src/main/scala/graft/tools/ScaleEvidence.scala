@@ -116,6 +116,38 @@ object ScaleEvidence {
     val (preRows, preSec) = timed(
       Dedup.incrementalAgainstIndex(batch, spark.table("se_band_idx")).count())
 
+    // ---- q44: durable-checkpoint clustering (cluster fault tolerance) ---
+    // same pair graph, snapshots written to a reliable dir instead of
+    // executor-local blocks: the delta is the write-per-round price of
+    // surviving executor loss mid-iteration on a real cluster
+    val (durable, q44DurSec) = timed {
+      val dir = java.nio.file.Files.createTempDirectory("se_ckpt").toString
+      val (labels, rounds) = Dedup.dupClustersWithRounds(
+        Dedup.candidatePairs(spark, sfDir), checkpointDir = Some(dir))
+      (labels.count(), rounds)
+    }
+    val (q44DurRows, q44DurRounds) = durable
+
+    // ---- q56: (doc_id, w, cnt) pre-aggregate vs raw-occurrence join -----
+    // the A/B behind the round-7 reshape: the score join consuming the
+    // pre-aggregate (production, reused exchange) vs consuming raw token
+    // occurrences (the old form, rebuilt inline here for measurement)
+    val (q56Rows, q56Sec) = timed(
+      graft.Registry.byName("q56_unigram_lm").run(spark, sfDir).count())
+    val (q56OccRows, q56OccSec) = timed {
+      val docs = Tables.documents(spark, sfDir)
+      val tokens = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      val freq = tokens.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val total = tokens.agg(count(lit(1)).as("total"))
+      val scaled = freq.crossJoin(broadcast(total))
+        .select(col("w"), expr("(cnt * 1000000000000L) div total").as("p_scaled"))
+      tokens.join(scaled, "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("p_scaled")).as("sum_scaled"))
+        .count()
+    }
+
     // ---- q55: demo vs k-means cells -------------------------------------
     val (semDemoDropped, semDemoSec) = timed(
       Similarity.semanticDedup(emb).filter(!col("kept")).count())
@@ -133,7 +165,11 @@ object ScaleEvidence {
       s""""ingest_presigned_sec":$preSec,"ingest_rows":$preRows,""" +
       s""""ingest_oneshot_rows":$oneShotRows,""" +
       s""""sem_demo_sec":$semDemoSec,"sem_demo_dropped":$semDemoDropped,""" +
-      s""""sem_kmeans_sec":$semProdSec,"sem_kmeans_dropped":$semProdDropped}""")
+      s""""sem_kmeans_sec":$semProdSec,"sem_kmeans_dropped":$semProdDropped,""" +
+      s""""q44_durable_sec":$q44DurSec,"q44_durable_rows":$q44DurRows,""" +
+      s""""q44_durable_rounds":$q44DurRounds,""" +
+      s""""q56_preagg_sec":$q56Sec,"q56_rows":$q56Rows,""" +
+      s""""q56_occjoin_sec":$q56OccSec,"q56_occjoin_rows":$q56OccRows}""")
     spark.stop()
   }
 }
