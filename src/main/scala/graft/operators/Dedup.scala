@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   *     whole executor;
   *   - Jaccard verification only runs over the capped LSH candidate
   *     pairs (pairs explode to member rows, ONE doc_id equi-join against
-  *     the shingle sets, regroup — linear in |candidates|), never over
+  *     the pre-hashed shingle sets — primitive long arrays, never the
+  *     shingle strings — regroup; linear in |candidates|), never over
   *     an all-pairs or blocked-quadratic region.
   *
   * All hashing is md5-based so the DuckDB oracles compute the identical

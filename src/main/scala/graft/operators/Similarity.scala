@@ -386,8 +386,9 @@ object Similarity {
   // whole cells as array payloads). Three corpus scans (pair sides +
   // survivor frame; Spark does not share scans across branches — the
   // q37/q50 branch trade), plus three vec_id<numCells seed scans on the
-  // demo-centroid path that the pushed filter prunes to ~one row group
-  // (a kmeansCentroids frame is a literal and removes them).
+  // demo-centroid path that the pushed filter prunes to ~one row group,
+  // and one more pushed-filter row-group probe for the empty-seed guard
+  // (a kmeansCentroids frame is a literal and removes all of them).
   private val SemThreshold = 0.30
   private val CellCap = 10000
 
@@ -492,9 +493,94 @@ object Similarity {
        |  FROM sims)
        |WHERE rk <= $TopK""".stripMargin
 
+  // ---- q62: semantic decontamination (test-vs-train embedding leakage) ---
+  // q43 catches verbatim 8-gram leakage; paraphrased eval contamination
+  // shares no long n-grams and needs the embedding space. Every
+  // TEST-split document reports its maximum cosine against any
+  // TRAIN-split document in the same IVF cell (q55's cell machinery —
+  // assignment argmax, cellCap skew guard — with the q40 split
+  // definition), and `contaminated` thresholds at the same similarity
+  // bar as semantic dedup. Test docs whose cell holds no train doc
+  // report the -2.0 sentinel (below any cosine) instead of NULL so the
+  // aggregate and the hash compare stay null-free. Scale shape: pairs
+  // exist only within capped cells — the same no-all-pairs guarantee
+  // as q55 — and the split join is doc-count-sized.
+  private val DecontamSentinel = -2.0
+
+  /** Per-test-doc max train cosine + contamination verdict over an
+    * `(vec_id, embedding)` frame and a `(doc_id, split)` frame.
+    */
+  def semanticContamination(embeddings: DataFrame, splits: DataFrame,
+      threshold: Double = SemThreshold, numCells: Int = NumCells,
+      cellCap: Int = CellCap, centroids: Option[DataFrame] = None): DataFrame = {
+    val base = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cents = centroids.getOrElse(demoCentroids(base, numCells))
+    val assigned = assignToCells(base, cents)
+    val capped = assigned
+      .withColumn("csz", count(lit(1)).over(Window.partitionBy("cid")))
+      .filter(col("csz") <= cellCap)
+      .join(splits.select(col("doc_id").as("vec_id"), col("split")), "vec_id")
+    val te = capped.filter(col("split") === "test")
+      .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
+    val tr = capped.filter(col("split") === "train")
+      .select(col("cid"), col("vec_id").as("tid"), col("v").as("tv"),
+        col("nrm").as("tn"))
+    te.join(tr, Seq("cid"), "left")
+      .withColumn("sim", when(col("tid").isNull, lit(DecontamSentinel))
+        .otherwise(dot(col("v"), col("tv")) / (col("nrm") * col("tn"))))
+      .groupBy(col("vec_id"))
+      .agg(max(col("sim")).as("max_train_sim"))
+      .select(col("vec_id").as("doc_id"), col("max_train_sim"),
+        (col("max_train_sim") >= threshold).as("contaminated"))
+  }
+
+  private def q62(s: SparkSession, d: String): DataFrame =
+    semanticContamination(Tables.embeddings(s, d),
+      Tables.documents(s, d)
+        .select(col("doc_id"), TrainingData.splitColumn.as("split")))
+
+  private val o62 =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+       |  FROM v),
+       |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < $NumCells),
+       |scored AS (
+       |  SELECT n.vec_id, n.v, n.nrm, c.cid,
+       |         list_reduce(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i]),
+       |                     (a, b) -> a + b) / (n.nrm * c.cn) AS csim
+       |  FROM n CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, cid, v, nrm FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS ark
+       |    FROM scored)
+       |  WHERE ark = 1),
+       |small AS (SELECT cid FROM assigned GROUP BY cid HAVING count(*) <= $CellCap),
+       |sp AS (SELECT doc_id, ${TrainingData.splitSql} AS split FROM documents),
+       |cs AS (
+       |  SELECT a.vec_id, a.cid, a.v, a.nrm, sp.split
+       |  FROM assigned a JOIN small USING (cid) JOIN sp ON a.vec_id = sp.doc_id),
+       |te AS (SELECT cid, vec_id, v, nrm FROM cs WHERE split = 'test'),
+       |tr AS (SELECT cid, vec_id AS tid, v AS tv, nrm AS tn FROM cs WHERE split = 'train'),
+       |sims AS (
+       |  SELECT te.vec_id,
+       |         CASE WHEN tr.tid IS NULL THEN $DecontamSentinel
+       |              ELSE list_reduce(list_transform(range(1, len(te.v) + 1), i -> te.v[i] * tr.tv[i]),
+       |                               (x, y) -> x + y) / (te.nrm * tr.tn) END AS sim
+       |  FROM te LEFT JOIN tr USING (cid))
+       |SELECT vec_id AS doc_id, max(sim) AS max_train_sim,
+       |       max(sim) >= $SemThreshold AS contaminated
+       |FROM sims GROUP BY vec_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q26_cosine_topk", "brute-force cosine top-k (broadcast queries)", q26, Some(o26)),
     GraftQuery("q34_ann_lsh", "hyperplane-LSH bucketed cosine near-dup", q34, Some(o34)),
     GraftQuery("q39_ivf_ann", "IVF cell-probed approximate cosine top-k", q39, Some(o39)),
-    GraftQuery("q55_semantic_dedup", "SemDeDup within-cell cosine survivor selection", q55, Some(o55)))
+    GraftQuery("q55_semantic_dedup", "SemDeDup within-cell cosine survivor selection", q55, Some(o55)),
+    GraftQuery("q62_semantic_decontam", "test-vs-train embedding leakage within IVF cells", q62, Some(o62)))
 }

@@ -692,6 +692,82 @@ object TextAnalysis {
        |ORDER BY score DESC, doc_id ASC LIMIT $RetrievalK""".stripMargin
   }
 
+  // ---- q61: ensemble quality gate (multi-signal curation filter) ---------
+  // The FineWeb/RefinedWeb-style composite: no single heuristic
+  // separates good text from bad, so production gates AND together
+  // independent signals — surface quality (q28), Gopher repetition
+  // (q41), corpus-frequency boilerplate (q50), and the unigram-LM
+  // likelihood proxy (q56). Each leg is the exact kernel its own query
+  // verifies (zero drift by construction); thresholds sit at the
+  // fixture's measured deciles so the gate genuinely discriminates.
+  // All comparisons are on bit-identical doubles, so the boolean is
+  // engine-portable. Distributed shape: four doc-level legs (scan /
+  // scan / 3-scan boilerplate / reused-exchange LM) joined on doc_id —
+  // every join input is one row per doc, so the joins stay doc-count-
+  // sized at any corpus scale.
+  private val EnsMinQuality = 62.0
+  private val EnsMaxDupFrac = 0.02
+  private val EnsMaxBoilerFrac = 0.05
+  private val EnsMinMeanProb = 0.033
+
+  /** Multi-signal keep/drop verdict per document over any `(doc_id,
+    * text, lang, source, n_chars)` frame — the composable production
+    * gate (`keep` = every signal inside its threshold).
+    */
+  def qualityEnsemble(docs: DataFrame,
+      minQuality: Double = EnsMinQuality,
+      maxDupFrac: Double = EnsMaxDupFrac,
+      maxBoilerFrac: Double = EnsMaxBoilerFrac,
+      minMeanProb: Double = EnsMinMeanProb): DataFrame = {
+    val q = withQuality(docs).select(col("doc_id"), col("quality"))
+    val rep = TrainingData.repetitionSignal(docs)
+      .select(col("doc_id"), col("dup_frac"))
+    val boiler = boilerplateSignal(docs).select(col("doc_id"), col("boiler_frac"))
+    val lm = unigramLm(docs).select(col("doc_id"), col("mean_prob"))
+    q.join(rep, "doc_id").join(boiler, "doc_id").join(lm, "doc_id")
+      .withColumn("keep",
+        col("quality") >= minQuality && col("dup_frac") <= maxDupFrac &&
+          col("boiler_frac") <= maxBoilerFrac && col("mean_prob") >= minMeanProb)
+  }
+
+  private def q61(s: SparkSession, d: String): DataFrame =
+    qualityEnsemble(Tables.documents(s, d))
+
+  private val o61 =
+    s"""WITH ${qualityCtes("")},
+       |rw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |rg AS (SELECT doc_id, $gram3Sql AS grams FROM rw),
+       |rep AS (
+       |  SELECT doc_id, CASE WHEN len(grams) > 0 THEN 1.0 -
+       |           CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
+       |         ELSE 0.0 END AS dup_frac
+       |  FROM rg),
+       |be AS (SELECT doc_id, unnest(grams) AS gram FROM rg),
+       |bdf AS (SELECT gram, count(DISTINCT doc_id) AS df FROM be GROUP BY gram),
+       |bn AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |bhot AS (SELECT gram FROM bdf CROSS JOIN bn WHERE df * 100 > n_docs * $BoilerPctDocs),
+       |bper AS (SELECT be.doc_id, count(*) AS n_boiler FROM be JOIN bhot USING (gram) GROUP BY be.doc_id),
+       |boiler AS (
+       |  SELECT rg.doc_id, CASE WHEN len(grams) > 0
+       |           THEN CAST(coalesce(bper.n_boiler, 0) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
+       |           ELSE 0.0 END AS boiler_frac
+       |  FROM rg LEFT JOIN bper ON rg.doc_id = bper.doc_id),
+       |ltoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |lfreq AS (SELECT w, count(*) AS cnt FROM ltoks GROUP BY w),
+       |ltot AS (SELECT count(*) AS total FROM ltoks),
+       |lscaled AS (SELECT w, (cnt * $LmScale) // total AS p_scaled FROM lfreq CROSS JOIN ltot),
+       |lper AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |         CAST(sum(p_scaled) AS BIGINT) AS sum_scaled
+       |  FROM ltoks JOIN lscaled USING (w) GROUP BY doc_id),
+       |lm AS (
+       |  SELECT doc_id, CAST(sum_scaled AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * ${LmScale}.0) AS mean_prob
+       |  FROM lper)
+       |SELECT q.doc_id, q.quality, rep.dup_frac, boiler.boiler_frac, lm.mean_prob,
+       |       (q.quality >= $EnsMinQuality AND rep.dup_frac <= $EnsMaxDupFrac AND
+       |        boiler.boiler_frac <= $EnsMaxBoilerFrac AND lm.mean_prob >= $EnsMinMeanProb) AS keep
+       |FROM q JOIN rep USING (doc_id) JOIN boiler USING (doc_id) JOIN lm USING (doc_id)""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q27_langid", "marker-word language identification", q27, Some(o27)),
     GraftQuery("q28_quality", "document quality scoring", q28, Some(o28)),
@@ -704,5 +780,6 @@ object TextAnalysis {
     GraftQuery("q52_pii_redact", "PII detection and placeholder redaction", q52, Some(o52)),
     GraftQuery("q54_oov_rate", "doc-frequency vocabulary + per-doc OOV rate", q54, Some(o54)),
     GraftQuery("q56_unigram_lm", "mean corpus-unigram token probability (LM quality proxy)", q56, Some(o56)),
-    GraftQuery("q58_lexical_topk", "BM25-shaped lexical top-k retrieval (rational idf)", q58, Some(o58)))
+    GraftQuery("q58_lexical_topk", "BM25-shaped lexical top-k retrieval (rational idf)", q58, Some(o58)),
+    GraftQuery("q61_quality_ensemble", "multi-signal ensemble quality gate (q28+q41+q50+q56)", q61, Some(o61)))
 }

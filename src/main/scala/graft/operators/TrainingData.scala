@@ -33,7 +33,7 @@ object TrainingData {
   }
   private def splitCol: org.apache.spark.sql.Column = splitColumn
 
-  private val splitSql =
+  private[operators] val splitSql =
     """CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
       |     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
       |     ELSE 'test' END""".stripMargin
@@ -80,8 +80,12 @@ object TrainingData {
   // that are duplicates. Entirely map-side array arithmetic — the word
   // array is staged once (a lambda inlining it would re-split per gram),
   // and no shuffle exists anywhere in the plan.
-  private def q41(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+
+  /** Per-doc repeated-3-gram stats over any `(doc_id, text)` frame (the
+    * q41 kernel — also one leg of TextAnalysis.qualityEnsemble).
+    */
+  def repetitionSignal(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         graft.functions.WordGrams(col("text"), 3).as("grams"))
       .select(col("doc_id"),
@@ -90,6 +94,9 @@ object TrainingData {
         expr("CASE WHEN size(grams) > 0 THEN 1.0 - " +
           "CAST(size(array_distinct(grams)) AS DOUBLE) / " +
           "CAST(size(grams) AS DOUBLE) ELSE 0.0 END").as("dup_frac"))
+
+  private def q41(s: SparkSession, d: String): DataFrame =
+    repetitionSignal(Tables.documents(s, d))
 
   private val o41 =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

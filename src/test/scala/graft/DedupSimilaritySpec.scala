@@ -191,6 +191,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(r(1L) && !r(30L))
   }
 
+  test("semantic decontamination: same-cell train twin flags the test doc; lone cells report the sentinel") {
+    val dim = 64
+    def axis(i: Int, scale: Float) = {
+      val a = Array.fill(dim)(0.01f); a(i) = scale; a
+    }
+    // cells seeded by vecs 0/1; planted: test doc 20 is a near-twin of
+    // train doc 22 (cell 0); test doc 30 sits alone in cell 1 with no
+    // train neighbor; test doc 21 is in cell 0 but orthogonal-ish
+    val emb = Seq(
+      (0L, axis(0, 1.0f)), (1L, axis(1, 1.0f)),
+      (20L, axis(0, 0.9f)), (22L, axis(0, 0.88f)),
+      (21L, axis(2, 0.9f)), (30L, axis(1, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val splits = Seq(
+      0L -> "train", 1L -> "val", 20L -> "test", 22L -> "train",
+      21L -> "test", 30L -> "test").toDF("doc_id", "split")
+    val r = Similarity.semanticContamination(emb, splits,
+        threshold = 0.95, numCells = 2)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Double]("max_train_sim"), x.getAs[Boolean]("contaminated"))).toMap
+    assert(r.keySet == Set(20L, 21L, 30L), "one row per test doc")
+    assert(r(20L)._2 && r(20L)._1 > 0.99, s"planted twin must flag: ${r(20L)}")
+    // doc 21 shares cell 0 with train docs but is dissimilar
+    assert(!r(21L)._2 && r(21L)._1 < 0.95)
+    // doc 30's cell has val doc 1 only — no train rows, sentinel applies
+    assert(r(30L) == ((-2.0, false)), s"lone cell must report the sentinel: ${r(30L)}")
+  }
+
   test("semantic dedup fails loudly when the demo-centroid seed is empty") {
     // a filtered frame can lose every vec_id < numCells row (e.g. a
     // curation stage running on post-dedup survivors); assigning against

@@ -100,6 +100,43 @@ class TextCurationSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "corpus frequency must be an aggregate, not a window")
   }
 
+  test("quality ensemble: failing any single leg drops the doc, all-pass keeps it") {
+    import graft.operators.TextAnalysis
+    // four docs, each built to sit on the wrong side of exactly one
+    // signal relative to doc 1; thresholds are derived from the
+    // MEASURED signals (midpoints), so the test asserts discrimination,
+    // not hand-computed constants
+    val common = (1 to 40).map(i => s"w$i")
+    def doc(extra: Seq[String]) = (common ++ extra).mkString(" ")
+    val texts = Seq(
+      1L -> doc((41 to 80).map(i => s"x$i")),                  // baseline
+      2L -> doc(Seq.fill(15)(Seq("w1", "w2", "w3")).flatten),  // repeated 3-grams
+      3L -> doc((1 to 60).flatMap(_ => Seq("the", "of", "a", "to"))), // stopword-heavy
+      4L -> (1 to 80).map(i => s"zzqrare$i").mkString(" "))    // rare-vocab only
+    val df = texts.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    def signals(minQ: Double, maxDup: Double, maxBoiler: Double, minLm: Double) =
+      TextAnalysis.qualityEnsemble(df, minQ, maxDup, maxBoiler, minLm)
+        .collect().map(x => x.getAs[Long]("doc_id") ->
+          (x.getAs[Boolean]("keep"), x.getAs[Double]("quality"),
+            x.getAs[Double]("dup_frac"), x.getAs[Double]("mean_prob"))).toMap
+    val probe = signals(0.0, 1.0, 1.0, 0.0)
+    // each planted doc is on the wrong side of its leg vs the baseline
+    assert(probe(2L)._3 > probe(1L)._3, "doc 2 must have higher dup_frac")
+    assert(probe(3L)._2 < probe(1L)._2, "doc 3 must have lower quality")
+    assert(probe(4L)._4 < probe(1L)._4, "doc 4 must have lower mean_prob")
+    val r = signals(
+      minQ = (probe(1L)._2 + probe(3L)._2) / 2,
+      maxDup = (probe(1L)._3 + probe(2L)._3) / 2,
+      maxBoiler = 1.0, // 4-doc corpora make every shared gram "hot"; leg exercised at the oracle gate
+      minLm = (probe(1L)._4 + probe(4L)._4) / 2)
+    assert(r(1L)._1, s"baseline must pass all legs: ${r(1L)}")
+    assert(!r(2L)._1, "doc 2 must fail the repetition leg")
+    assert(!r(3L)._1, "doc 3 must fail the quality leg")
+    assert(!r(4L)._1, "doc 4 must fail the LM leg")
+  }
+
   test("lexical retrieval: rare terms dominate, shorter docs outrank at equal tf") {
     // query = {x, common}: 'common' is in docs 1+2 (idf 2), 'x' only in
     // doc 3 (idf 4) → doc 3 ranks first; docs 1 vs 2 tie on tf but doc 2
