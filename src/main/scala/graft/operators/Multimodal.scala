@@ -232,12 +232,6 @@ object Multimodal {
     Dedup.bandedHammingPairs(imageAHashes(bmpMediaTable(s, d)),
       AHashBits, AHashBands, AHashHammingMax, AHashBandCap)
 
-  val queries: Seq[GraftQuery] = Seq(
-    GraftQuery("q33_media_meta", "opaque-payload metadata extraction", q33, Some(o33)),
-    GraftQuery("q60_image_near_dups",
-      "aHash perceptual image dedup via the banded-hamming index (rows-only: no BMP decode in DuckDB)",
-      q60, None))
-
   // ---- q33: metadata extraction over opaque payloads (pure columns) ------
   // byte length, full-content digest, head-window digest ("thumbnail"),
   // and a strided frame sample — all computable without decoding.
@@ -262,4 +256,14 @@ object Multimodal {
       |                                      i -> substr(text, i * 97 + 1, 1)), '') AS frame_sample
       |FROM documents""".stripMargin
 
+  // LAST in the object on purpose: Scala object vals initialize in
+  // declaration order, so `queries` must follow every oracle val it
+  // captures — a GraftQuery built from a val declared below this point
+  // silently carries Some(null) and crashes the driver's oracle dump
+  // (RegistrySpec pins this invariant registry-wide).
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q33_media_meta", "opaque-payload metadata extraction", q33, Some(o33)),
+    GraftQuery("q60_image_near_dups",
+      "aHash perceptual image dedup via the banded-hamming index (rows-only: no BMP decode in DuckDB)",
+      q60, None))
 }

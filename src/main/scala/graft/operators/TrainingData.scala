@@ -402,6 +402,166 @@ object TrainingData {
       |   OR substr(md5('smp' || CAST(t.doc_id AS VARCHAR)), 1, 2) < r.thresh
       |GROUP BY t.source""".stripMargin
 
+  // ---- q63: duplicate-span fraction (cross-doc span-level dedup signal) --
+  // The Dolma/C4 "duplicate paragraph fraction" rule, adapted to the
+  // fixture's unstructured text: documents are cut into NON-overlapping
+  // SpanWords-word spans (q51's chunking with stride = window), each
+  // span is hashed, and a doc's spans that also appear in ANOTHER
+  // document mark it as partially duplicated — the span-level complement
+  // of q22 (whole-doc) and q25 (whole-doc near-dup): it catches
+  // boilerplate-stitched and partially-copied documents neither sees.
+  //
+  // Distributed shape (the q56 lesson applied from the start): the span
+  // stream is FIRST collapsed to its distinct (doc_id, sh) aggregate;
+  // the per-span doc-frequency table derives from it and joins back on
+  // the UNIFORM 64-bit span hash — the identical pre-aggregate exchange
+  // appears on both join inputs, so AQE materializes it once
+  // (ReusedExchange) and the whole query is one documents scan, one
+  // (doc_id, sh) exchange, one hash-keyed join exchange, one final
+  // doc_id aggregate. No collect_set of doc ids anywhere: a boilerplate
+  // span shared by millions of docs costs millions of JOIN rows
+  // (linear, partitioned) — never one aggregation-state list on a
+  // single key, which is what would OOM at 100 TB. Each pre-aggregate
+  // row matches exactly one df row, so join fan-out is 1:1 by
+  // construction — no quadratic region at any corpus size.
+  private val SpanWords = 16
+  private val DupSpanFlagFrac = 0.5
+
+  /** Per-doc duplicated-span stats over any `(doc_id, text)` frame:
+    * `(doc_id, n_spans, n_dup_spans, dup_span_frac, flagged)` where a
+    * span is duplicated iff its hash occurs in ≥ 2 distinct docs.
+    * Docs shorter than one full span are absent (no span evidence).
+    */
+  def dupSpanFraction(docs: DataFrame,
+      spanWords: Int = SpanWords,
+      flagFrac: Double = DupSpanFlagFrac): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n", size(col("w")))
+      .filter(col("n") >= spanWords)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, n div $spanWords - 1), i -> " +
+          s"substring(md5(cast(array_join(slice(w, i * $spanWords + 1, $spanWords), ' ') as binary)), 1, 16))"))
+        .as("sh"))
+      .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("c"))
+    val df = perDoc.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    perDoc.join(df, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_span_frac",
+        col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+      .withColumn("flagged", col("dup_span_frac") >= lit(flagFrac))
+  }
+
+  private def q63(s: SparkSession, d: String): DataFrame =
+    dupSpanFraction(Tables.documents(s, d))
+
+  private val o63 =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |s AS (
+       |  SELECT doc_id, unnest(list_transform(range(0, len(ws) // $SpanWords),
+       |           i -> substr(md5(array_to_string(ws[i*$SpanWords+1 : i*$SpanWords+$SpanWords], ' ')), 1, 16))) AS sh
+       |  FROM w WHERE len(ws) >= $SpanWords),
+       |p AS (SELECT doc_id, sh, count(*) AS c FROM s GROUP BY 1, 2),
+       |df AS (SELECT sh, count(*) AS df FROM p GROUP BY sh)
+       |SELECT doc_id, count(*) AS n_spans,
+       |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_span_frac,
+       |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) >= $DupSpanFlagFrac AS flagged
+       |FROM p JOIN df USING (sh) GROUP BY doc_id""".stripMargin
+
+  // ---- q64: DSIR-shaped hashed-bigram importance weights -----------------
+  // Data Selection via Importance Resampling (Xie et al. 2023): score
+  // raw documents by how target-like their hashed n-gram features are,
+  // then resample proportionally. The published form scores sum-of-
+  // log(p_target/p_raw); libm log is not cross-engine bit-stable (the
+  // q37/q56 lesson), so the weight is carried as the integer-scaled
+  // probability DIFFERENCE p_target − p_raw per feature bucket —
+  // monotone-equivalent discrimination for thresholding/resampling, and
+  // every intermediate is an exact BIGINT on both engines. Target
+  // distribution here: the corpus's own `lang = 'en'` slice (the
+  // DSIR recipe's "trusted corpus", stated inline so the oracle states
+  // it identically). Features: bigrams hashed into 256 buckets by their
+  // md5's first two hex chars — hex-string bucket ids avoid any
+  // hex→int parsing divergence between engines.
+  //
+  // Distributed shape: bigrams explode map-side off ONE documents scan
+  // (native WordGrams kernel) and collapse immediately to the
+  // (doc_id, lang, bucket) pre-aggregate; the 256-row bucket weight
+  // table derives from that same pre-aggregate (identical exchange →
+  // AQE ReusedExchange, the q56 shape) with its corpus totals as a
+  // window over the 256-row frame (q48 precedent — one partition
+  // holding ≤ 256 rows is exactly what a window is safe for). The
+  // weight table is STRUCTURALLY ≤ 256 rows, so its join back is
+  // force-broadcast (the q54 OOV-vocab justification). Overflow is
+  // ENFORCED like q56: a per-bucket count above Long.MaxValue/DsirScale
+  // raises instead of silently wrapping.
+  private val DsirScale = 1000000000L
+  private val DsirTargetLang = "en"
+
+  /** Per-doc DSIR importance score over any `(doc_id, text, lang)`
+    * frame: `(doc_id, n_bigrams, score_scaled, w_avg)` where
+    * `score_scaled = Σ_buckets c_doc(b) · (p̂_target(b) − p̂_raw(b))`
+    * in DsirScale-integer arithmetic and `w_avg` is its per-bigram
+    * mean as a double. Docs with < 2 words are absent (no features).
+    */
+  def dsirWeights(docs: DataFrame, targetLang: String = DsirTargetLang): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.WordGrams(col("text"), 2)).as("g"))
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("g").cast("binary")), 1, 2).as("b"))
+      .groupBy(col("doc_id"), col("lang"), col("b")).agg(count(lit(1)).as("c"))
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val maxSafe = Long.MaxValue / DsirScale
+    val weights = perDoc
+      .groupBy(col("b"))
+      .agg(sum(when(col("lang") === targetLang, col("c")).otherwise(0L)).as("cnt_t"),
+        sum(col("c")).as("cnt_all"))
+      .withColumn("tot_t", sum(col("cnt_t")).over(wTot))
+      .withColumn("tot_all", sum(col("cnt_all")).over(wTot))
+      .select(col("b"),
+        when(col("cnt_all") > maxSafe, raise_error(concat(
+          lit(s"dsirWeights: bucket count > Long-safe ceiling $maxSafe " +
+            s"for DsirScale=$DsirScale (lower DsirScale or use DECIMAL): "),
+          col("b"))))
+          .otherwise(
+            expr(s"(cnt_t * ${DsirScale}L) div tot_t - (cnt_all * ${DsirScale}L) div tot_all"))
+          .as("wsc"))
+    perDoc.join(broadcast(weights), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c") * col("wsc")).as("score_scaled"))
+      .withColumn("w_avg", col("score_scaled").cast("double") /
+        (col("n_bigrams").cast("double") * lit(DsirScale.toDouble)))
+  }
+
+  private def q64(s: SparkSession, d: String): DataFrame =
+    dsirWeights(Tables.documents(s, d))
+
+  private val o64 =
+    s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+       |g AS (
+       |  SELECT doc_id, lang, unnest(CASE WHEN len(ws) >= 2 THEN
+       |           list_transform(range(1, len(ws)), i -> array_to_string(ws[i:i+1], ' '))
+       |         ELSE [] END) AS gm
+       |  FROM w),
+       |p AS (SELECT doc_id, lang, substr(md5(gm), 1, 2) AS b, count(*) AS c FROM g GROUP BY 1, 2, 3),
+       |bk AS (
+       |  SELECT b,
+       |         CAST(sum(CASE WHEN lang = '$DsirTargetLang' THEN c ELSE 0 END) AS BIGINT) AS cnt_t,
+       |         CAST(sum(c) AS BIGINT) AS cnt_all
+       |  FROM p GROUP BY b),
+       |tt AS (SELECT CAST(sum(cnt_t) AS BIGINT) AS tot_t, CAST(sum(cnt_all) AS BIGINT) AS tot_all FROM bk),
+       |wt AS (
+       |  SELECT b, (cnt_t * $DsirScale) // tot_t - (cnt_all * $DsirScale) // tot_all AS wsc
+       |  FROM bk CROSS JOIN tt)
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       |       CAST(sum(c * wsc) AS BIGINT) AS score_scaled,
+       |       CAST(sum(c * wsc) AS DOUBLE) / (CAST(sum(c) AS DOUBLE) * ${DsirScale}.0) AS w_avg
+       |FROM p JOIN wt USING (b) GROUP BY doc_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q40_train_split", "deterministic hash train/val/test split stats", q40, Some(o40)),
     GraftQuery("q41_repetition", "repeated-3-gram fraction quality signal", q41, Some(o41)),
@@ -410,5 +570,7 @@ object TrainingData {
     GraftQuery("q46_pack_sequences", "sharded next-fit token packing", q46, Some(o46)),
     GraftQuery("q51_chunk", "overlapping token-window chunking", q51, Some(o51)),
     GraftQuery("q47_stratified_sample", "deterministic per-language hash sampling", q47, Some(o47)),
-    GraftQuery("q48_source_mixture", "per-source token-budget equalization", q48, Some(o48)))
+    GraftQuery("q48_source_mixture", "per-source token-budget equalization", q48, Some(o48)),
+    GraftQuery("q63_dup_span_frac", "cross-doc duplicated-span fraction (Dolma paragraph-dedup rule)", q63, Some(o63)),
+    GraftQuery("q64_dsir_weights", "DSIR hashed-bigram importance weights (integer-exact)", q64, Some(o64)))
 }

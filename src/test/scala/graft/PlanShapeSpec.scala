@@ -76,6 +76,32 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected the (doc_id, w) pre-aggregate exchange to be reused:\n${fin.take(2000)}")
   }
 
+  test("q63 reuses the (doc_id, span) pre-aggregate exchange; no doc-set collection") {
+    // both join inputs (per-doc distinct spans, per-span doc frequency)
+    // derive from the same pre-aggregate: one span-level exchange
+    // materializes and the df branch reads it back. No collect_set of
+    // doc ids may appear — a corpus-hot span must cost join rows
+    // (linear), never one aggregation-state list on a single key.
+    val df = Registry.byName("q63_dup_span_frac").run(spark, TestSpark.sf0001)
+    df.collect()
+    val fin = df.queryExecution.explainString(FormattedMode)
+    assert(fin.contains("ReusedExchange"),
+      s"expected the (doc_id, sh) pre-aggregate exchange to be reused:\n${fin.take(2000)}")
+    assert(!fin.contains("collect_set"), "span df must come from a join, not a doc-id set")
+  }
+
+  test("q64 broadcasts the 256-row weight table and reuses the feature exchange") {
+    val df = Registry.byName("q64_dsir_weights").run(spark, TestSpark.sf0001)
+    df.collect()
+    val fin = df.queryExecution.explainString(FormattedMode)
+    assert(fin.contains("BroadcastHashJoin"),
+      "structurally-bounded bucket weights must broadcast")
+    assert(!fin.contains("SortMergeJoin") && !fin.contains("ShuffledHashJoin"),
+      "the feature stream must never shuffle for the weight join")
+    assert(fin.contains("ReusedExchange"),
+      s"expected the (doc_id, lang, b) pre-aggregate exchange to be reused:\n${fin.take(2000)}")
+  }
+
   test("q39 broadcasts centroids and probes; corpus rows never join-shuffle") {
     val p = planOf("q39_ivf_ann")
     // centroid/probe frames are always the right side of their joins;

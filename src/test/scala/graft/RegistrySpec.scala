@@ -20,6 +20,11 @@ class RegistrySpec extends AnyFunSuite {
     assert(names.distinct.size == names.size)
     val noOracle = Registry.all.filter(_.oracle.isEmpty).map(_.name).toSet
     assert(noOracle == declaredRowsOnly)
+    // Some(null) oracles pass every keySet check but crash the driver's
+    // oracle dump — the Scala object-init-order trap: a `queries` val
+    // declared above the oracle val it captures sees null (q33 regression)
+    val nullSql = Registry.all.filter(_.oracle.exists(_ eq null)).map(_.name)
+    assert(nullSql.isEmpty, s"null oracle SQL (object-init order): $nullSql")
   }
 
   Registry.all.foreach { q =>

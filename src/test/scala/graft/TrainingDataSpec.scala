@@ -295,6 +295,43 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "corpus must never shuffle for the rate join")
   }
 
+  test("q63: spans shared across docs are flagged; within-doc-only and short docs are not") {
+    def span(p: String) = (1 to 16).map(i => s"$p$i").mkString(" ")
+    val (a, b, c, u) = (span("a"), span("b"), span("c"), span("u"))
+    val dir = docsDir(Seq(
+      (1L, s"$a $b", "s"), // shares span a with doc 2
+      (2L, s"$a $c", "s"),
+      (3L, u, "s"),        // unique single span
+      (4L, "only eight words live in this doc here", "s"))) // < 1 span: absent
+    val rows = Registry.byName("q63_dup_span_frac").run(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans"),
+          r.getAs[Double]("dup_span_frac"), r.getAs[Boolean]("flagged"))).toMap
+    assert(rows(1L) == ((2L, 1L, 0.5, true)))
+    assert(rows(2L) == ((2L, 1L, 0.5, true)))
+    assert(rows(3L) == ((1L, 0L, 0.0, false)))
+    assert(!rows.contains(4L))
+  }
+
+  test("q64: target-language docs score positive, off-target negative, featureless absent") {
+    val dir = java.nio.file.Files.createTempDirectory("td").toString
+    Seq((1L, "en", "alpha beta alpha beta alpha"), (2L, "en", "alpha beta gamma"),
+      (3L, "de", "zeta eta zeta eta zeta"), (4L, "de", "zeta eta theta"),
+      (5L, "de", "single")) // one word: no bigram features
+      .toDF("doc_id", "lang", "text")
+      .select(col("doc_id"), col("text"), col("lang"), lit("s").as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Registry.byName("q64_dsir_weights").run(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("score_scaled"), r.getAs[Double]("w_avg"))).toMap
+    // en bigrams carry target mass (p_target > p_raw), de bigrams none
+    assert(rows(1L)._1 > 0 && rows(2L)._1 > 0)
+    assert(rows(3L)._1 < 0 && rows(4L)._1 < 0)
+    assert(!rows.contains(5L))
+    rows.values.foreach { case (s, w) => assert(s.sign == math.signum(w).toLong) }
+  }
+
   test("q42 plans one documents scan and no gram-level self-join") {
     val df = Registry.byName("q42_contamination").run(spark, TestSpark.sf0001)
     val p = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
