@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.{Bucketing, Similarity, TextAnalysis}
+import graft.operators.{Bucketing, Similarity, TextAnalysis, TrainingData}
 import graft.sources.Schemas
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -132,6 +132,46 @@ object StreamingCurate {
               assigned.join(verdicts.select("vec_id"), Seq("vec_id"), "left_anti")),
             indexTable, "cid", buckets)
         } finally { verdicts.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** The DECONTAMINATION leg, stream-static: q43's long-n-gram leakage
+    * check applied in flight against a persisted train-gram index
+    * ([[graft.operators.TrainingData.writeGramIndex]] seeds it from the
+    * historical train corpus).
+    *
+    * Per micro-batch: arriving docs take their hash split row-locally
+    * (the q40 column — no corpus knowledge needed); test-split arrivals
+    * are verdicted by distinct-shared-gram count against the co-located
+    * index buckets; train-split arrivals grow the index by their FRESH
+    * grams (batch-sized anti-join, materialized before the append so
+    * the write never scans the table it is appending to). No state
+    * store on this leg — cross-batch memory is the bucketed table, the
+    * band/cell-index discipline. Batch-internal train→test leakage is
+    * deliberately deferred one batch (today's train grams join the
+    * index at the next micro-batch — the q57 discipline).
+    */
+  def decontamVerdictStream(docs: DataFrame, indexTable: String,
+      outPath: String, checkpoint: String,
+      buckets: Int = 32): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        val withSplit = batch.withColumn("split", TrainingData.splitColumn)
+        // resolve the table INSIDE the batch so each micro-batch sees
+        // every earlier batch's appended grams
+        val index = spark.table(indexTable)
+        TrainingData.gramIndexVerdicts(
+            withSplit.filter(col("split") === "test"), index)
+          .write.mode("append").parquet(outPath)
+        val fresh = TrainingData.gramRowsOf(
+            withSplit.filter(col("split") === "train"))
+          .join(index, Seq("gh"), "left_anti").cache()
+        try {
+          fresh.count() // materialize: the append must not scan its own table
+          Bucketing.appendBucketed(fresh, indexTable, "gh", buckets)
+        } finally { fresh.unpersist(); () }
       }
       .option("checkpointLocation", checkpoint)
       .start()

@@ -445,6 +445,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(idx == Set(1L, 2L, 21L, 31L))
   }
 
+  test("stream-static decontamination verdicts test arrivals against a growing train-gram index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // hash-split facts (md5 of doc_id): 1,2 train; 3,44,49,64 test
+    def words(p: String) = (1 to 8).map(i => s"$p$i").mkString(" ")
+    val (g, h, c) = (words("g"), words("h"), words("c"))
+    // seed: historical train corpus = doc 1 carrying gram G
+    graft.operators.TrainingData.writeGramIndex(
+      Seq((1L, g)).toDF("doc_id", "text"), "gram_idx_stream", 4)
+    val mem = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("dcvout").toString
+    val q = graft.streaming.StreamingCurate.decontamVerdictStream(
+      mem.toDF().toDF("doc_id", "text"), "gram_idx_stream", out,
+      Files.createTempDirectory("dcvck").toString, buckets = 4)
+    // batch 1: test doc 3 leaks G (flagged), test doc 44 is clean,
+    // train doc 2 arrives carrying NEW gram H (appended to the index)
+    mem.addData((3L, g), (44L, c), (2L, h))
+    q.processAllAvailable()
+    // batch 2: test doc 49 leaks H — known only from batch 1's train
+    // arrival; test doc 64 leaks the seeded G
+    mem.addData((49L, h), (64L, g))
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "decontamination leg must not grow a state store")
+    q.stop()
+    val r = spark.read.parquet(out).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("n_shared_grams")).toMap
+    assert(r == Map(3L -> 1L, 49L -> 1L, 64L -> 1L)) // 44 clean, 2 is train
+    // the index grew by exactly doc 2's fresh gram
+    assert(spark.table("gram_idx_stream").count() == 2L)
+  }
+
   test("JS2: to_json sink round-trips through from_json losslessly") {
     import spark.implicits._
     val events = Seq(
