@@ -696,6 +696,123 @@ object Dedup {
       |       first(agree ORDER BY agree DESC, n_bands DESC, idx_id) / ${MinhashK}.0 AS sig_agree
       |FROM agreed GROUP BY doc_id""".stripMargin
 
+  // ---- q65: containment re-scoring over LSH candidates -------------------
+  // Jaccard under-scores asymmetric copying: a short document pasted
+  // whole into a long one has |A∩B|/|A∪B| ≈ |A|/|B| (small) but
+  // containment |A∩B|/min(|A|,|B|) ≈ 1. Re-scoring the SAME capped
+  // candidate pairs with max-containment surfaces quote/subset
+  // relationships the q25 threshold drops — the "containment dedup"
+  // action of suffix-style pipelines, at pair granularity. Identical
+  // plan shape to q25 (one member-explode equi-join over pre-hashed
+  // shingle sets, regroup to pairs); containment ≥ jaccard always, so
+  // the same candidates yield a superset of verified pairs at equal
+  // thresholds. Honest recall note (documented, not hidden): MinHash
+  // banding recalls by JACCARD, so a tiny-in-huge containment pair may
+  // never be proposed — production containment at 100 TB would band
+  // the small side's shingles asymmetrically; over the proposed
+  // candidates the verification itself is exact.
+  private val ContainThreshold = 0.7
+
+  /** Max-containment (|A∩B| / min(|A|,|B|)) over candidate pairs. */
+  def containmentVerify(cands: DataFrame, docs: DataFrame): DataFrame = {
+    val sets = docs.select(col("doc_id"),
+      graft.functions.ShingleHashes(col("text")).as("wh"))
+    cands
+      .select(col("doc_a"), col("doc_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .join(sets, "doc_id")
+      .groupBy("doc_a", "doc_b")
+      .agg(
+        max(when(col("doc_id") === col("doc_a"), col("wh"))).as("wh_a"),
+        max(when(col("doc_id") === col("doc_b"), col("wh"))).as("wh_b"))
+      .withColumn("containment",
+        size(array_intersect(col("wh_a"), col("wh_b"))) /
+          least(size(col("wh_a")), size(col("wh_b"))))
+      .filter(col("containment") >= ContainThreshold)
+      .select("doc_a", "doc_b", "containment")
+  }
+
+  private def q65(s: SparkSession, d: String): DataFrame =
+    containmentVerify(candidatePairs(s, d), Tables.documents(s, d))
+
+  private val o65 =
+    s"""WITH $candidateCtes,
+       |sets AS (SELECT doc_id, list_distinct(list_transform($shingleSql,
+       |           s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS wh
+       |         FROM documents)
+       |SELECT doc_a, doc_b,
+       |       len(list_intersect(x.wh, y.wh)) /
+       |       least(len(x.wh), len(y.wh)) AS containment
+       |FROM cand JOIN sets x ON cand.doc_a = x.doc_id
+       |          JOIN sets y ON cand.doc_b = y.doc_id
+       |WHERE len(list_intersect(x.wh, y.wh)) /
+       |      least(len(x.wh), len(y.wh)) >= $ContainThreshold""".stripMargin
+
+  // ---- q66: duplicated-token coverage (ExactSubstr-shaped) ---------------
+  // Lee et al.'s ExactSubstr dedup measures how much of a document is
+  // covered by substrings that ALSO occur elsewhere in the corpus —
+  // q63's span partition misses duplication that straddles span
+  // boundaries; coverage doesn't. A token position counts as duplicated
+  // iff ANY of the 8-gram windows covering it occurs in ≥ 2 distinct
+  // docs. Shape: positioned gram hashes (native GramHashes +
+  // posexplode) off the scan; the cross-doc gram set derives from the
+  // distinct (doc_id, gh) aggregate and joins back on the UNIFORM
+  // 64-bit hash; covered positions explode map-side (≤ 8 per
+  // duplicated occurrence — structurally bounded fan-out), collapse by
+  // (doc_id, pos), and count against the ridden-along token length.
+  // Two documents scans (the occurrence subtree feeds both the dup-set
+  // branch and the coverage branch — the q48/q58 trade). Docs with no
+  // duplicated gram are absent (the q43 reporting contract).
+
+  /** Per-doc duplicated-token coverage over any `(doc_id, text)` frame:
+    * `(doc_id, n_tokens, n_cov, cov_frac)` for docs with ≥ 1 gram
+    * occurring in ≥ 2 distinct docs.
+    */
+  def dupTokenCoverage(docs: DataFrame): DataFrame = {
+    val occ = docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        posexplode(graft.functions.GramHashes(col("text"), 8, 16)))
+      .select(col("doc_id"), col("n_tokens"), col("pos"), col("col").as("gh"))
+    val dupGh = occ.select(col("doc_id"), col("gh")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("gh")
+    occ.join(dupGh, "gh")
+      .select(col("doc_id"), col("n_tokens"),
+        explode(expr("sequence(pos, pos + 7)")).as("p"))
+      .dropDuplicates("doc_id", "p")
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_cov"))
+      .withColumn("cov_frac",
+        col("n_cov").cast("double") / col("n_tokens").cast("double"))
+      .select("doc_id", "n_tokens", "n_cov", "cov_frac")
+  }
+
+  private def q66(s: SparkSession, d: String): DataFrame =
+    dupTokenCoverage(Tables.documents(s, d))
+
+  private val o66 =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |o AS (
+      |  SELECT doc_id, len(ws) AS n_tokens, ws,
+      |         unnest(range(1, len(ws) - 6)) AS i
+      |  FROM w WHERE len(ws) >= 8),
+      |g AS (
+      |  SELECT doc_id, n_tokens, i,
+      |         substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 16) AS gh
+      |  FROM o),
+      |d AS (
+      |  SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM g)
+      |  GROUP BY gh HAVING count(*) >= 2),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, n_tokens, p FROM (
+      |    SELECT g.doc_id, g.n_tokens, unnest(range(g.i, g.i + 8)) AS p
+      |    FROM g JOIN d USING (gh)))
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |       count(*) AS n_cov,
+      |       CAST(count(*) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS cov_frac
+      |FROM cov GROUP BY doc_id, n_tokens""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q22_dedup_exact", "exact dedup via content-hash groupBy", q22, Some(o22)),
     GraftQuery("q23_minhash_lsh", "MinHash+LSH band join candidate pairs", q23, Some(o23)),
@@ -705,5 +822,7 @@ object Dedup {
     GraftQuery("q49_simhash_pairs", "banded SimHash near-dup pairs (hamming verify)", q49, Some(o49)),
     GraftQuery("q53_canonical_docs", "per-cluster best-quality survivor selection", q53, Some(o53)),
     GraftQuery("q57_incremental_dedup", "new-batch vs banded-index incremental dedup", q57, Some(o57)),
-    GraftQuery("q59_verified_ingest", "incremental ingest verified by full-sketch slice agreement", q59, Some(o59)))
+    GraftQuery("q59_verified_ingest", "incremental ingest verified by full-sketch slice agreement", q59, Some(o59)),
+    GraftQuery("q65_containment_pairs", "max-containment re-scoring of LSH candidates (asymmetric copying)", q65, Some(o65)),
+    GraftQuery("q66_dup_token_coverage", "ExactSubstr-shaped duplicated-token coverage fraction", q66, Some(o66)))
 }

@@ -53,6 +53,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!rows.contains((1L, 3L)))
   }
 
+  test("containment: a doc pasted whole into a longer one scores 1.0 where jaccard fails the gate") {
+    import spark.implicits._
+    val short = (1 to 10).map(i => s"w$i").mkString(" ")
+    val long = short + " " + (1 to 12).map(i => s"x$i").mkString(" ")
+    val d = docs(Seq((1L, short), (2L, long)))
+    // candidates fed directly: the semantics under test are the
+    // verification scores, not LSH recall (documented jaccard bias)
+    val cands = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val cont = graft.operators.Dedup.containmentVerify(cands, d)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(cont((1L, 2L)) == 1.0) // every shingle of 1 is in 2
+    val jac = graft.operators.Dedup.jaccardVerify(cands, d).collect()
+    assert(jac.isEmpty, "the same pair must fail the 0.6 jaccard gate")
+  }
+
+  test("q66: coverage counts tokens under any cross-doc duplicated gram, clean docs absent") {
+    val g = (1 to 8).map(i => s"g$i").mkString(" ")
+    val d = docs(Seq(
+      (1L, s"$g u1 u2 u3 u4"),      // 12 tokens, shared gram at pos 0
+      (2L, s"x1 x2 $g"),            // 10 tokens, shared gram at pos 2
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9"))) // no cross-doc gram
+    val dir = java.nio.file.Files.createTempDirectory("cov").toString
+    d.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Registry.byName("q66_dup_token_coverage").run(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_cov"),
+          r.getAs[Double]("cov_frac"))).toMap
+    assert(rows(1L) == ((12L, 8L, 8.0 / 12.0)))
+    assert(rows(2L) == ((10L, 8L, 8.0 / 10.0)))
+    assert(!rows.contains(3L))
+  }
+
   test("cosine: identical vectors rank first with sim == 1.0") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
