@@ -116,6 +116,27 @@ object ScaleEvidence {
     val (preRows, preSec) = timed(
       Dedup.incrementalAgainstIndex(batch, spark.table("se_band_idx")).count())
 
+    // ---- gram index: one-shot decontamination vs pre-seeded index -------
+    // the decontamVerdictStream A/B (the q57 measurement transposed to
+    // train grams): verdicting a small arriving batch by re-deriving
+    // the train-gram set from corpus text every time, vs against the
+    // persisted gh-bucketed index — the gap is what the seeded index
+    // buys every ingest batch
+    val gBatchPred = col("doc_id") % 47 === 0
+    val gCorpus = docsAll.filter(!gBatchPred)
+    val gBatch = docsAll.filter(gBatchPred)
+    spark.sql("DROP TABLE IF EXISTS se_gram_idx")
+    val gLoc = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(dbLoc), "se_gram_idx")
+    if (fs.exists(gLoc)) { fs.delete(gLoc, true); () }
+    val (_, gramSeedSec) = timed(
+      TrainingData.writeGramIndex(gCorpus, "se_gram_idx", 32))
+    val (dcOneRows, dcOneSec) = timed(
+      TrainingData.gramIndexVerdicts(gBatch,
+        TrainingData.gramRowsOf(gCorpus)).count())
+    val (dcPreRows, dcPreSec) = timed(
+      TrainingData.gramIndexVerdicts(gBatch, spark.table("se_gram_idx")).count())
+
     // ---- q44: durable-checkpoint clustering (cluster fault tolerance) ---
     // same pair graph, snapshots written to a reliable dir instead of
     // executor-local blocks: the delta is the write-per-round price of
@@ -169,7 +190,10 @@ object ScaleEvidence {
       s""""q44_durable_sec":$q44DurSec,"q44_durable_rows":$q44DurRows,""" +
       s""""q44_durable_rounds":$q44DurRounds,""" +
       s""""q56_preagg_sec":$q56Sec,"q56_rows":$q56Rows,""" +
-      s""""q56_occjoin_sec":$q56OccSec,"q56_occjoin_rows":$q56OccRows}""")
+      s""""q56_occjoin_sec":$q56OccSec,"q56_occjoin_rows":$q56OccRows,""" +
+      s""""gram_index_seed_sec":$gramSeedSec,"decontam_oneshot_sec":$dcOneSec,""" +
+      s""""decontam_presigned_sec":$dcPreSec,"decontam_rows":$dcPreRows,""" +
+      s""""decontam_oneshot_rows":$dcOneRows}""")
     spark.stop()
   }
 }
