@@ -768,6 +768,55 @@ object TextAnalysis {
        |        boiler.boiler_frac <= $EnsMaxBoilerFrac AND lm.mean_prob >= $EnsMinMeanProb) AS keep
        |FROM q JOIN rep USING (doc_id) JOIN boiler USING (doc_id) JOIN lm USING (doc_id)""".stripMargin
 
+  // ---- q68: exact per-language length quantiles --------------------------
+  // Corpus profiling: p25/p50/p75/p95 document length per language —
+  // the distribution summary that sizes chunking (q51), packing (q46)
+  // and length-based quality cuts. Exactness discipline: DISCRETE
+  // quantiles (the value AT rank ceil(p·n), 1-indexed ascending), with
+  // the rank computed in pure integer arithmetic — ceil(p·n) =
+  // (a·n + b − 1) div b for p = a/b — so there is no interpolation and no
+  // libm double anywhere (the q37/q56/q64 lesson; interpolated
+  // quantiles differ cross-engine in the last IEEE bit). One exchange:
+  // the rank window shuffles on lang, and the per-lang aggregate that
+  // follows reuses that partitioning (no second exchange — CI-pinned).
+  // Scale caveat (q45's, shared): a per-language window puts each
+  // language on one partition; at 100 TB profile per (lang, shard)
+  // and merge, or accept approx_percentile's sketch when exactness
+  // isn't contractual — exact selection is the oracle semantic here.
+
+  /** Per-language exact discrete length quantiles over any frame with
+    * `doc_id`, `lang`, `n_chars`: `(lang, n_docs, p25, p50, p75, p95)`.
+    */
+  def lengthQuantiles(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    val ranked = docs
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("rk", row_number().over(w.orderBy(col("n_chars"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+    def at(num: Int, den: Int, name: String) =
+      max(when(col("rk") === expr(s"($num * n + ${den - 1}) div $den"), col("n_chars")))
+        .as(name)
+    ranked.groupBy(col("lang")).agg(
+      max(col("n")).as("n_docs"),
+      at(1, 4, "p25"), at(1, 2, "p50"), at(3, 4, "p75"), at(19, 20, "p95"))
+  }
+
+  private def q68(s: SparkSession, d: String): DataFrame =
+    lengthQuantiles(Tables.documents(s, d))
+
+  private val o68 =
+    """WITH r AS (
+      |  SELECT lang, n_chars,
+      |         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rk,
+      |         count(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents)
+      |SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+      |       CAST(max(CASE WHEN rk = (1 * n + 3) // 4 THEN n_chars END) AS BIGINT) AS p25,
+      |       CAST(max(CASE WHEN rk = (1 * n + 1) // 2 THEN n_chars END) AS BIGINT) AS p50,
+      |       CAST(max(CASE WHEN rk = (3 * n + 3) // 4 THEN n_chars END) AS BIGINT) AS p75,
+      |       CAST(max(CASE WHEN rk = (19 * n + 19) // 20 THEN n_chars END) AS BIGINT) AS p95
+      |FROM r GROUP BY lang""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q27_langid", "marker-word language identification", q27, Some(o27)),
     GraftQuery("q28_quality", "document quality scoring", q28, Some(o28)),
@@ -781,5 +830,6 @@ object TextAnalysis {
     GraftQuery("q54_oov_rate", "doc-frequency vocabulary + per-doc OOV rate", q54, Some(o54)),
     GraftQuery("q56_unigram_lm", "mean corpus-unigram token probability (LM quality proxy)", q56, Some(o56)),
     GraftQuery("q58_lexical_topk", "BM25-shaped lexical top-k retrieval (rational idf)", q58, Some(o58)),
-    GraftQuery("q61_quality_ensemble", "multi-signal ensemble quality gate (q28+q41+q50+q56)", q61, Some(o61)))
+    GraftQuery("q61_quality_ensemble", "multi-signal ensemble quality gate (q28+q41+q50+q56)", q61, Some(o61)),
+    GraftQuery("q68_length_quantiles", "exact per-language discrete length quantiles (integer-rank)", q68, Some(o68)))
 }

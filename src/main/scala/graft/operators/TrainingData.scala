@@ -598,6 +598,114 @@ object TrainingData {
        |       CAST(sum(c * wsc) AS DOUBLE) / (CAST(sum(c) AS DOUBLE) * ${DsirScale}.0) AS w_avg
        |FROM p JOIN wt USING (b) GROUP BY doc_id""".stripMargin
 
+  // ---- q67: bloom-prefiltered train-corpus decontamination ---------------
+  // The production direction of q43: there the question is "which TEST
+  // docs are tainted" (eval hygiene); here it is "which TRAIN docs must
+  // be DROPPED before training" — and in production the benchmark side
+  // is a small fixed suite while the train side is the 100-TB corpus.
+  // That asymmetry is the whole opportunity. q43's shape shuffles every
+  // gram occurrence of both sides on gh — right when both splits are
+  // corpus-sized fractions, wasteful against a small benchmark. Here
+  // the train side is NEVER exchanged: its grams stream out of the
+  // scan, a driver-built Bloom filter over the benchmark's distinct
+  // grams (broadcast once; no false negatives) discards ~all of them
+  // row-locally leaving ~fpp residue, and the survivors hit an exact
+  // broadcast join that removes the Bloom's false positives. Output is
+  // EXACT — the Bloom is a prune, not an approximation — which is what
+  // lets a DuckDB oracle hash-check it (CI re-runs at fpp=0.5 and
+  // asserts identical rows). Only the candidate trickle reaches the
+  // count-distinct exchange. Headroom note: the exact confirm join
+  // bounds the benchmark's gram set by broadcast size; past that,
+  // confirm the (tiny) post-Bloom candidate stream with a shuffle join
+  // instead — the Bloom's bits-per-key ≪ an exact hash set is what
+  // keeps the row-local prune feasible long after an exact broadcast
+  // set would not be.
+
+  /** TRAIN docs sharing a long n-gram with any benchmark doc, as
+    * `(doc_id, n_shared_grams)` (distinct shared grams; clean docs
+    * absent). Both frames carry `(doc_id, text)`; `benchmark` must be
+    * broadcast-small (a held-out eval suite). `fpp` trades Bloom bytes
+    * for prune selectivity only — any fpp yields identical output.
+    */
+  def contaminatedTrainDocs(
+      train: DataFrame, benchmark: DataFrame, fpp: Double = 0.01): DataFrame = {
+    val spark = train.sparkSession
+    val benchGrams = benchmark
+      .select(explode(graft.functions.GramHashes(col("text"), 8, 16)).as("gh"))
+      .distinct()
+    val bf = benchGrams.stat.bloomFilter("gh",
+      math.max(benchGrams.count(), 1L), fpp)
+    val bfBc = spark.sparkContext.broadcast(bf)
+    val inBloom = udf((gh: String) => bfBc.value.mightContainString(gh))
+    train
+      .select(col("doc_id"),
+        explode(graft.functions.GramHashes(col("text"), 8, 16)).as("gh"))
+      .filter(inBloom(col("gh")))
+      .join(broadcast(benchGrams), "gh")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gh")).as("n_shared_grams"))
+  }
+
+  private def q67(s: SparkSession, d: String): DataFrame = {
+    // fixture stand-in for the external benchmark suite: the corpus's
+    // own (hash-defined, ~10%) test split
+    val docs = Tables.documents(s, d).withColumn("split", splitCol)
+    contaminatedTrainDocs(
+      docs.filter(col("split") === "train"),
+      docs.filter(col("split") === "test"))
+  }
+
+  private val o67 =
+    s"""WITH s AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws, $splitSql AS split
+       |  FROM documents),
+       |g0 AS (
+       |  SELECT doc_id, split, unnest($gramHashSql) AS gh
+       |  FROM s),
+       |d AS (SELECT DISTINCT doc_id, split, gh FROM g0),
+       |tr AS (SELECT doc_id, gh FROM d WHERE split = 'train'),
+       |te AS (SELECT DISTINCT gh FROM d WHERE split = 'test')
+       |SELECT tr.doc_id, count(*) AS n_shared_grams
+       |FROM tr JOIN te USING (gh) GROUP BY 1""".stripMargin
+
+  // ---- q69: fixed-SIZE deterministic per-stratum sample ------------------
+  // Eval-subset creation: exactly K docs per source, where q47 samples
+  // by RATE (its stratum share scales with stratum size — wrong for
+  // "give me 25 inspection docs from every source"). The "random"
+  // order is a salted md5 ('fix' — distinct from both the split salt
+  // and q47's 'smp' so the sample correlates with neither), making the
+  // draw reproducible across runs, engines, and corpus growth: a doc's
+  // membership changes only if a new doc's hash lands inside the K-th
+  // boundary. Scale shape: the rank-≤-K filter pushes down as
+  // WindowGroupLimit (q37's pin) — every map partition keeps a bounded
+  // per-source top-K heap, so at most K rows per (source × partition)
+  // reach the one window exchange; the corpus itself never shuffles.
+  private val FixedSampleK = 25
+
+  /** Exactly-K-per-stratum deterministic sample over any frame with
+    * `doc_id`, `lang`, `source` (strata smaller than K kept whole).
+    */
+  def fixedSample(docs: DataFrame, k: Int): DataFrame = {
+    val h = md5(concat(lit("fix"), col("doc_id").cast("string")).cast("binary"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(h.asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  private def q69(s: SparkSession, d: String): DataFrame =
+    fixedSample(Tables.documents(s, d), FixedSampleK)
+
+  private val o69 =
+    s"""WITH r AS (
+       |  SELECT doc_id, lang, source,
+       |         row_number() OVER (PARTITION BY source
+       |           ORDER BY md5('fix' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |  FROM documents)
+       |SELECT doc_id, lang, source FROM r WHERE rk <= $FixedSampleK""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q40_train_split", "deterministic hash train/val/test split stats", q40, Some(o40)),
     GraftQuery("q41_repetition", "repeated-3-gram fraction quality signal", q41, Some(o41)),
@@ -608,5 +716,7 @@ object TrainingData {
     GraftQuery("q47_stratified_sample", "deterministic per-language hash sampling", q47, Some(o47)),
     GraftQuery("q48_source_mixture", "per-source token-budget equalization", q48, Some(o48)),
     GraftQuery("q63_dup_span_frac", "cross-doc duplicated-span fraction (Dolma paragraph-dedup rule)", q63, Some(o63)),
-    GraftQuery("q64_dsir_weights", "DSIR hashed-bigram importance weights (integer-exact)", q64, Some(o64)))
+    GraftQuery("q64_dsir_weights", "DSIR hashed-bigram importance weights (integer-exact)", q64, Some(o64)),
+    GraftQuery("q67_bloom_decontam", "bloom-prefiltered contaminated-train-doc detection", q67, Some(o67)),
+    GraftQuery("q69_fixed_sample", "exactly-K-per-stratum deterministic hash sample", q69, Some(o69)))
 }

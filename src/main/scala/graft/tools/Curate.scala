@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   *   4. deterministic train/val/test hash split;
   *   5. decontamination — drop test docs sharing a long n-gram with
   *      any train doc;
+  *   5b. (optional) benchmark decontamination — drop TRAIN docs
+  *      sharing a long n-gram with an external benchmark suite
+  *      (contaminatedTrainDocs, the q67 bloom-prefiltered kernel;
+  *      stage 5 protects THIS corpus's held-out split, 5b protects
+  *      published eval sets the corpus never saw);
   *   6. next-fit token packing of the train split.
   *
   * Stage order matters and is deliberate: dedup BEFORE the quality
@@ -49,9 +54,10 @@ object Curate {
   final case class StageCounts(input: Long, afterDedup: Long,
       afterSemDedup: Long, afterQuality: Long, afterMixture: Long,
       train: Long, val_ : Long, testClean: Long, testDropped: Long,
-      trainPacks: Long)
+      trainPacks: Long, trainBenchDropped: Long = 0L)
 
-  def run(spark: SparkSession, sfDir: String, outDir: String): StageCounts = {
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      benchmark: Option[DataFrame] = None): StageCounts = {
     val docs = Tables.documents(spark, sfDir)
 
     // write a stage, then hand back the WRITTEN parquet: downstream
@@ -111,9 +117,25 @@ object Curate {
     val clean = stage(
       splitDocs.join(contaminated, Seq("doc_id"), "left_anti"), "clean")
 
+    // 5b. optional external-benchmark decontamination of the TRAIN
+    // split (the q67 kernel): stage 5 protects this corpus's own
+    // held-out split; published eval suites the corpus never saw need
+    // the reverse direction — drop the train docs that leak them
+    val (trainClean, benchDropped) = benchmark match {
+      case Some(b) =>
+        val trainDocs = clean.filter(col("split") === "train")
+        val contaminatedTrain = TrainingData.contaminatedTrainDocs(trainDocs, b)
+          .select("doc_id")
+        val tc = stage(
+          trainDocs.join(contaminatedTrain, Seq("doc_id"), "left_anti"),
+          "bench_clean")
+        (tc, trainDocs.count() - tc.count())
+      case None => (clean.filter(col("split") === "train"), 0L)
+    }
+
     // 6. pack the train split into fixed token budgets
     val packed = stage(TrainingData.packSequences(
-      clean.filter(col("split") === "train"), shards = 8, capacity = 512L),
+      trainClean, shards = 8, capacity = 512L),
       "train_packed")
 
     // counts read the written parquet (footer metadata, no recompute)
@@ -130,7 +152,8 @@ object Curate {
       testClean = bySplit.getOrElse("test", 0L),
       testDropped = splitDocs.filter(col("split") === "test").count() -
         bySplit.getOrElse("test", 0L),
-      trainPacks = packed.select("shard", "pack_id").distinct().count())
+      trainPacks = packed.select("shard", "pack_id").distinct().count(),
+      trainBenchDropped = benchDropped)
   }
 
   def main(args: Array[String]): Unit = {

@@ -137,6 +137,25 @@ object ScaleEvidence {
     val (dcPreRows, dcPreSec) = timed(
       TrainingData.gramIndexVerdicts(gBatch, spark.table("se_gram_idx")).count())
 
+    // ---- q67: plain gram join vs bloom-prefiltered decontam -------------
+    // same question both ways (contaminated TRAIN docs): the unaided
+    // join lets Catalyst pick the shape for the full gram streams; the
+    // bloom form prunes the train grams row-locally against a broadcast
+    // Bloom before an exact broadcast confirm — the gap is what the
+    // prune buys, and it widens with train-side volume
+    val sDocs = docsAll.withColumn("split", TrainingData.splitColumn)
+    val sTrain = sDocs.filter(col("split") === "train")
+    val sTest = sDocs.filter(col("split") === "test")
+    def trainGrams(df: DataFrame) = df.select(col("doc_id"),
+      explode(graft.functions.GramHashes(col("text"), 8, 16)).as("gh"))
+    val (q67PlainRows, q67PlainSec) = timed(
+      trainGrams(sTrain)
+        .join(trainGrams(sTest).select(col("gh")).distinct(), "gh")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("gh")).as("n_shared_grams")).count())
+    val (q67BloomRows, q67BloomSec) = timed(
+      TrainingData.contaminatedTrainDocs(sTrain, sTest).count())
+
     // ---- q44: durable-checkpoint clustering (cluster fault tolerance) ---
     // same pair graph, snapshots written to a reliable dir instead of
     // executor-local blocks: the delta is the write-per-round price of
@@ -193,7 +212,9 @@ object ScaleEvidence {
       s""""q56_occjoin_sec":$q56OccSec,"q56_occjoin_rows":$q56OccRows,""" +
       s""""gram_index_seed_sec":$gramSeedSec,"decontam_oneshot_sec":$dcOneSec,""" +
       s""""decontam_presigned_sec":$dcPreSec,"decontam_rows":$dcPreRows,""" +
-      s""""decontam_oneshot_rows":$dcOneRows}""")
+      s""""decontam_oneshot_rows":$dcOneRows,""" +
+      s""""q67_plain_sec":$q67PlainSec,"q67_plain_rows":$q67PlainRows,""" +
+      s""""q67_bloom_sec":$q67BloomSec,"q67_bloom_rows":$q67BloomRows}""")
     spark.stop()
   }
 }

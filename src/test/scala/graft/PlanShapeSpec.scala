@@ -102,6 +102,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected the (doc_id, lang, b) pre-aggregate exchange to be reused:\n${fin.take(2000)}")
   }
 
+  test("q67 never join-shuffles the train gram stream: bloom prune + broadcast confirm") {
+    val p = planOf("q67_bloom_decontam")
+    // the train side's grams are pruned row-locally by the broadcast
+    // Bloom and confirmed by a broadcast join — the only exchanges in
+    // the plan belong to the (small) benchmark-gram distinct and the
+    // post-confirm count-distinct aggregate
+    assert(p.contains("BroadcastHashJoin"),
+      "the exact confirm against benchmark grams must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the train gram stream must never be exchanged for a join")
+  }
+
   test("q39 broadcasts centroids and probes; corpus rows never join-shuffle") {
     val p = planOf("q39_ivf_ann")
     // centroid/probe frames are always the right side of their joins;

@@ -137,6 +137,27 @@ class TextCurationSpec extends AnyFunSuite {
     assert(!r(4L)._1, "doc 4 must fail the LM leg")
   }
 
+  test("length quantiles: exact rank selection, per language, no interpolation") {
+    // en: lengths 1..20 (n=20) -> ranks p25=ceil(5)=5, p50=10, p75=15,
+    // p95=ceil(19)=19 -> values 5,10,15,19. fr: lengths {7} (n=1) ->
+    // every quantile is the single value (rank math must hit rk=1)
+    val docs = ((1L to 20L).map(i => (i, "en", i)) :+ (100L, "fr", 7L))
+      .toDF("doc_id", "lang", "n_chars")
+    val got = TextAnalysis.lengthQuantiles(docs).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("p25"), r.getAs[Long]("p50"),
+          r.getAs[Long]("p75"), r.getAs[Long]("p95"))).toMap
+    assert(got("en") == ((20L, 5L, 10L, 15L, 19L)), s"got ${got("en")}")
+    assert(got("fr") == ((1L, 7L, 7L, 7L, 7L)))
+  }
+
+  test("q68 plans one exchange: the aggregate reuses the window's lang partitioning") {
+    val p = Registry.byName("q68_length_quantiles").run(spark, TestSpark.sf0001)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val exchanges = p.linesIterator.count(_.matches("""^\(\d+\) Exchange\s*$"""))
+    assert(exchanges == 1, s"expected one lang exchange, got $exchanges:\n${p.take(2000)}")
+  }
+
   test("lexical retrieval: rare terms dominate, shorter docs outrank at equal tf") {
     // query = {x, common}: 'common' is in docs 1+2 (idf 2), 'x' only in
     // doc 3 (idf 4) → doc 3 ranks first; docs 1 vs 2 tie on tf but doc 2

@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.TrainingData
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -87,6 +88,60 @@ class TrainingDataSpec extends AnyFunSuite {
     val scans = p.linesIterator.count(_.matches("""^\(\d+\) Scan parquet\s*$"""))
     assert(scans == 1, s"expected one scan, got $scans")
     assert(!p.contains("Join"), "decontamination must fold per-gram, never join")
+  }
+
+  test("q67: flags contaminated TRAIN docs; output is exact at any fpp") {
+    // same planted splits as the q43 fixture (md5(doc_id) prefix:
+    // 0 -> val, 1/2 -> train, 3 -> test). Train doc 1 shares its 8-gram
+    // window with test doc 3 -> doc 1 is the one contaminated train
+    // doc; val doc 0 sharing it must not count, clean train doc 2 must
+    // be absent.
+    val shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val dir = docsDir(Seq(
+      (0L, s"$shared in the validation split does not count", "s"),
+      (1L, s"$shared extra", "s"),
+      (2L, "another clean training document with fully distinct content words", "s"),
+      (3L, s"prefix $shared", "s")))
+    val rows = Registry.byName("q67_bloom_decontam").run(spark, dir)
+      .collect().map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared_grams")).toMap
+    assert(rows == Map(1L -> 1L), s"got $rows")
+    // the Bloom is a prune, not an approximation: a near-useless filter
+    // (fpp 0.5, ~every gram a candidate) must yield identical rows,
+    // because the exact confirm join removes every false positive
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("split", TrainingData.splitColumn)
+    val loose = TrainingData.contaminatedTrainDocs(
+      docs.filter(col("split") === "train"),
+      docs.filter(col("split") === "test"), fpp = 0.5)
+      .collect().map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared_grams")).toMap
+    assert(loose == rows, s"fpp must not change output: $loose vs $rows")
+  }
+
+  test("q69: exactly K per stratum, small strata whole, deterministic") {
+    // 40 docs in source "big", 3 in source "small"; k=5 must keep
+    // exactly 5 of big and all 3 of small, and re-running draws the
+    // identical doc set (hash order, no RNG state)
+    val rows = (0L until 40L).map(i => (i, s"text $i", "big")) ++
+      (100L until 103L).map(i => (i, s"text $i", "small"))
+    val dir = docsDir(rows)
+    def draw() = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      TrainingData.fixedSample(docs, 5)
+        .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id")))
+    }
+    val d1 = draw()
+    assert(d1.count(_._1 == "big") == 5)
+    assert(d1.count(_._1 == "small") == 3)
+    assert(draw().toSet == d1.toSet)
+  }
+
+  test("q69 rank filter pushes down as WindowGroupLimit") {
+    val p = Registry.byName("q69_fixed_sample").run(spark, TestSpark.sf0001)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("WindowGroupLimit"),
+      s"per-partition top-K heap must bound rows before the exchange:\n${p.take(2000)}")
   }
 
   test("q45: keeps the top half of each language by quality") {
@@ -181,6 +236,30 @@ class TrainingDataSpec extends AnyFunSuite {
       .agg(sum("n_tokens").as("tot"), count(lit(1)).as("n"))
       .filter(col("tot") > 512 && col("n") > 1)
     assert(over.count() == 0)
+  }
+
+  test("curation stage 5b drops train docs leaking an external benchmark") {
+    // phase 1: a plain run exposes which docs reach the clean train
+    // split; phase 2 feeds one of their texts back as the "published
+    // benchmark" — that doc must now be dropped from the packed train
+    // set while every other stage count is unchanged
+    val out1 = java.nio.file.Files.createTempDirectory("curateb1").toString
+    val c1 = graft.tools.Curate.run(spark, TestSpark.sf0001, out1)
+    assert(c1.trainBenchDropped == 0L) // no benchmark, no 5b drops
+    val leaked = spark.read.parquet(s"$out1/clean")
+      .filter(col("split") === "train" &&
+        size(split(col("text"), " ")) >= 8)
+      .select("doc_id", "text").head()
+    val bench = Seq((0L, leaked.getString(1))).toDF("doc_id", "text")
+    val out2 = java.nio.file.Files.createTempDirectory("curateb2").toString
+    val c2 = graft.tools.Curate.run(spark, TestSpark.sf0001, out2, Some(bench))
+    assert(c2.trainBenchDropped >= 1, "the planted leak must be caught")
+    val cleanTrain = spark.read.parquet(s"$out2/bench_clean")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!cleanTrain.contains(leaked.getLong(0)))
+    // 5b touches only the train split: upstream counts identical
+    assert((c2.input, c2.afterDedup, c2.afterQuality, c2.train, c2.testClean) ==
+      ((c1.input, c1.afterDedup, c1.afterQuality, c1.train, c1.testClean)))
   }
 
   test("curation preserves docs with no embedding row (partial coverage)") {
