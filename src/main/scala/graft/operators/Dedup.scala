@@ -754,15 +754,24 @@ object Dedup {
   // q63's span partition misses duplication that straddles span
   // boundaries; coverage doesn't. A token position counts as duplicated
   // iff ANY of the 8-gram windows covering it occurs in ≥ 2 distinct
-  // docs. Shape: positioned gram hashes (native GramHashes +
-  // posexplode) off the scan; the cross-doc gram set derives from the
-  // distinct (doc_id, gh) aggregate and joins back on the UNIFORM
-  // 64-bit hash; covered positions explode map-side (≤ 8 per
-  // duplicated occurrence — structurally bounded fan-out), collapse by
-  // (doc_id, pos), and count against the ridden-along token length.
-  // Two documents scans (the occurrence subtree feeds both the dup-set
-  // branch and the coverage branch — the q48/q58 trade). Docs with no
-  // duplicated gram are absent (the q43 reporting contract).
+  // docs. Shape (round-7 rework): positioned gram hashes (native
+  // GramHashes + posexplode) off ONE scan collapse to a (doc_id, gh)
+  // pre-aggregate carrying the doc's positions of that gram; the
+  // cross-doc doc-frequency is a COUNT WINDOW over gh on that same
+  // pre-aggregate — no second derivation of the subtree exists at all
+  // (a separate df branch cannot share the exchange: column pruning
+  // specializes away the position payload, and AQE reuse requires
+  // byte-identical subtrees — the window sidesteps the whole problem
+  // with one scan and three uniform-key exchanges). Coverage is then a
+  // per-doc INTERVAL-UNION fold over the duplicated window starts —
+  // sort the starts, sum the uncovered tail of each [p, p+8) — which
+  // is exactly |distinct covered positions| with no 8× explode and no
+  // (doc_id, pos) dedup shuffle. Per-key state is bounded by a single
+  // document's own occurrence count, and the gh window's per-group
+  // buffer by that gram's df (a corpus-hot gram lands one sorted,
+  // spillable group — the same skew profile the join form's shuffle
+  // would have, minus its second scan). Docs with no duplicated gram
+  // are absent (the q43 reporting contract).
 
   /** Per-doc duplicated-token coverage over any `(doc_id, text)` frame:
     * `(doc_id, n_tokens, n_cov, cov_frac)` for docs with ≥ 1 gram
@@ -773,16 +782,26 @@ object Dedup {
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         posexplode(graft.functions.GramHashes(col("text"), 8, 16)))
-      .select(col("doc_id"), col("n_tokens"), col("pos"), col("col").as("gh"))
-    val dupGh = occ.select(col("doc_id"), col("gh")).distinct()
-      .groupBy(col("gh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2).select("gh")
-    occ.join(dupGh, "gh")
       .select(col("doc_id"), col("n_tokens"),
-        explode(expr("sequence(pos, pos + 7)")).as("p"))
-      .dropDuplicates("doc_id", "p")
-      .groupBy(col("doc_id"), col("n_tokens"))
-      .agg(count(lit(1)).as("n_cov"))
+        col("pos").cast("long").as("pos"), col("col").as("gh"))
+    val pre = occ.groupBy(col("doc_id"), col("gh"))
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        collect_list(col("pos")).as("ps"))
+    val byGh = org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))
+    pre
+      .withColumn("df", count(lit(1)).over(byGh))
+      .filter(col("df") >= 2)
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        flatten(collect_list(col("ps"))).as("ps"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("""aggregate(
+            array_sort(ps),
+            named_struct('cov', CAST(0 AS BIGINT), 'e', CAST(-1 AS BIGINT)),
+            (acc, p) -> named_struct(
+              'cov', acc.cov + greatest(CAST(0 AS BIGINT), p + 8L - greatest(acc.e, p)),
+              'e', greatest(acc.e, p + 8L)),
+            acc -> acc.cov)""").as("n_cov"))
       .withColumn("cov_frac",
         col("n_cov").cast("double") / col("n_tokens").cast("double"))
       .select("doc_id", "n_tokens", "n_cov", "cov_frac")

@@ -90,6 +90,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!fin.contains("collect_set"), "span df must come from a join, not a doc-id set")
   }
 
+  test("q66 is one scan and no join: df is a window over the pre-aggregate") {
+    // one scan, one Generate (the posexplode off the scan), zero joins:
+    // doc frequency is a count window over gh on the (doc_id, gh)
+    // pre-aggregate, and coverage is the per-doc interval-union fold —
+    // the 8× position explode, its (doc_id, pos) dedup shuffle, and
+    // the second documents scan must not reappear
+    val p = planOf("q66_dup_token_coverage")
+    val scans = p.linesIterator.count(_.matches("""^\(\d+\) Scan parquet\s*$"""))
+    assert(scans == 1, s"expected one documents scan, got $scans")
+    val gens = p.linesIterator.count(_.matches("""^\(\d+\) Generate\s*$"""))
+    assert(gens == 1, s"expected only the posexplode Generate, got $gens")
+    assert(!p.contains("Join"), "df must come from the gh window, not a join")
+  }
+
   test("q64 broadcasts the 256-row weight table and reuses the feature exchange") {
     val df = Registry.byName("q64_dsir_weights").run(spark, TestSpark.sf0001)
     df.collect()
