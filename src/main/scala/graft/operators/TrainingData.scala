@@ -543,11 +543,13 @@ object TrainingData {
     * mean as a double. Docs with < 2 words are absent (no features).
     */
   def dsirWeights(docs: DataFrame, targetLang: String = DsirTargetLang): DataFrame = {
+    // native GramHashes at bucket width: each bigram hashes in place as
+    // a contiguous byte slice — no per-gram string assembly before the
+    // md5 (bit-identical to the interpreted WordGrams+md5+substring
+    // chain it replaced, and to the oracle's substr(md5(gm), 1, 2))
     val perDoc = docs
       .select(col("doc_id"), col("lang"),
-        explode(graft.functions.WordGrams(col("text"), 2)).as("g"))
-      .select(col("doc_id"), col("lang"),
-        substring(md5(col("g").cast("binary")), 1, 2).as("b"))
+        explode(graft.functions.GramHashes(col("text"), 2, 2)).as("b"))
       .groupBy(col("doc_id"), col("lang"), col("b")).agg(count(lit(1)).as("c"))
     val wTot = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
     val maxSafe = Long.MaxValue / DsirScale
