@@ -541,6 +541,61 @@ object Dedup {
   private def q53(s: SparkSession, d: String): DataFrame =
     canonicalDocs(Tables.documents(s, d), dupClusters(candidatePairs(s, d)))
 
+  // ---- q72: per-source duplication profile (dedup diagnostics) -----------
+  // The corpus-health report a curation run reads BEFORE deciding its
+  // dedup budget: for each source, how much of it is involved in
+  // near-dup clusters at all, and how pathological its worst cluster
+  // is. Sits on q44's cluster map (every doc not in a candidate pair is
+  // its own singleton, the q53 convention); cluster sizes are computed
+  // GLOBALLY (a cluster spanning sources counts its full size for each
+  // source it touches — that is the operational question: "if I dedup,
+  // how much of source X collapses into shared clusters").
+  //
+  // Scale shape: the q44 iteration plus — one docs→clusters shuffle
+  // join on doc_id (cluster map ∝ duplicated docs, not broadcastable at
+  // corpus scale, the q53 posture), one cluster_id size aggregate
+  // (map-side partials), one sizes join back on the same cluster_id
+  // key, and a final ≤|sources|-row aggregate. No per-cluster member
+  // lists anywhere.
+
+  /** Per-source dedup diagnostics over `docs` + a q44-shaped cluster
+    * map: `(source, n_docs, n_dup_docs, max_cluster_sz, dup_frac)`
+    * where a doc is "dup-involved" iff its (global) cluster has ≥ 2
+    * members.
+    */
+  def dupProfile(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val asg = docs.select(col("doc_id"), col("source"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val sizes = asg.groupBy(col("cluster_id")).agg(count(lit(1)).as("csz"))
+    asg.join(sizes, "cluster_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("csz") >= 2, 1)).as("n_dup_docs"),
+        max(col("csz")).as("max_cluster_sz"))
+      .withColumn("dup_frac",
+        col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
+  }
+
+  private def q72(s: SparkSession, d: String): DataFrame =
+    dupProfile(Tables.documents(s, d), dupClusters(candidatePairs(s, d)))
+
+  private val o72 =
+    s"""WITH RECURSIVE $candidateCtes,
+       |$clusterCtes,
+       |asg AS (
+       |  SELECT d.doc_id, d.source, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+       |sizes AS (SELECT cluster_id, count(*) AS csz FROM asg GROUP BY cluster_id)
+       |SELECT a.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(count(CASE WHEN s.csz >= 2 THEN 1 END) AS BIGINT) AS n_dup_docs,
+       |       CAST(max(s.csz) AS BIGINT) AS max_cluster_sz,
+       |       CAST(count(CASE WHEN s.csz >= 2 THEN 1 END) AS DOUBLE) /
+       |         CAST(count(*) AS DOUBLE) AS dup_frac
+       |FROM asg a JOIN sizes s USING (cluster_id)
+       |GROUP BY a.source""".stripMargin
+
   // ---- q57: incremental crawl dedup (new batch vs indexed corpus) --------
   // The daily-ingest pattern: the corpus is already signed into a
   // persistent MinHash band index; only TODAY'S batch gets signed and
@@ -843,5 +898,6 @@ object Dedup {
     GraftQuery("q57_incremental_dedup", "new-batch vs banded-index incremental dedup", q57, Some(o57)),
     GraftQuery("q59_verified_ingest", "incremental ingest verified by full-sketch slice agreement", q59, Some(o59)),
     GraftQuery("q65_containment_pairs", "max-containment re-scoring of LSH candidates (asymmetric copying)", q65, Some(o65)),
-    GraftQuery("q66_dup_token_coverage", "ExactSubstr-shaped duplicated-token coverage fraction", q66, Some(o66)))
+    GraftQuery("q66_dup_token_coverage", "ExactSubstr-shaped duplicated-token coverage fraction", q66, Some(o66)),
+    GraftQuery("q72_dup_profile", "per-source duplication profile over q44's clusters", q72, Some(o72)))
 }

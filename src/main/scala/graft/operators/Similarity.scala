@@ -577,10 +577,77 @@ object Similarity {
        |       max(sim) >= $SemThreshold AS contaminated
        |FROM sims GROUP BY vec_id""".stripMargin
 
+  // ---- q73: IVF cell-balance diagnostic (ANN index health) ---------------
+  // The index-maintenance observable every IVF deployment watches: cell
+  // occupancy. Probe cost is ∝ the probed cells' sizes, so a skewed
+  // assignment (one mega-cell) silently degrades ANN latency toward
+  // brute force even while recall looks fine — at 100 TB this is the
+  // signal that triggers re-training centroids (or splitting hot
+  // cells). `load_factor` = n_vecs / (n/k): 1.0 is perfectly balanced,
+  // k·share in general; max(load_factor) bounds worst-case probe cost.
+  //
+  // Scale shape: ONE corpus scan — assignment is q39/q55's map-side
+  // broadcast-centroid argmax, the per-cell count collapses in partial
+  // aggregates before one exchange on cid, and the normalizing total is
+  // a window over the ≤k-row cell aggregate (the q48 pattern). Double
+  // columns are single-operation chains on exactly-reproducible integer
+  // operands, mirrored shape-for-shape in the oracle.
+
+  /** Per-cell occupancy of an `(vec_id, embedding)` frame under the
+    * demo (or supplied) centroid set: `(cid, n_vecs, share,
+    * load_factor)`.
+    */
+  def cellBalance(embeddings: DataFrame, numCells: Int = NumCells,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val base = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cents = centroids.getOrElse(demoCentroids(base, numCells))
+    val w = Window.partitionBy(lit(1))
+    assignToCells(base, cents)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+      .withColumn("total", sum(col("n_vecs")).over(w))
+      .select(col("cid"), col("n_vecs"),
+        (col("n_vecs").cast("double") / col("total").cast("double"))
+          .as("share"),
+        (col("n_vecs").cast("double") * lit(numCells.toDouble) /
+          col("total").cast("double")).as("load_factor"))
+  }
+
+  private def q73(s: SparkSession, d: String): DataFrame =
+    cellBalance(Tables.embeddings(s, d))
+
+  private val o73 =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+       |  FROM v),
+       |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < $NumCells),
+       |scored AS (
+       |  SELECT n.vec_id, c.cid,
+       |         list_reduce(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i]),
+       |                     (a, b) -> a + b) / (n.nrm * c.cn) AS csim
+       |  FROM n CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS ark
+       |    FROM scored)
+       |  WHERE ark = 1),
+       |cellsz AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs FROM assigned GROUP BY cid),
+       |tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total FROM cellsz)
+       |SELECT cid, n_vecs,
+       |       CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+       |       CAST(n_vecs AS DOUBLE) * ${NumCells}.0 / CAST(total AS DOUBLE) AS load_factor
+       |FROM cellsz CROSS JOIN tot""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q26_cosine_topk", "brute-force cosine top-k (broadcast queries)", q26, Some(o26)),
     GraftQuery("q34_ann_lsh", "hyperplane-LSH bucketed cosine near-dup", q34, Some(o34)),
     GraftQuery("q39_ivf_ann", "IVF cell-probed approximate cosine top-k", q39, Some(o39)),
     GraftQuery("q55_semantic_dedup", "SemDeDup within-cell cosine survivor selection", q55, Some(o55)),
-    GraftQuery("q62_semantic_decontam", "test-vs-train embedding leakage within IVF cells", q62, Some(o62)))
+    GraftQuery("q62_semantic_decontam", "test-vs-train embedding leakage within IVF cells", q62, Some(o62)),
+    GraftQuery("q73_cell_balance", "IVF cell-occupancy balance diagnostic", q73, Some(o73)))
 }

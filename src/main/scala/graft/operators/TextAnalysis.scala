@@ -692,6 +692,84 @@ object TextAnalysis {
        |ORDER BY score DESC, doc_id ASC LIMIT $RetrievalK""".stripMargin
   }
 
+  // ---- q71: bigram-LM fluency proxy (conditional-probability q56) --------
+  // q56 scores membership of a token in the corpus distribution; this
+  // scores token ORDER: the mean conditional probability p(w2 | w1) of a
+  // document's adjacent word pairs under the corpus bigram model —
+  // shuffled or templated-but-reordered text keeps its unigram score
+  // while its bigram score collapses, so the two proxies gate different
+  // failure modes (KenLM-lite, the CCNet filter family). Probabilities
+  // are integers end-to-end (the q56 arithmetic): p_scaled =
+  // C(w1 w2)·LmScale div C(w1 ·), where C(w1 ·) — the count of bigrams
+  // STARTING with w1 — is derived from the bigram table itself (no
+  // separate unigram stream, and the conditional sums to exactly 1 per
+  // left-context by construction). Per-doc sums are exact BIGINTs; the
+  // final mean is one double division (the q56 bound: docs to ~9k
+  // bigrams at LmScale 1e12; the ceiling is runtime-ENFORCED like q56).
+  //
+  // Distributed shape: the exploded bigram stream collapses FIRST to its
+  // (doc_id, g, c) pre-aggregate (the q56 round-7 lesson, applied from
+  // the start); bigram frequencies, left-context totals, and the per-doc
+  // score join all derive from it. The left-context aggregate and its
+  // join back onto freq2 move only VOCAB²-bounded rows (never the
+  // corpus); both probability joins are unhinted — AQE broadcasts them
+  // at sane vocab sizes and the shuffle fallback keys are uniform
+  // hashed-gram strings. Docs with fewer than two words have no bigram
+  // evidence and are absent, like q63's span rule.
+
+  /** Per-doc mean conditional bigram probability over any
+    * `(doc_id, text)` frame: `(doc_id, n_bigrams, sum_scaled,
+    * mean_prob)` — the q56 kernel's word-order-sensitive twin.
+    */
+  def bigramLm(docs: DataFrame): DataFrame = {
+    val perDoc = docs.select(col("doc_id"),
+      explode(graft.functions.WordGrams(col("text"), 2)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val freq2 = perDoc.groupBy(col("g")).agg(sum(col("c")).as("cnt2"))
+    val freq1 = freq2
+      .groupBy(substring_index(col("g"), " ", 1).as("w1"))
+      .agg(sum(col("cnt2")).as("cnt1"))
+    val maxSafeCnt = Long.MaxValue / LmScale
+    val scaled = freq2
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .join(freq1, "w1")
+      .select(col("g"),
+        when(col("cnt2") > maxSafeCnt, raise_error(concat(
+          lit(s"bigramLm: bigram count > Long-safe ceiling $maxSafeCnt " +
+            s"for LmScale=$LmScale (lower LmScale or use DECIMAL): "),
+          col("g"))))
+          .otherwise(expr(s"(cnt2 * ${LmScale}L) div cnt1")).as("p_scaled"))
+    perDoc.join(scaled, "g")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c") * col("p_scaled")).as("sum_scaled"))
+      .withColumn("mean_prob", col("sum_scaled").cast("double") /
+        (col("n_bigrams").cast("double") * lit(LmScale.toDouble)))
+  }
+
+  private def q71(s: SparkSession, d: String): DataFrame =
+    bigramLm(Tables.documents(s, d))
+
+  private val o71 =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, len(string_split(text, ' '))),
+       |           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS g
+       |  FROM documents),
+       |per AS (SELECT doc_id, g, count(*) AS c FROM toks GROUP BY doc_id, g),
+       |freq2 AS (SELECT g, CAST(sum(c) AS BIGINT) AS cnt2 FROM per GROUP BY g),
+       |freq1 AS (
+       |  SELECT string_split(g, ' ')[1] AS w1, CAST(sum(cnt2) AS BIGINT) AS cnt1
+       |  FROM freq2 GROUP BY string_split(g, ' ')[1]),
+       |scaled AS (
+       |  SELECT g, (cnt2 * $LmScale) // cnt1 AS p_scaled
+       |  FROM freq2 JOIN freq1 ON string_split(freq2.g, ' ')[1] = freq1.w1)
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       |       CAST(sum(c * p_scaled) AS BIGINT) AS sum_scaled,
+       |       CAST(sum(c * p_scaled) AS DOUBLE) /
+       |         (CAST(sum(c) AS DOUBLE) * ${LmScale}.0) AS mean_prob
+       |FROM per JOIN scaled USING (g) GROUP BY doc_id""".stripMargin
+
   // ---- q61: ensemble quality gate (multi-signal curation filter) ---------
   // The FineWeb/RefinedWeb-style composite: no single heuristic
   // separates good text from bad, so production gates AND together
@@ -831,5 +909,6 @@ object TextAnalysis {
     GraftQuery("q56_unigram_lm", "mean corpus-unigram token probability (LM quality proxy)", q56, Some(o56)),
     GraftQuery("q58_lexical_topk", "BM25-shaped lexical top-k retrieval (rational idf)", q58, Some(o58)),
     GraftQuery("q61_quality_ensemble", "multi-signal ensemble quality gate (q28+q41+q50+q56)", q61, Some(o61)),
-    GraftQuery("q68_length_quantiles", "exact per-language discrete length quantiles (integer-rank)", q68, Some(o68)))
+    GraftQuery("q68_length_quantiles", "exact per-language discrete length quantiles (integer-rank)", q68, Some(o68)),
+    GraftQuery("q71_bigram_lm", "mean conditional bigram probability (word-order LM proxy)", q71, Some(o71)))
 }

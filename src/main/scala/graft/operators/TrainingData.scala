@@ -708,6 +708,74 @@ object TrainingData {
        |  FROM documents)
        |SELECT doc_id, lang, source FROM r WHERE rk <= $FixedSampleK""".stripMargin
 
+  // ---- q70: temperature-weighted source mixture --------------------------
+  // The sampling-weight recipe behind multi-source LLM corpora (GPT-3's
+  // mixture table / Llama data recipes): sample source s with probability
+  // ∝ n_s^α where α < 1 flattens the mixture, so small high-quality
+  // sources are seen more often than their raw token share. α = 1/2 here,
+  // so n^α = sqrt(n) — and sqrt is the one libm-adjacent function that IS
+  // cross-engine bit-stable (IEEE-754 mandates correctly-rounded sqrt,
+  // unlike log/exp — the q37/q56 trap does not apply). The weight is
+  // still carried as an INTEGER: w_scaled = floor(sqrt(n_tok) · 1e6) —
+  // one exact sqrt, one double multiply, one floor, all bit-identical —
+  // so the normalizing sum is an exact BIGINT and the final weight /
+  // expected-epochs columns are single double operations on exactly
+  // reproducible operands (w_scaled ≤ 1e6·sqrt(2^63) ≈ 3e15 < 2^53).
+  //
+  // Distributed shape: one documents scan, one per-source aggregation
+  // exchange (partial sums map-side), and the normalizing total is a
+  // window over the ≤|sources|-row aggregate (the q48 pattern — a
+  // separate agg branch would re-plan and re-scan the corpus; one
+  // partition holding |sources| rows is exactly what a window is safe
+  // for). Output is |sources| rows regardless of corpus size.
+  private val TempScale = 1000000L // 1e6: sqrt carried as integer micro-units
+  private val TempTokenBudget = 1000000L // demo epoch budget (tokens)
+
+  /** Per-source temperature (α = 0.5) mixture weights over any
+    * `(doc_id, source, text)` frame: `(source, n_docs, n_tok, w_scaled,
+    * weight, epochs)` where `weight` ∝ sqrt(n_tok) normalized across
+    * sources and `epochs` = how many passes over the source a
+    * `TempTokenBudget`-token training run at these weights implies
+    * (> 1 ⇒ the source repeats; the mixture-design observable).
+    */
+  def temperatureMixture(docs: DataFrame): DataFrame = {
+    val perSource = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"))
+      .withColumn("w_scaled",
+        floor(sqrt(col("n_tok").cast("double")) * lit(TempScale.toDouble))
+          .cast("long"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    perSource
+      .withColumn("tot_scaled", sum(col("w_scaled")).over(w))
+      .select(col("source"), col("n_docs"), col("n_tok"), col("w_scaled"),
+        (col("w_scaled").cast("double") / col("tot_scaled").cast("double"))
+          .as("weight"),
+        (col("w_scaled").cast("double") / col("tot_scaled").cast("double") *
+          lit(TempTokenBudget.toDouble) / col("n_tok").cast("double"))
+          .as("epochs"))
+  }
+
+  private def q70(s: SparkSession, d: String): DataFrame =
+    temperatureMixture(Tables.documents(s, d))
+
+  private val o70 =
+    s"""WITH per AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+       |  FROM documents GROUP BY source),
+       |sc AS (
+       |  SELECT source, n_docs, n_tok,
+       |         CAST(floor(sqrt(CAST(n_tok AS DOUBLE)) * ${TempScale}.0) AS BIGINT) AS w_scaled
+       |  FROM per),
+       |tot AS (SELECT CAST(sum(w_scaled) AS BIGINT) AS tot_scaled FROM sc)
+       |SELECT source, n_docs, n_tok, w_scaled,
+       |       CAST(w_scaled AS DOUBLE) / CAST(tot_scaled AS DOUBLE) AS weight,
+       |       CAST(w_scaled AS DOUBLE) / CAST(tot_scaled AS DOUBLE) *
+       |         ${TempTokenBudget}.0 / CAST(n_tok AS DOUBLE) AS epochs
+       |FROM sc CROSS JOIN tot""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q40_train_split", "deterministic hash train/val/test split stats", q40, Some(o40)),
     GraftQuery("q41_repetition", "repeated-3-gram fraction quality signal", q41, Some(o41)),
@@ -720,5 +788,6 @@ object TrainingData {
     GraftQuery("q63_dup_span_frac", "cross-doc duplicated-span fraction (Dolma paragraph-dedup rule)", q63, Some(o63)),
     GraftQuery("q64_dsir_weights", "DSIR hashed-bigram importance weights (integer-exact)", q64, Some(o64)),
     GraftQuery("q67_bloom_decontam", "bloom-prefiltered contaminated-train-doc detection", q67, Some(o67)),
-    GraftQuery("q69_fixed_sample", "exactly-K-per-stratum deterministic hash sample", q69, Some(o69)))
+    GraftQuery("q69_fixed_sample", "exactly-K-per-stratum deterministic hash sample", q69, Some(o69)),
+    GraftQuery("q70_temperature_mixture", "temperature-weighted (α=0.5) source sampling weights", q70, Some(o70)))
 }

@@ -484,4 +484,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(p.contains("max_by") || p.contains("MaxBy"),
       s"expected a max_by aggregate in:\n${p.take(2000)}")
   }
+
+  test("q72: cross-source clusters count their full size for every source they touch") {
+    // one cross-source cluster {1 (srcA), 3 (srcB)}; docs 2/4/5 singletons
+    val d = Seq((1L, "srcA"), (2L, "srcA"), (3L, "srcB"), (4L, "srcB"), (5L, "srcB"))
+      .toDF("doc_id", "source")
+    val clusters = Seq((1L, 1L), (3L, 1L)).toDF("doc_id", "cluster_id")
+    val rows = Dedup.dupProfile(d, clusters).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_dup_docs"),
+          r.getAs[Long]("max_cluster_sz"), r.getAs[Double]("dup_frac"))).toMap
+    assert(rows("srcA") == ((2L, 1L, 2L, 0.5)))
+    assert(rows("srcB") == ((3L, 1L, 2L, 1.0 / 3.0)))
+  }
+
+  test("q73: cell occupancy, share and load factor are exact for planted assignments") {
+    // two orthogonal centroids; 3 vectors hug c0, 1 hugs c1
+    val cents = Similarity.asCentroids(Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding"))
+    val emb = Seq(
+      (10L, Seq(0.9f, 0.1f)), (11L, Seq(0.8f, 0.2f)), (12L, Seq(0.7f, 0.3f)),
+      (13L, Seq(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    val rows = Similarity.cellBalance(emb, numCells = 2, centroids = Some(cents))
+      .collect().map(r => r.getAs[Long]("cid") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Double]("share"),
+          r.getAs[Double]("load_factor"))).toMap
+    assert(rows(0L) == ((3L, 0.75, 1.5)))
+    assert(rows(1L) == ((1L, 0.25, 0.5)))
+    assert(math.abs(rows.values.map(_._2).sum - 1.0) < 1e-12)
+  }
 }

@@ -227,4 +227,24 @@ class TextCurationSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       "the token stream must not shuffle for the vocab join")
   }
+
+  test("q71: word order moves the bigram score where the unigram score can't see it") {
+    // corpus: "a b" dominates after 'a' (4 of 5), "b a" after 'b' (3 of 4)
+    //   doc1 = alternating (every bigram is the majority continuation)
+    //   doc2 = same tokens reordered into rare continuations (aa, bb)
+    val docs = Seq(
+      (1L, "a b a b a b a b"), // bigrams: 4×"a b", 3×"b a"
+      (2L, "a a b b"))         // bigrams: "a a", "a b", "b b"
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.bigramLm(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("mean_prob"))).toMap
+    assert(rows(1L)._1 == 7L && rows(2L)._1 == 3L)
+    // exact conditionals: C(a·)=6, C(b·)=4; doc1 mean=(4·5/6+3·3/4)/7,
+    // doc2 mean=(1/6+5/6+1/4)/3 — doc1 is far more "fluent"
+    assert(rows(1L)._2 > 0.75 && rows(2L)._2 < 0.45)
+    // a one-word doc has no bigram evidence and is absent
+    val single = TextAnalysis.bigramLm(Seq((9L, "solo")).toDF("doc_id", "text"))
+    assert(single.count() == 0L)
+  }
 }

@@ -418,4 +418,25 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(scans == 1, s"expected one scan, got $scans")
     assert(!p.contains("Join"), "pairs must explode from source sets, never join")
   }
+
+  test("q70: α=0.5 flattens the mixture — 4× the tokens gets exactly 2× the weight") {
+    // srcA: 100 tokens, srcB: 400 → sqrt weights 10:20, shares 1/3:2/3
+    // (sqrt(100)=10 and sqrt(400)=20 are EXACT, so the shares are too)
+    val word100 = (1 to 100).map(i => s"w$i").mkString(" ")
+    val dir = docsDir(Seq((1L, word100, "srcA"),
+      (2L, word100, "srcB"), (3L, word100, "srcB"),
+      (4L, word100, "srcB"), (5L, word100, "srcB")))
+    val rows = TrainingData.temperatureMixture(
+      spark.read.parquet(s"$dir/documents.parquet")).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tok"), r.getAs[Long]("w_scaled"),
+          r.getAs[Double]("weight"), r.getAs[Double]("epochs"))).toMap
+    assert(rows("srcA")._1 == 100L && rows("srcB")._1 == 400L)
+    assert(rows("srcA")._2 == 10000000L && rows("srcB")._2 == 20000000L)
+    assert(rows("srcA")._3 == 1.0e7 / 3.0e7 && rows("srcB")._3 == 2.0e7 / 3.0e7)
+    // raw shares would be 0.2/0.8 — temperature pulled them toward even
+    assert(rows("srcA")._3 > 0.2 && rows("srcB")._3 < 0.8)
+    // epochs = weight · budget / n_tok: the small source repeats more
+    assert(rows("srcA")._4 > rows("srcB")._4)
+  }
 }
