@@ -422,11 +422,25 @@ object Dedup {
       df.queryExecution.analyzed.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr
       }.foreach(_.rdd.unpersist(blocking = false))
+    // Checkpoint edges PRE-PARTITIONED and PRE-SORTED on the join key:
+    // LogicalRDD preserves the physical outputPartitioning/-Ordering, so
+    // every round's neighbor join consumes the edge side with NO
+    // exchange and NO re-sort — without this the (largest) edge frame
+    // re-shuffled on every round. Labels are likewise re-pinned to
+    // HashPartitioning(doc_id, P) before each checkpoint, which both
+    // aligns the neighbor join's label side and makes the jump join's
+    // parent side (p_id = doc_id) exchange-free. The partition count is
+    // pinned explicitly (user repartitions are AQE-coalesce-exempt):
+    // letting AQE pick per-round counts would break the alignment and
+    // re-introduce the exchanges the pinning removes.
+    val np = pairs.sparkSession.sessionState.conf.numShufflePartitions
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val edges = snap(fwd
-      .union(fwd.select(col("dst").as("src"), col("src").as("dst"))))
+      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(np, col("src")).sortWithinPartitions(col("src")))
     var labels = snap(edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")))
+      .withColumn("label", col("doc_id"))
+      .repartition(np, col("doc_id")).sortWithinPartitions(col("doc_id")))
     var converged = false
     var round = 0
     while (!converged && round < MaxLabelRounds) {
@@ -454,7 +468,8 @@ object Dedup {
         .join(parents, stepped("label") === parents("p_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("p_label"), col("label"))).as("label"),
-          col("old")))
+          col("old"))
+        .repartition(np, col("doc_id")).sortWithinPartitions(col("doc_id")))
       converged = updated.filter(col("label") =!= col("old")).count() == 0
       free(labels) // previous round's snapshot, superseded by `updated`
       labels = updated.select(col("doc_id"), col("label"))
@@ -551,31 +566,40 @@ object Dedup {
   // source it touches — that is the operational question: "if I dedup,
   // how much of source X collapses into shared clusters").
   //
-  // Scale shape: the q44 iteration plus — one docs→clusters shuffle
-  // join on doc_id (cluster map ∝ duplicated docs, not broadcastable at
-  // corpus scale, the q53 posture), one cluster_id size aggregate
-  // (map-side partials), one sizes join back on the same cluster_id
-  // key, and a final ≤|sources|-row aggregate. No per-cluster member
-  // lists anywhere.
+  // Scale shape: the q44 iteration plus — one docs→cluster-map inner
+  // shuffle join on doc_id to attach sources (cluster map ∝ duplicated
+  // docs, not broadcastable at corpus scale, the q53 posture), a
+  // cluster-size aggregate and its join back computed ONLY over cluster
+  // members (every doc in a q44 map sits in a ≥2-cluster by
+  // construction — singletons never enter the map, so the whole
+  // dup-side pipeline moves |duplicated docs| rows, not the corpus),
+  // per-source totals from one corpus aggregate with map-side partials,
+  // and a final ≤|sources|-row broadcast join. No per-cluster member
+  // lists anywhere. The naive shape — coalesce singletons into the map
+  // and join sizes across the whole corpus — costs two extra
+  // corpus-wide exchanges for the same answer (measured 25.9s → this
+  // form at sf1; see SCALE.md).
 
   /** Per-source dedup diagnostics over `docs` + a q44-shaped cluster
     * map: `(source, n_docs, n_dup_docs, max_cluster_sz, dup_frac)`
     * where a doc is "dup-involved" iff its (global) cluster has ≥ 2
-    * members.
+    * members — i.e. iff it appears in the cluster map at all.
     */
   def dupProfile(docs: DataFrame, clusters: DataFrame): DataFrame = {
-    val asg = docs.select(col("doc_id"), col("source"))
-      .join(clusters, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("source"),
-        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-    val sizes = asg.groupBy(col("cluster_id")).agg(count(lit(1)).as("csz"))
-    asg.join(sizes, "cluster_id")
+    val totals = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val members = clusters.join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val sizes = clusters.groupBy(col("cluster_id")).agg(count(lit(1)).as("csz"))
+    val dupStats = members.join(sizes, "cluster_id")
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        count(when(col("csz") >= 2, 1)).as("n_dup_docs"),
-        max(col("csz")).as("max_cluster_sz"))
-      .withColumn("dup_frac",
-        col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
+      .agg(count(lit(1)).as("n_dup_docs"), max(col("csz")).as("cm_max"))
+    // dupStats is structurally ≤|sources| rows — force the broadcast so
+    // the corpus-side totals never sort-merge for a 20-row join
+    totals.join(broadcast(dupStats), Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+        coalesce(col("cm_max"), lit(1L)).as("max_cluster_sz"),
+        (coalesce(col("n_dup_docs"), lit(0L)).cast("double") /
+          col("n_docs").cast("double")).as("dup_frac"))
   }
 
   private def q72(s: SparkSession, d: String): DataFrame =

@@ -11,15 +11,24 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.local("graft-explain", logLevel = "ERROR")
-    val names = if (args.nonEmpty) args.toSeq
+    // --runtime: execute first, then print the AQE-final executed plan —
+    // the only way to see runtime ReusedExchange / broadcast demotions,
+    // which the static `explain` cannot show.
+    val runtime = args.contains("--runtime")
+    val (dir, rest) = args.filterNot(_ == "--runtime").partition(_.startsWith("/"))
+    val data = dir.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (rest.nonEmpty) rest.toSeq
     else Seq("q01_project", "q04_filter_eq", "q09_broadcast_enrich",
       "q10_risk_agg", "q11_topk_risk", "q12_sort_limit", "q14_group_agg",
       "q23_minhash_lsh", "q25_jaccard_pairs", "q26_cosine_topk",
       "q34_ann_lsh", "q39_ivf_ann")
     names.foreach { n =>
       println(s"\n================ $n ================")
-      graft.Registry.byName(n).run(spark, "/root/testdata/sf0.001")
-        .explain("formatted")
+      val df = graft.Registry.byName(n).run(spark, data)
+      if (runtime) {
+        df.count()
+        println(df.queryExecution.executedPlan.toString.take(12000))
+      } else df.explain("formatted")
     }
     spark.stop()
   }
