@@ -81,7 +81,7 @@ object TextAnalysis {
     * columns alongside). Shared by q28 and the q45 percentile filter so
     * the score definition cannot drift between them.
     */
-  private[operators] def withQuality(docs: DataFrame, keep: String*): DataFrame =
+  private[graft] def withQuality(docs: DataFrame, keep: String*): DataFrame =
     docs
       .select((keep.map(col) :+ col("doc_id") :+ col("n_chars") :+
         split(col("text"), " ").as("w")): _*)

@@ -89,6 +89,37 @@ object StreamingCurate {
     spark.read.parquet(s"$workDir/curated")
   }
 
+  /** The OBSERVABILITY leg: watermarked event-time ingest statistics —
+    * per (window, source): arrival count, token volume, mean q28
+    * quality, and the fraction that clears the `minQuality` gate. This
+    * is the dashboard feed an ingest operator watches to catch a source
+    * going bad (a crawler regression shows up as a falling
+    * `gate_pass_rate` within one window, long before any batch job
+    * reads the corpus).
+    *
+    * Scale shape: quality is the same row-local q28 kernel the curation
+    * leg runs (zero extra scans — Spark fuses both legs' projections
+    * when chained); the windowed aggregate keeps one state row per
+    * (window, source) — bounded by |sources| × windows-in-watermark,
+    * independent of arrival volume — and the watermark both emits
+    * finalized windows (append mode) and expires their state. Counts
+    * collapse in partial aggregation before the one keyed exchange.
+    */
+  def statsStream(docs: DataFrame, tsCol: String, windowDuration: String,
+      minQuality: Double, watermark: String = "1 hour"): DataFrame =
+    TextAnalysis.withQuality(docs, tsCol, "source")
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words").cast("long")).as("n_tokens"),
+        avg(col("quality")).as("mean_quality"),
+        avg(when(col("quality") >= minQuality, 1.0).otherwise(0.0))
+          .as("gate_pass_rate"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("source"),
+        col("n_docs"), col("n_tokens"), col("mean_quality"),
+        col("gate_pass_rate"))
+
   /** The SEMANTIC dedup leg, stream-static: q55's verdict applied in
     * flight against a persisted survivor index — the q57 index pattern
     * (`Dedup.writeBandIndex` / `indexVerdictStream`) transposed from

@@ -107,6 +107,14 @@ object Curate {
       TrainingData.sourceBudgetKeep(curated).select("doc_id"),
       Seq("doc_id"), "left_semi"), "mixed")
 
+    // 3b. mixture report (q70 kernel): the α=0.5 temperature sampling
+    // weights a trainer would use over the FINAL mixture — a |sources|-
+    // row diagnostic artifact, not a filter (the equalization in stage 3
+    // already balanced token budgets; this records what a temperature
+    // sampler would do instead, and `epochs` > 1 flags sources the
+    // budget would force into repetition)
+    stage(TrainingData.temperatureMixture(mixed), "mixture_report")
+
     // 4. split assignment (stable across runs: pure function of doc_id)
     val splitDocs = stage(
       mixed.withColumn("split", TrainingData.splitColumn), "splits")

@@ -368,6 +368,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(verdicts()(6L) == (6L, 0L))
   }
 
+  test("windowed ingest stats: per-(window, source) counts finalize on watermark, state stays bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val docs = mem.toDF().toDF("doc_id", "text", "source", "sec")
+      .select(col("doc_id"), col("text"), col("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        timestamp_seconds(col("sec")).as("ts"))
+    val q = graft.streaming.StreamingCurate
+      .statsStream(docs, "ts", "1 minute", minQuality = 0.0,
+        watermark = "10 seconds")
+      .writeStream.format("memory").queryName("ingest_stats")
+      .outputMode("append").start()
+    // window [60,120): two srcA docs + one srcB doc; then advance the
+    // watermark far past it so the window finalizes and emits
+    mem.addData((1L, "alpha beta gamma delta", "srcA", 70L),
+      (2L, "epsilon zeta", "srcA", 80L),
+      (3L, "unique words entirely here", "srcB", 90L))
+    q.processAllAvailable()
+    mem.addData((4L, "watermark mover", "srcA", 600L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ingest_stats").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("win_start").toInstant.getEpochSecond,
+        r.getAs[String]("source")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Double]("gate_pass_rate"))).toMap
+    // only the finalized [60,120) window is emitted (append mode); the
+    // 600s window is still open
+    assert(rows.keySet == Set((60L, "srcA"), (60L, "srcB")))
+    assert(rows((60L, "srcA")) == ((2L, 6L, 1.0)))
+    assert(rows((60L, "srcB")) == ((1L, 4L, 1.0)))
+  }
+
   test("stream-static incremental dedup verdicts micro-batches against the persisted index") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
