@@ -317,7 +317,11 @@ object Dedup {
   // re-planned the shingle subtree).
   private val JaccardThreshold = 0.6
 
-  def jaccardVerify(cands: DataFrame, docs: DataFrame): DataFrame = {
+  /** Exact (pre-hashed) Jaccard for EVERY candidate pair, unfiltered —
+    * the shared sims kernel [[jaccardVerify]] thresholds and the q74
+    * candidate-quality diagnostic aggregates.
+    */
+  def jaccardSims(cands: DataFrame, docs: DataFrame): DataFrame = {
     // PRE-HASHED shingle sets: Jaccard needs only intersection/union
     // SIZES, which any relabeling shared by both engines preserves, so
     // each member row carries a primitive array<long> of 60-bit shingle
@@ -344,9 +348,12 @@ object Dedup {
       .withColumn("jaccard",
         size(array_intersect(col("wh_a"), col("wh_b"))) /
           size(array_union(col("wh_a"), col("wh_b"))))
-      .filter(col("jaccard") >= JaccardThreshold)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  def jaccardVerify(cands: DataFrame, docs: DataFrame): DataFrame =
+    jaccardSims(cands, docs)
+      .filter(col("jaccard") >= JaccardThreshold)
 
   private def q25(s: SparkSession, d: String): DataFrame =
     jaccardVerify(candidatePairs(s, d), Tables.documents(s, d))
@@ -363,6 +370,60 @@ object Dedup {
        |          JOIN sets y ON cand.doc_b = y.doc_id
        |WHERE len(list_intersect(x.wh, y.wh)) /
        |      len(list_distinct(list_concat(x.wh, y.wh))) >= $JaccardThreshold""".stripMargin
+
+  // ---- q74: LSH candidate-quality diagnostic (measure, don't guess) -----
+  // The tuning observable for the whole LSH configuration: how good are
+  // the band join's proposals, and where should the verify threshold
+  // sit? One pass over the (capped) candidates computes exact Jaccard
+  // for every pair (the q25 sims kernel, unfiltered) and aggregates the
+  // threshold curve — candidate count, survivors at 0.5/0.7/0.9, and
+  // precision at the configured q25 gate. Falling precision@gate after
+  // a corpus shift is the signal to re-tune bands/rows or the cap; the
+  // 0.9 column sizes how much exact-dup mass LSH is re-finding. Scale
+  // shape: exactly q25's (capped candidates, one member-explode
+  // equi-join, primitive hash arrays) plus one global single-row
+  // aggregate — partial counts collapse map-side; no new shuffle of
+  // any corpus-sized frame.
+  private val SweepLo = 0.5
+  private val SweepMid = 0.7
+  private val SweepHi = 0.9
+
+  /** One-row threshold-curve summary of LSH candidate quality:
+    * `(n_candidates, n_ge_50, n_ge_70, n_ge_90, precision_at_gate)`
+    * where the gate is q25's `JaccardThreshold`.
+    */
+  def lshQuality(cands: DataFrame, docs: DataFrame): DataFrame =
+    jaccardSims(cands, docs)
+      .agg(count(lit(1)).as("n_candidates"),
+        count(when(col("jaccard") >= SweepLo, 1)).as("n_ge_50"),
+        count(when(col("jaccard") >= SweepMid, 1)).as("n_ge_70"),
+        count(when(col("jaccard") >= SweepHi, 1)).as("n_ge_90"),
+        count(when(col("jaccard") >= JaccardThreshold, 1)).as("n_gate"))
+      .select(col("n_candidates"), col("n_ge_50"), col("n_ge_70"),
+        col("n_ge_90"),
+        (col("n_gate").cast("double") / col("n_candidates").cast("double"))
+          .as("precision_at_gate"))
+
+  private def q74(s: SparkSession, d: String): DataFrame =
+    lshQuality(candidatePairs(s, d), Tables.documents(s, d))
+
+  private val o74 =
+    s"""WITH $candidateCtes,
+       |sets AS (SELECT doc_id, list_distinct(list_transform($shingleSql,
+       |           s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS wh
+       |         FROM documents),
+       |sims AS (
+       |  SELECT len(list_intersect(x.wh, y.wh)) /
+       |         len(list_distinct(list_concat(x.wh, y.wh))) AS jaccard
+       |  FROM cand JOIN sets x ON cand.doc_a = x.doc_id
+       |            JOIN sets y ON cand.doc_b = y.doc_id)
+       |SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+       |       CAST(count(CASE WHEN jaccard >= $SweepLo THEN 1 END) AS BIGINT) AS n_ge_50,
+       |       CAST(count(CASE WHEN jaccard >= $SweepMid THEN 1 END) AS BIGINT) AS n_ge_70,
+       |       CAST(count(CASE WHEN jaccard >= $SweepHi THEN 1 END) AS BIGINT) AS n_ge_90,
+       |       CAST(count(CASE WHEN jaccard >= $JaccardThreshold THEN 1 END) AS DOUBLE) /
+       |         CAST(count(*) AS DOUBLE) AS precision_at_gate
+       |FROM sims""".stripMargin
 
   // ---- q44: near-dup clustering (connected components) -------------------
   // Pairs are not a dedup decision: A~B and B~C must collapse to ONE
@@ -923,5 +984,6 @@ object Dedup {
     GraftQuery("q59_verified_ingest", "incremental ingest verified by full-sketch slice agreement", q59, Some(o59)),
     GraftQuery("q65_containment_pairs", "max-containment re-scoring of LSH candidates (asymmetric copying)", q65, Some(o65)),
     GraftQuery("q66_dup_token_coverage", "ExactSubstr-shaped duplicated-token coverage fraction", q66, Some(o66)),
-    GraftQuery("q72_dup_profile", "per-source duplication profile over q44's clusters", q72, Some(o72)))
+    GraftQuery("q72_dup_profile", "per-source duplication profile over q44's clusters", q72, Some(o72)),
+    GraftQuery("q74_lsh_quality", "LSH candidate precision / threshold-curve diagnostic", q74, Some(o74)))
 }

@@ -776,6 +776,73 @@ object TrainingData {
        |         ${TempTokenBudget}.0 / CAST(n_tok AS DOUBLE) AS epochs
        |FROM sc CROSS JOIN tot""".stripMargin
 
+  // ---- q75: intra-document span dedup (the repetition-removal ACTION) ----
+  // q41 SCORES repeated content; this REMOVES it: cut each document
+  // into non-overlapping IntraSpanWords-word spans (the tail keeps its
+  // remainder — reconstruction is lossless for clean docs), keep only
+  // the FIRST occurrence of each span, and reassemble — the C4/CCNet
+  // "drop repeated lines within a page" rule over the fixtures' lineless
+  // text. Complements the CROSS-doc span rule (q63): a crawler loop
+  // that stutters the same paragraph ten times inside one page is
+  // invisible to cross-doc dedup and poisons LM training locally.
+  //
+  // Pure row-local column expressions end to end (split → span slices →
+  // md5 per span → first-occurrence filter by array_position →
+  // reassemble): ZERO shuffle, embarrassingly parallel at 100 TB, and
+  // the oracle mirrors each list op one-for-one (array_position and
+  // DuckDB's list_position agree on 1-based first-match). Output
+  // carries the cleaned text's hash, not the text — verification
+  // compares content identity without doubling corpus bytes through
+  // the gate.
+  private val IntraSpanWords = 8
+
+  /** Per-doc intra-document span dedup over any `(doc_id, text)` frame:
+    * `(doc_id, n_spans, n_dropped, clean_hash)` where spans are
+    * consecutive `spanWords`-word windows (tail remainder included) and
+    * `clean_hash` fingerprints the first-occurrence-only reassembly.
+    */
+  def intraDedup(docs: DataFrame, spanWords: Int = IntraSpanWords): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n_spans",
+        expr(s"(size(ws) + ${spanWords - 1}) div $spanWords"))
+      .withColumn("spans", expr(
+        s"transform(sequence(0, cast(n_spans AS int) - 1), " +
+          s"i -> concat_ws(' ', slice(ws, i * $spanWords + 1, $spanWords)))"))
+      .withColumn("hs", expr("transform(spans, s -> md5(cast(s AS binary)))"))
+      .withColumn("kept", expr(
+        "filter(sequence(0, cast(n_spans AS int) - 1), " +
+          "i -> array_position(hs, element_at(hs, cast(i AS int) + 1)) = i + 1)"))
+      .select(col("doc_id"), col("n_spans").cast("long").as("n_spans"),
+        (col("n_spans") - size(col("kept"))).cast("long").as("n_dropped"),
+        expr("md5(cast(concat_ws(' ', transform(kept, " +
+          "i -> element_at(spans, cast(i AS int) + 1))) AS binary))")
+          .as("clean_hash"))
+
+  private def q75(s: SparkSession, d: String): DataFrame =
+    intraDedup(Tables.documents(s, d))
+
+  private val o75 =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sp AS (
+       |  SELECT doc_id,
+       |         (len(ws) + ${IntraSpanWords - 1}) // $IntraSpanWords AS n_spans,
+       |         list_transform(range(0, (len(ws) + ${IntraSpanWords - 1}) // $IntraSpanWords),
+       |           i -> array_to_string(ws[i * $IntraSpanWords + 1 : i * $IntraSpanWords + $IntraSpanWords], ' ')) AS spans
+       |  FROM w),
+       |h AS (
+       |  SELECT doc_id, n_spans, spans,
+       |         list_transform(spans, s -> md5(s)) AS hs
+       |  FROM sp),
+       |k AS (
+       |  SELECT doc_id, n_spans, spans,
+       |         list_filter(range(0, n_spans), i -> list_position(hs, hs[i + 1]) = i + 1) AS kept
+       |  FROM h)
+       |SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+       |       CAST(n_spans - len(kept) AS BIGINT) AS n_dropped,
+       |       md5(array_to_string(list_transform(kept, i -> spans[i + 1]), ' ')) AS clean_hash
+       |FROM k""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q40_train_split", "deterministic hash train/val/test split stats", q40, Some(o40)),
     GraftQuery("q41_repetition", "repeated-3-gram fraction quality signal", q41, Some(o41)),
@@ -789,5 +856,6 @@ object TrainingData {
     GraftQuery("q64_dsir_weights", "DSIR hashed-bigram importance weights (integer-exact)", q64, Some(o64)),
     GraftQuery("q67_bloom_decontam", "bloom-prefiltered contaminated-train-doc detection", q67, Some(o67)),
     GraftQuery("q69_fixed_sample", "exactly-K-per-stratum deterministic hash sample", q69, Some(o69)),
-    GraftQuery("q70_temperature_mixture", "temperature-weighted (α=0.5) source sampling weights", q70, Some(o70)))
+    GraftQuery("q70_temperature_mixture", "temperature-weighted (α=0.5) source sampling weights", q70, Some(o70)),
+    GraftQuery("q75_intra_dedup", "intra-document first-occurrence span dedup (repetition-removal action)", q75, Some(o75)))
 }

@@ -498,6 +498,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rows("srcB") == ((3L, 1L, 2L, 1.0 / 3.0)))
   }
 
+  test("q74: the threshold curve counts planted exact, near and band-noise pairs correctly") {
+    // 1,2 identical (J=1.0); 3,4 near (J between gate and 0.9);
+    // 5,6 disjoint (never candidates)
+    val d = docs(Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),
+      (3L, "k l m n o p q r s t"),
+      (4L, "k l m n o p q r s z"),
+      (5L, "one set of words here"),
+      (6L, "totally disjoint other content")))
+    val dir = java.nio.file.Files.createTempDirectory("lq").toString
+    d.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Registry.byName("q74_lsh_quality").run(spark, dir).collect().head
+    assert(r.getAs[Long]("n_ge_90") >= 1L)          // the identical pair
+    assert(r.getAs[Long]("n_ge_50") >= r.getAs[Long]("n_ge_70"))
+    assert(r.getAs[Long]("n_ge_70") >= r.getAs[Long]("n_ge_90")) // curve is monotone
+    assert(r.getAs[Long]("n_candidates") >= r.getAs[Long]("n_ge_50"))
+    val p = r.getAs[Double]("precision_at_gate")
+    assert(p > 0.0 && p <= 1.0)
+  }
+
   test("q73: cell occupancy, share and load factor are exact for planted assignments") {
     // two orthogonal centroids; 3 vectors hug c0, 1 hugs c1
     val cents = Similarity.asCentroids(Seq(

@@ -419,6 +419,37 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "pairs must explode from source sets, never join")
   }
 
+  test("q75: repeated spans are dropped on reassembly; clean docs pass through byte-identical") {
+    import org.apache.spark.sql.DataFrame
+    val spanA = (1 to 8).map(i => s"a$i").mkString(" ")   // one full span
+    val spanB = (1 to 8).map(i => s"b$i").mkString(" ")
+    val docs: DataFrame = Seq(
+      (1L, s"$spanA $spanB $spanA"),   // span A stutters → dropped once
+      (2L, s"$spanA $spanB"),          // clean: nothing dropped
+      (3L, "short tail only"))         // sub-span doc: 1 remainder span
+      .toDF("doc_id", "text")
+    val rows = TrainingData.intraDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_dropped"),
+          r.getAs[String]("clean_hash"))).toMap
+    assert(rows(1L)._1 == 3L && rows(1L)._2 == 1L)
+    assert(rows(2L)._1 == 2L && rows(2L)._2 == 0L)
+    assert(rows(3L)._1 == 1L && rows(3L)._2 == 0L)
+    // the stuttered doc cleans to exactly the clean doc's content
+    assert(rows(1L)._3 == rows(2L)._3)
+    // clean doc's hash = md5 of its original text (lossless reassembly)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = md.digest(s"$spanA $spanB".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(rows(2L)._3 == expect)
+  }
+
+  test("q75 is scan-shaped: zero exchanges") {
+    val p = Registry.byName("q75_intra_dedup").run(spark, TestSpark.sf0001)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Exchange"), "intra-doc dedup must not shuffle")
+  }
+
   test("q70: α=0.5 flattens the mixture — 4× the tokens gets exactly 2× the weight") {
     // srcA: 100 tokens, srcB: 400 → sqrt weights 10:20, shares 1/3:2/3
     // (sqrt(100)=10 and sqrt(400)=20 are EXACT, so the shares are too)
