@@ -406,15 +406,7 @@ object Similarity {
       .withColumn("nrm", norm(col("v")))
     val cents = centroids.getOrElse(demoCentroids(base, numCells))
     val assigned = assignToCells(base, cents)
-    val capped = assigned
-      .withColumn("csz", count(lit(1)).over(Window.partitionBy("cid")))
-      .filter(col("csz") <= cellCap)
-    val a = capped.select(col("cid"), col("vec_id").as("va"),
-      col("v").as("av"), col("nrm").as("an"))
-    val b = capped.select(col("cid"), col("vec_id").as("vb"),
-      col("v").as("bv"), col("nrm").as("bn"))
-    val dups = a.join(b, "cid").where(col("va") < col("vb"))
-      .withColumn("sim", dot(col("av"), col("bv")) / (col("an") * col("bn")))
+    val dups = cellPairSimsOf(assigned, cellCap)
       .filter(col("sim") >= threshold)
       .groupBy(col("vb"))
       .agg(min(col("va")).as("dup_of"))
@@ -422,6 +414,24 @@ object Similarity {
     assigned.join(dups, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid"),
         col("dup_of").isNull.as("kept"), col("dup_of"))
+  }
+
+  /** UNFILTERED within-cell cosine for every (capped-cell) ordered pair
+    * of an assigned `(vec_id, cid, v, nrm)` frame — the shared pair
+    * kernel [[semanticDedup]] thresholds and the q76 threshold-curve
+    * diagnostic aggregates.
+    */
+  private def cellPairSimsOf(assigned: DataFrame, cellCap: Int): DataFrame = {
+    val capped = assigned
+      .withColumn("csz", count(lit(1)).over(Window.partitionBy("cid")))
+      .filter(col("csz") <= cellCap)
+    val a = capped.select(col("cid"), col("vec_id").as("va"),
+      col("v").as("av"), col("nrm").as("an"))
+    val b = capped.select(col("cid"), col("vec_id").as("vb"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    a.join(b, "cid").where(col("va") < col("vb"))
+      .withColumn("sim", dot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .select(col("cid"), col("va"), col("vb"), col("sim"))
   }
 
   private def q55(s: SparkSession, d: String): DataFrame =
@@ -577,6 +587,78 @@ object Similarity {
        |       max(sim) >= $SemThreshold AS contaminated
        |FROM sims GROUP BY vec_id""".stripMargin
 
+  // ---- q76: semantic-dedup threshold curve (q74's embedding twin) --------
+  // The SemDeDup tuning observable: before committing a cosine
+  // threshold, curation teams sweep it and read the survivor curve
+  // (SemDeDup's own methodology — the paper tunes per-corpus). One
+  // unfiltered pass over q55's within-cell pairs aggregates the curve:
+  // pair volume, survivors of 0.2 / the 0.3 gate / 0.5, and the kept
+  // fraction at the gate. A corpus or embedding-model change that
+  // shifts the curve shows up here before it silently over- or
+  // under-dedups. Scale shape: exactly q55's (capped cells, within-cell
+  // join) plus one single-row aggregate with map-side partials; means
+  // are avoided (cross-engine sum order) — every column is a count or
+  // one double division.
+  private val SemSweepLo = 0.2
+  private val SemSweepHi = 0.5
+
+  /** One-row threshold sweep over the within-cell pair sims:
+    * `(n_pairs, n_ge_20, n_ge_30, n_ge_50, gate_frac)` — the gate
+    * being q55's `SemThreshold`.
+    */
+  def semanticThresholdCurve(embeddings: DataFrame,
+      numCells: Int = NumCells, cellCap: Int = CellCap,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val base = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cents = centroids.getOrElse(demoCentroids(base, numCells))
+    cellPairSimsOf(assignToCells(base, cents), cellCap)
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("sim") >= SemSweepLo, 1)).as("n_ge_20"),
+        count(when(col("sim") >= SemThreshold, 1)).as("n_ge_30"),
+        count(when(col("sim") >= SemSweepHi, 1)).as("n_ge_50"))
+      .select(col("n_pairs"), col("n_ge_20"), col("n_ge_30"), col("n_ge_50"),
+        (col("n_ge_30").cast("double") / col("n_pairs").cast("double"))
+          .as("gate_frac"))
+  }
+
+  private def q76(s: SparkSession, d: String): DataFrame =
+    semanticThresholdCurve(Tables.embeddings(s, d))
+
+  private val o76 =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+       |  FROM v),
+       |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < $NumCells),
+       |scored AS (
+       |  SELECT n.vec_id, n.v, n.nrm, c.cid,
+       |         list_reduce(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i]),
+       |                     (a, b) -> a + b) / (n.nrm * c.cn) AS csim
+       |  FROM n CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, cid, v, nrm FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS ark
+       |    FROM scored)
+       |  WHERE ark = 1),
+       |small AS (SELECT cid FROM assigned GROUP BY cid HAVING count(*) <= $CellCap),
+       |sims AS (
+       |  SELECT list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
+       |                     (x, y) -> x + y) / (a.nrm * b.nrm) AS sim
+       |  FROM assigned a JOIN small USING (cid)
+       |       JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+       |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CAST(count(CASE WHEN sim >= $SemSweepLo THEN 1 END) AS BIGINT) AS n_ge_20,
+       |       CAST(count(CASE WHEN sim >= $SemThreshold THEN 1 END) AS BIGINT) AS n_ge_30,
+       |       CAST(count(CASE WHEN sim >= $SemSweepHi THEN 1 END) AS BIGINT) AS n_ge_50,
+       |       CAST(count(CASE WHEN sim >= $SemThreshold THEN 1 END) AS DOUBLE) /
+       |         CAST(count(*) AS DOUBLE) AS gate_frac
+       |FROM sims""".stripMargin
+
   // ---- q73: IVF cell-balance diagnostic (ANN index health) ---------------
   // The index-maintenance observable every IVF deployment watches: cell
   // occupancy. Probe cost is ∝ the probed cells' sizes, so a skewed
@@ -649,5 +731,6 @@ object Similarity {
     GraftQuery("q39_ivf_ann", "IVF cell-probed approximate cosine top-k", q39, Some(o39)),
     GraftQuery("q55_semantic_dedup", "SemDeDup within-cell cosine survivor selection", q55, Some(o55)),
     GraftQuery("q62_semantic_decontam", "test-vs-train embedding leakage within IVF cells", q62, Some(o62)),
-    GraftQuery("q73_cell_balance", "IVF cell-occupancy balance diagnostic", q73, Some(o73)))
+    GraftQuery("q73_cell_balance", "IVF cell-occupancy balance diagnostic", q73, Some(o73)),
+    GraftQuery("q76_semantic_curve", "SemDeDup cosine threshold-curve diagnostic", q76, Some(o76)))
 }

@@ -843,6 +843,60 @@ object TrainingData {
        |       md5(array_to_string(list_transform(kept, i -> spans[i + 1]), ' ')) AS clean_hash
        |FROM k""".stripMargin
 
+  // ---- q77: packing-efficiency diagnostic (q46's tuning observable) ------
+  // Batch-assembly health: next-fit packing wastes the tail of every
+  // pack it closes, and the waste rate is THE signal for choosing
+  // `capacity` against the corpus's length distribution (q68's
+  // quantiles say what lengths exist; this says what the chosen
+  // capacity does to them). Per shard: docs, packs, token volume, and
+  // fill_frac = tokens / (packs · capacity) — a falling fill_frac after
+  // a corpus shift means capacity no longer fits the length mix and
+  // training batches carry padding. Scale shape: q46's partition-local
+  // packing plus one ≤|shards|-row aggregate; the single double column
+  // is one division of exact integers, mirrored shape-for-shape.
+
+  /** Per-shard packing efficiency of [[packSequences]]' output:
+    * `(shard, n_docs, n_packs, tok_total, fill_frac)`.
+    */
+  def packEfficiency(packs: DataFrame, capacity: Long): DataFrame =
+    packs.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        (max(col("pack_id")) + lit(1L)).as("n_packs"),
+        sum(col("n_tokens")).as("tok_total"))
+      .select(col("shard"), col("n_docs"), col("n_packs"), col("tok_total"),
+        (col("tok_total").cast("double") /
+          (col("n_packs") * lit(capacity)).cast("double")).as("fill_frac"))
+
+  private def q77(s: SparkSession, d: String): DataFrame =
+    packEfficiency(
+      packSequences(Tables.documents(s, d), PackShards, PackCapacity),
+      PackCapacity)
+
+  private val o77 =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, doc_id % $PackShards AS shard,
+       |         len(string_split(text, ' ')) AS n_tokens,
+       |         row_number() OVER (PARTITION BY doc_id % $PackShards
+       |           ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, shard, rn, n_tokens,
+       |         n_tokens AS running, CAST(0 AS BIGINT) AS pack_id
+       |  FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.doc_id, d.shard, d.rn, d.n_tokens,
+       |         CASE WHEN p.running + d.n_tokens > $PackCapacity
+       |              THEN d.n_tokens ELSE p.running + d.n_tokens END,
+       |         CASE WHEN p.running + d.n_tokens > $PackCapacity
+       |              THEN p.pack_id + 1 ELSE p.pack_id END
+       |  FROM p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1)
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(max(pack_id) + 1 AS BIGINT) AS n_packs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+       |       CAST(sum(n_tokens) AS DOUBLE) /
+       |         CAST((max(pack_id) + 1) * $PackCapacity AS DOUBLE) AS fill_frac
+       |FROM p GROUP BY shard""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q40_train_split", "deterministic hash train/val/test split stats", q40, Some(o40)),
     GraftQuery("q41_repetition", "repeated-3-gram fraction quality signal", q41, Some(o41)),
@@ -857,5 +911,6 @@ object TrainingData {
     GraftQuery("q67_bloom_decontam", "bloom-prefiltered contaminated-train-doc detection", q67, Some(o67)),
     GraftQuery("q69_fixed_sample", "exactly-K-per-stratum deterministic hash sample", q69, Some(o69)),
     GraftQuery("q70_temperature_mixture", "temperature-weighted (α=0.5) source sampling weights", q70, Some(o70)),
-    GraftQuery("q75_intra_dedup", "intra-document first-occurrence span dedup (repetition-removal action)", q75, Some(o75)))
+    GraftQuery("q75_intra_dedup", "intra-document first-occurrence span dedup (repetition-removal action)", q75, Some(o75)),
+    GraftQuery("q77_pack_efficiency", "per-shard next-fit packing fill-fraction diagnostic", q77, Some(o77)))
 }

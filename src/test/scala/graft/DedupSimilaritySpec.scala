@@ -519,6 +519,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(p > 0.0 && p <= 1.0)
   }
 
+  test("q76: the semantic threshold curve is monotone and counts planted twins at the top") {
+    // two orthogonal centroids; an identical pair in cell 0 (sim 1.0)
+    // and an unrelated same-cell vector
+    val cents = Similarity.asCentroids(Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding"))
+    val emb = Seq(
+      (10L, Seq(0.9f, 0.1f)), (11L, Seq(0.9f, 0.1f)),  // planted twins
+      (12L, Seq(0.7f, 0.5f)), (13L, Seq(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.semanticThresholdCurve(emb, numCells = 2,
+      centroids = Some(cents)).collect().head
+    // cell 0 holds 3 vectors → 3 ordered pairs; cell 1 is a singleton
+    assert(r.getAs[Long]("n_pairs") == 3L)
+    assert(r.getAs[Long]("n_ge_50") >= 1L) // the twins
+    assert(r.getAs[Long]("n_ge_20") >= r.getAs[Long]("n_ge_30"))
+    assert(r.getAs[Long]("n_ge_30") >= r.getAs[Long]("n_ge_50"))
+    val gf = r.getAs[Double]("gate_frac")
+    assert(gf > 0.0 && gf <= 1.0)
+  }
+
   test("q73: cell occupancy, share and load factor are exact for planted assignments") {
     // two orthogonal centroids; 3 vectors hug c0, 1 hugs c1
     val cents = Similarity.asCentroids(Seq(

@@ -450,6 +450,22 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), "intra-doc dedup must not shuffle")
   }
 
+  test("q77: fill fractions account for every token and never exceed 1") {
+    // one shard (doc_id % 1 == 0), capacity 10: docs of 6, 6, 4 tokens
+    // pack next-fit as [6], [6, 4] → 2 packs, 16 tokens, fill 0.8
+    val docs = Seq(
+      (0L, (1 to 6).map(i => s"a$i").mkString(" ")),
+      (1L, (1 to 6).map(i => s"b$i").mkString(" ")),
+      (2L, (1 to 4).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val packs = TrainingData.packSequences(docs, shards = 1, capacity = 10L)
+    val r = TrainingData.packEfficiency(packs, capacity = 10L).collect().head
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("n_packs") == 2L)
+    assert(r.getAs[Long]("tok_total") == 16L)
+    assert(r.getAs[Double]("fill_frac") == 0.8)
+  }
+
   test("q70: α=0.5 flattens the mixture — 4× the tokens gets exactly 2× the weight") {
     // srcA: 100 tokens, srcB: 400 → sqrt weights 10:20, shares 1/3:2/3
     // (sqrt(100)=10 and sqrt(400)=20 are EXACT, so the shares are too)
