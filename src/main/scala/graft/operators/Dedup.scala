@@ -490,15 +490,25 @@ object Dedup {
     // re-shuffled on every round. Labels are likewise re-pinned to
     // HashPartitioning(doc_id, P) before each checkpoint, which both
     // aligns the neighbor join's label side and makes the jump join's
-    // parent side (p_id = doc_id) exchange-free. The partition count is
-    // pinned explicitly (user repartitions are AQE-coalesce-exempt):
-    // letting AQE pick per-round counts would break the alignment and
-    // re-introduce the exchanges the pinning removes.
-    val np = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    // parent side (p_id = doc_id) exchange-free. P is pinned explicitly
+    // (user repartitions are AQE-coalesce-exempt): letting AQE pick
+    // per-round counts would break the alignment and re-introduce the
+    // exchanges the pinning removes. But a FIXED P also must not
+    // over-parallelize a small graph — pinning the session width on a
+    // sf0.1-sized graph measured 1.9→4.5s (≈10 rounds × 3 exchanges ×
+    // 32 near-empty tasks of pure scheduling overhead) — so P is sized
+    // from the MEASURED edge count (free: the first snapshot just
+    // materialized it), targeting ~128k edge rows per partition and
+    // capped at the session's shuffle width for cluster runs.
+    val np0 = pairs.sparkSession.sessionState.conf.numShufflePartitions
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val edges = snap(fwd
-      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val raw = snap(fwd
+      .union(fwd.select(col("dst").as("src"), col("src").as("dst"))))
+    val np = math.max(1, math.min(np0,
+      math.ceil(raw.count() / 131072.0).toInt))
+    val edges = snap(raw
       .repartition(np, col("src")).sortWithinPartitions(col("src")))
+    free(raw)
     var labels = snap(edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .repartition(np, col("doc_id")).sortWithinPartitions(col("doc_id")))
