@@ -123,6 +123,45 @@ object AudioCodec {
     b
   }
 
+  /** Average-energy perceptual fingerprint — the audio twin of
+    * [[ImageCodec.aHash]]: 64 equal time slices, bit i set when slice
+    * i's mean |amplitude| exceeds the clip's global mean. Integer-only
+    * (means compared by cross-multiplication, never divided), so the
+    * print is deterministic across platforms; amplitude-preserving
+    * edits (re-encode, small dropouts, trailing silence trims shorter
+    * than a slice) flip only the few bits whose slice they touch,
+    * which is exactly the hamming-bounded structure
+    * [[graft.operators.Dedup.bandedHammingPairs]] indexes.
+    */
+  def aHash(b: Array[Byte]): Long = {
+    val a = decode(b)
+    val n = a.samples.length
+    require(n >= 64, s"clip too short for a 64-slice print: $n samples")
+    // cross-multiplication bound: energy_i·n ≤ (n/64)·32767·n < 2^63
+    // holds up to n = 1e8 samples (~35 min mono @ 48 kHz); fail loudly
+    // past it instead of silently wrapping (q56's overflow convention)
+    require(n <= 100000000, s"clip too long for exact integer means: $n samples")
+    val energy = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val v = math.abs(a.samples(i).toLong)
+      energy((i * 64L / n).toInt) += v
+      total += v
+      i += 1
+    }
+    var h = 0L
+    i = 0
+    while (i < 64) {
+      // slice mean > global mean  ⇔  energy_i · n > total · sliceLen
+      val lo = (i.toLong * n / 64).toInt
+      val hi = ((i + 1).toLong * n / 64).toInt
+      if (energy(i) * n > total * (hi - lo)) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
   /** Nearest-neighbor sample-rate conversion (the audio twin of
     * [[ImageCodec.resize]] — deterministic, O(outputFrames), fine for
     * feature pipelines; a production ASR path would low-pass first).

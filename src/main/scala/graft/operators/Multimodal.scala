@@ -214,6 +214,56 @@ object Multimodal {
       })
   }
 
+  /** `(media_id, sh)` energy-fingerprints of the decodable WAV payloads
+    * in a media frame — the audio half of the dedup composition, shaped
+    * exactly like [[imageAHashes]]: payload bytes are consumed MAP-SIDE
+    * (one WAV decode + 64-slice energy pass, [[AudioCodec.aHash]]),
+    * only the 8-byte print crosses the wire, undecodable clips are
+    * skipped rather than failed.
+    */
+  def audioAHashes(records: Dataset[MediaRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.flatMap { r =>
+      if (r.media_type == "audio" && AudioCodec.isWav(r.content))
+        scala.util.Try(AudioCodec.aHash(r.content)).toOption
+          .map(h => (r.media_id, h))
+      else None
+    }).toDF("doc_id", "sh")
+  }
+
+  /** Fixture audio corpus: each "audio" payload re-encoded as a REAL
+    * PCM16 mono WAV whose samples are the first 384 content bytes
+    * (192 samples @ 8 kHz) — deterministic, and near-identical payloads
+    * (the fixture's dup document families) produce near-identical
+    * clips, so the audio-dedup pipeline has true positives to find.
+    */
+  def wavMediaTable(s: SparkSession, d: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    mediaTable(s, d).filter(col("media_type") === "audio")
+      .as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        val pcm = new Array[Byte](384)
+        System.arraycopy(r.content, 0, pcm, 0, math.min(r.content.length, 384))
+        val samples = new Array[Short](192)
+        var i = 0
+        while (i < 192) {
+          samples(i) = ((pcm(2 * i) & 0xff) | ((pcm(2 * i + 1) & 0xff) << 8)).toShort
+          i += 1
+        }
+        r.copy(content = AudioCodec.encode(AudioCodec.Audio(8000, 1, samples)))
+      })
+  }
+
+  // ---- q80: audio near-dup pairs (energy aHash + banded hamming) ---------
+  // The second modality composed with the dedup stack: q60 proved the
+  // pattern on images; this runs the SAME banded index (64 bits, 4×16
+  // slices, pigeonhole-exact for hamming ≤ 3) over audio energy
+  // prints. Rows-only like q60 — WAV decode is not expressible in
+  // DuckDB; recall-exactness is CI-asserted by brute force instead.
+  private def q80(s: SparkSession, d: String): DataFrame =
+    Dedup.bandedHammingPairs(audioAHashes(wavMediaTable(s, d)),
+      AHashBits, AHashBands, AHashHammingMax, AHashBandCap)
+
   // ---- q60: image near-dup pairs (aHash + banded hamming) ----------------
   // The multimodal and dedup families composed as first-class
   // co-operators: decode → perceptual hash map-side, then the exact
@@ -265,5 +315,8 @@ object Multimodal {
     GraftQuery("q33_media_meta", "opaque-payload metadata extraction", q33, Some(o33)),
     GraftQuery("q60_image_near_dups",
       "aHash perceptual image dedup via the banded-hamming index (rows-only: no BMP decode in DuckDB)",
-      q60, None))
+      q60, None),
+    GraftQuery("q80_audio_near_dups",
+      "energy-aHash audio dedup via the same banded-hamming index (rows-only: no WAV decode in DuckDB)",
+      q80, None))
 }

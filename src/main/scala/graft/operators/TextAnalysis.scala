@@ -895,6 +895,70 @@ object TextAnalysis {
       |       CAST(max(CASE WHEN rk = (19 * n + 19) // 20 THEN n_chars END) AS BIGINT) AS p95
       |FROM r GROUP BY lang""".stripMargin
 
+  // ---- q79: Gopher-style quality rule gate (integer-exact) ---------------
+  // The published rule-based document filter (Gopher, Rae et al. 2021;
+  // C4/Dolma run close variants): word count in [50, 100k], mean word
+  // length in [3, 10], ≥2 stopword hits, ≥80% alphabetic words. Unlike
+  // q28's weighted score, each rule is a NAMED boolean the corpus
+  // report can aggregate per-rule (which rule rejects what fraction is
+  // the tuning observable). Every comparison is integer arithmetic —
+  // the ratio rules are cross-multiplied (3·n ≤ swl ≤ 10·n;
+  // 5·n_alpha ≥ 4·n) so no double ever forms and the engines agree
+  // bit-for-bit by construction. Scan-shaped, zero shuffle, one pass.
+  private val GopherMinWords = 50
+  private val GopherMaxWords = 100000
+
+  /** Per-document Gopher rule verdicts over any frame with `doc_id`,
+    * `text`: `(doc_id, n_words, sum_word_len, r_*, pass)`.
+    */
+  def gopherRules(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        expr("aggregate(w, CAST(0 AS BIGINT), (a, x) -> a + length(x))")
+          .as("sum_word_len"),
+        size(filter(col("w"), x => x.isInCollection(Stopwords)))
+          .cast("long").as("n_stop"),
+        expr("size(filter(w, x -> x rlike '[a-z]'))").cast("long")
+          .as("n_alpha"))
+      .select(col("doc_id"), col("n_words"), col("sum_word_len"),
+        (col("n_words") >= GopherMinWords &&
+          col("n_words") <= GopherMaxWords).as("r_wordcount"),
+        (lit(3L) * col("n_words") <= col("sum_word_len") &&
+          col("sum_word_len") <= lit(10L) * col("n_words")).as("r_wordlen"),
+        (col("n_stop") >= 2L).as("r_stop"),
+        (lit(5L) * col("n_alpha") >= lit(4L) * col("n_words")).as("r_alpha"))
+      .withColumn("pass",
+        col("r_wordcount") && col("r_wordlen") && col("r_stop") && col("r_alpha"))
+
+  private def q79(s: SparkSession, d: String): DataFrame =
+    gopherRules(Tables.documents(s, d))
+
+  private val o79 = {
+    val lst = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |         len(w) AS n_words,
+       |         list_sum(list_transform(w, x -> len(x))) AS sum_word_len,
+       |         len(list_filter(w, x -> x IN ($lst))) AS n_stop,
+       |         len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS n_alpha
+       |  FROM w),
+       |r AS (
+       |  SELECT doc_id, n_words, CAST(sum_word_len AS BIGINT) AS sum_word_len,
+       |         n_words >= $GopherMinWords AND n_words <= $GopherMaxWords AS r_wordcount,
+       |         3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words AS r_wordlen,
+       |         n_stop >= 2 AS r_stop,
+       |         5 * n_alpha >= 4 * n_words AS r_alpha
+       |  FROM m)
+       |SELECT doc_id, n_words, sum_word_len, r_wordcount, r_wordlen, r_stop,
+       |       r_alpha,
+       |       r_wordcount AND r_wordlen AND r_stop AND r_alpha AS pass
+       |FROM r""".stripMargin
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q27_langid", "marker-word language identification", q27, Some(o27)),
     GraftQuery("q28_quality", "document quality scoring", q28, Some(o28)),
@@ -910,5 +974,6 @@ object TextAnalysis {
     GraftQuery("q58_lexical_topk", "BM25-shaped lexical top-k retrieval (rational idf)", q58, Some(o58)),
     GraftQuery("q61_quality_ensemble", "multi-signal ensemble quality gate (q28+q41+q50+q56)", q61, Some(o61)),
     GraftQuery("q68_length_quantiles", "exact per-language discrete length quantiles (integer-rank)", q68, Some(o68)),
-    GraftQuery("q71_bigram_lm", "mean conditional bigram probability (word-order LM proxy)", q71, Some(o71)))
+    GraftQuery("q71_bigram_lm", "mean conditional bigram probability (word-order LM proxy)", q71, Some(o71)),
+    GraftQuery("q79_gopher_rules", "Gopher rule-based quality gate (integer-exact cross-multiplied ratios)", q79, Some(o79)))
 }

@@ -897,6 +897,79 @@ object TrainingData {
        |         CAST((max(pack_id) + 1) * $PackCapacity AS DOUBLE) AS fill_frac
        |FROM p GROUP BY shard""".stripMargin
 
+  // ---- q78: exact token-budget prefix selection --------------------------
+  // The LAST selection a dataset build runs: "take the best documents
+  // until the token budget runs out" — order by (quality DESC, doc_id)
+  // and keep the maximal prefix whose token total stays ≤ budget. The
+  // naive form is a GLOBAL ordered running sum — one window, one
+  // partition, the whole corpus on one task at any scale. This is the
+  // two-phase exact equivalent:
+  //   1. bucket scores at 1/1000 granularity (floor(quality·1000) —
+  //      ≤100k buckets for quality∈[0,100]); per-bucket token totals
+  //      are a map-side-combining aggregate, and the running-total
+  //      window over that ≤100k-row bucket frame is the established
+  //      tiny-frame single-partition window (q48's pattern, benign);
+  //   2. every bucket except the ONE the budget boundary lands in is
+  //      decided row-locally from the broadcast bucket frame (fully
+  //      inside → kept, fully beyond → dropped); only the boundary
+  //      bucket — corpus/|buckets| rows, ~1/100k of the corpus — runs
+  //      a doc-level window, partitioned by bucket.
+  // Identical to the global window by construction: floor is monotone,
+  // so cross-bucket order IS score order, equal scores share a bucket,
+  // and the within-bucket tiebreak (quality DESC, doc_id) matches the
+  // global ordering. Costs a second pass over the scored projection
+  // (bucket-totals branch + probe branch — the q37/qualityFilterApprox
+  // trade). The oracle is the naive global window, fine at oracle
+  // scale.
+  private val TokenBudget = 10000L
+  private val BudgetBucketScale = 1000
+
+  /** Keep flags for the highest-quality prefix of `docs` whose token
+    * total stays within `budget`: `(doc_id, n_tokens, kept)`. Exact —
+    * equals the global (quality DESC, doc_id) running-sum rule.
+    */
+  def tokenBudgetKeep(docs: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextAnalysis.withQuality(docs)
+      .select(col("doc_id"), col("n_words").as("n_tokens"), col("quality"),
+        floor(col("quality") * BudgetBucketScale).as("bkt"))
+    // bucket frame: per-bucket token totals + running total of all
+    // strictly-better buckets (tiny frame; ≤100k rows by construction)
+    val bw = Window.orderBy(col("bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val buckets = scored.groupBy(col("bkt"))
+      .agg(sum(col("n_tokens").cast("long")).as("btok"))
+      .withColumn("cum_before", coalesce(sum(col("btok")).over(bw), lit(0L)))
+    val marked = scored.join(broadcast(buckets), "bkt")
+    val isEdge = col("cum_before") < budget &&
+      col("cum_before") + col("btok") > budget
+    // non-boundary buckets: decided row-locally, no window at all
+    val settled = marked.filter(!isEdge)
+      .select(col("doc_id"), col("n_tokens"),
+        (col("cum_before") + col("btok") <= budget).as("kept"))
+    // the one boundary bucket: doc-level running sum, partitioned by bkt
+    val dw = Window.partitionBy(col("bkt"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val edge = marked.filter(isEdge)
+      .withColumn("run", sum(col("n_tokens").cast("long")).over(dw))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("cum_before") + col("run") <= budget).as("kept"))
+    settled.unionByName(edge)
+  }
+
+  private def q78(s: SparkSession, d: String): DataFrame =
+    tokenBudgetKeep(Tables.documents(s, d), TokenBudget)
+
+  private val o78 =
+    s"""WITH ${TextAnalysis.qualityCtes("")},
+       |c AS (
+       |  SELECT doc_id, n_words AS n_tokens,
+       |         sum(n_words) OVER (ORDER BY quality DESC, doc_id
+       |           ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM q)
+       |SELECT doc_id, n_tokens, cum <= $TokenBudget AS kept FROM c""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q40_train_split", "deterministic hash train/val/test split stats", q40, Some(o40)),
     GraftQuery("q41_repetition", "repeated-3-gram fraction quality signal", q41, Some(o41)),
@@ -912,5 +985,6 @@ object TrainingData {
     GraftQuery("q69_fixed_sample", "exactly-K-per-stratum deterministic hash sample", q69, Some(o69)),
     GraftQuery("q70_temperature_mixture", "temperature-weighted (α=0.5) source sampling weights", q70, Some(o70)),
     GraftQuery("q75_intra_dedup", "intra-document first-occurrence span dedup (repetition-removal action)", q75, Some(o75)),
-    GraftQuery("q77_pack_efficiency", "per-shard next-fit packing fill-fraction diagnostic", q77, Some(o77)))
+    GraftQuery("q77_pack_efficiency", "per-shard next-fit packing fill-fraction diagnostic", q77, Some(o77)),
+    GraftQuery("q78_token_budget", "exact token-budget best-first prefix selection (two-phase, no global window)", q78, Some(o78)))
 }

@@ -202,6 +202,75 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(byPair((100L, 104L)) == 3)
   }
 
+  test("multimodal: audio aHash bits are the loud slices; deterministic") {
+    import graft.operators.AudioCodec
+    // 512-sample clips = 64 slices of 8: slice i amplitude 1000 when bit
+    // i is set, else 10. Any mix of 1..63 loud slices puts the global
+    // mean strictly between the two levels, so hash == pattern exactly.
+    def clipOf(bits: Long): Array[Byte] = {
+      val samples = new Array[Short](512)
+      for (i <- 0 until 64; j <- 0 until 8)
+        samples(i * 8 + j) = if ((bits & (1L << i)) != 0) 1000 else 10
+      AudioCodec.encode(AudioCodec.Audio(8000, 1, samples))
+    }
+    val rnd = new scala.util.Random(41)
+    // bit 0 set, bit 63 clear: guarantees 1..63 loud slices
+    val p = (rnd.nextLong() | 1L) & ~(1L << 63)
+    val base = AudioCodec.aHash(clipOf(p))
+    assert(base == p, "loud slices above the global mean ARE the hash bits")
+    assert(AudioCodec.aHash(clipOf(p)) == base) // deterministic
+    val oneFlip = AudioCodec.aHash(clipOf(p ^ (1L << 22)))
+    assert(java.lang.Long.bitCount(base ^ oneFlip) == 1)
+    // length-invariance: the same loudness pattern at double duration
+    // (16-sample slices) hashes identically — re-encodes don't move bits
+    val long2 = new Array[Short](1024)
+    for (i <- 0 until 64; j <- 0 until 16)
+      long2(i * 16 + j) = if ((p & (1L << i)) != 0) 1000 else 10
+    assert(AudioCodec.aHash(AudioCodec.encode(AudioCodec.Audio(16000, 1, long2))) == base)
+  }
+
+  test("multimodal: banded audio aHash dedup recalls EXACTLY the hamming<=3 pairs") {
+    import graft.operators.{AudioCodec, Dedup}
+    def clipOf(bits: Long): Array[Byte] = {
+      val samples = new Array[Short](512)
+      for (i <- 0 until 64; j <- 0 until 8)
+        samples(i * 8 + j) = if ((bits & (1L << i)) != 0) 1000 else 10
+      AudioCodec.encode(AudioCodec.Audio(8000, 1, samples))
+    }
+    val rnd = new scala.util.Random(43)
+    val p0 = rnd.nextLong() | 2L
+    def flips(n: Int): Long = (0 until n).map(i => 1L << (i * 13 + 3)).reduce(_ | _)
+    val payloads =
+      Seq(100L -> p0, 101L -> p0, 102L -> (p0 ^ flips(1)),
+        103L -> (p0 ^ flips(2)), 104L -> (p0 ^ flips(3))) ++
+        (0 until 40).map(i => i.toLong -> (rnd.nextLong() | 1L))
+    val recs = payloads.map { case (id, bits) =>
+      Multimodal.MediaRecord(id, clipOf(bits), "audio", "s")
+    } :+ Multimodal.MediaRecord(999L, Array.fill[Byte](40)(9), "audio", "s") // not WAV: skipped
+    val hashes = Multimodal.audioAHashes(spark.createDataset(recs))
+    val pairs = Dedup.bandedHammingPairs(hashes, 64, 4, 3, 200)
+    // pin: the WAV decode/hash MapPartitions sits BELOW every Exchange —
+    // only (doc_id, sh) rows ever shuffle, never audio payloads
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions") && plan.contains("Exchange"))
+    assert(plan.indexOf("MapPartitions") > plan.lastIndexOf("Exchange"),
+      s"audio payload must be consumed map-side, below all exchanges:\n$plan")
+    val got = pairs.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Int]("hamming")))
+    val hs = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val expected = (for {
+      i <- hs.indices; j <- (i + 1) until hs.length
+      d = java.lang.Long.bitCount(hs(i)._2 ^ hs(j)._2) if d <= 3
+    } yield (hs(i)._1, hs(j)._1, d)).toSet
+    assert(got.toSet == expected, "banded recall must equal brute force")
+    assert(!hs.exists(_._1 == 999L), "non-WAV payload skipped, not failed")
+    val byPair = got.map(t => (t._1, t._2) -> t._3).toMap
+    assert(byPair((100L, 101L)) == 0)
+    assert(byPair((100L, 102L)) == 1)
+    assert(byPair((100L, 103L)) == 2)
+    assert(byPair((100L, 104L)) == 3)
+  }
+
   test("multimodal: real AVI codec decodes, samples frames, drives the video stage") {
     import graft.operators.VideoCodec
     // 5x3 @ 25fps, 10 frames; width 5 forces row padding (15 -> 16-byte

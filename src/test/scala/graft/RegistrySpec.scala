@@ -9,11 +9,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  // the two declared rows-only queries: q32's HLL sketch has no DuckDB
-  // twin (accuracy CI-asserted in ExtensionsSpec) and q60's BMP decode
-  // is not expressible in SQL (recall brute-force-asserted in
-  // ExtensionsSpec); everything else must carry an oracle
-  private val declaredRowsOnly = Set("q32_approx_distinct", "q60_image_near_dups")
+  // the three declared rows-only queries: q32's HLL sketch has no DuckDB
+  // twin (accuracy CI-asserted in ExtensionsSpec) and q60/q80's media
+  // decodes (BMP / WAV) are not expressible in SQL (recall
+  // brute-force-asserted in ExtensionsSpec); everything else must carry
+  // an oracle
+  private val declaredRowsOnly =
+    Set("q32_approx_distinct", "q60_image_near_dups", "q80_audio_near_dups")
 
   test("registry names are unique; only declared rows-only ops lack oracles") {
     val names = Registry.all.map(_.name)
