@@ -15,15 +15,20 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects. The session must have
-      // spark.sql.legacy.parquet.nanosAsLong=true (GraftSession sets it;
-      // it is NOT set here — mutating session config per read is racy
-      // under concurrent queries). We read raw nanos and floor-divide to
+      // events.ts has shipped as both parquet TIMESTAMP(NANOS) (read as
+      // LongType under spark.sql.legacy.parquet.nanosAsLong=true, which
+      // GraftSession sets) and plain TIMESTAMP_MICROS (read as a
+      // timestamp type directly). Branch on the schema actually read so
+      // both fixture generations work: raw nanos are floor-divided to
       // micros — DuckDB also truncates NANOS to micros on read, so both
-      // engines see bit-identical timestamp values.
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      // engines see bit-identical timestamp values — while a native
+      // timestamp column passes through untouched.
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
