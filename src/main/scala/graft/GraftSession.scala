@@ -3,11 +3,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** One place for the session-level configuration every graft entry point
-  * needs. In particular `spark.sql.legacy.parquet.nanosAsLong` must be on
-  * BEFORE the events table is first read (its parquet type is
-  * TIMESTAMP(NANOS), which the vectorized reader otherwise rejects) — it
-  * lives here, once per session, instead of as a per-read side effect in
-  * `Tables.apply`, which would be racy under concurrent queries.
+  * needs. `spark.sql.legacy.parquet.nanosAsLong` is kept on for OLDER
+  * fixture generations whose events.ts shipped as parquet TIMESTAMP(NANOS)
+  * (the vectorized reader otherwise rejects that type; with the flag it
+  * reads as raw-nanos LongType, which `Tables.apply` floor-divides to
+  * micros). Current fixtures ship plain TIMESTAMP_MICROS, which the flag
+  * does not affect. It lives here, once per session, instead of as a
+  * per-read side effect in `Tables.apply`, which would be racy under
+  * concurrent queries.
   */
 object GraftSession {
   /** `cpus` sizes both the local master and `spark.sql.shuffle.partitions`

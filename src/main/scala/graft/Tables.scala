@@ -24,10 +24,17 @@ object Tables {
       // engines see bit-identical timestamp values — while a native
       // timestamp column passes through untouched.
       val raw = spark.read.parquet(s"$dir/events.parquet")
+      import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
       raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
+        case LongType =>
           raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-        case _ => raw
+        case TimestampType | TimestampNTZType => raw
+        case other =>
+          // Fail at the read site, not three joins later with an opaque
+          // analysis error, if the fixture generator ships a third shape.
+          throw new IllegalStateException(
+            s"events.parquet ts column has unexpected type $other; " +
+              "expected TIMESTAMP(NANOS)-as-LongType (legacy fixtures) or a timestamp type")
       }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }

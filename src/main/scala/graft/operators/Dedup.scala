@@ -613,7 +613,18 @@ object Dedup {
     * members on one reducer instead.
     */
   def canonicalDocs(docs: DataFrame, clusters: DataFrame): DataFrame =
-    TextAnalysis.withQuality(docs)
+    canonicalDocsPreScored(
+      TextAnalysis.withQuality(docs).select(col("doc_id"), col("quality")),
+      clusters)
+
+  /** [[canonicalDocs]] over a frame that already carries `(doc_id,
+    * quality)` — a pipeline that scores the corpus once (Curate stage 1
+    * persists quality into its artifacts) selects survivors without a
+    * second scoring scan of the raw text. The registry form above keeps
+    * scoring internally so q53 stays a self-contained oracle query.
+    */
+  def canonicalDocsPreScored(scored: DataFrame, clusters: DataFrame): DataFrame =
+    scored
       .select(col("doc_id"), col("quality"))
       .join(clusters, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
@@ -791,6 +802,16 @@ object Dedup {
   def incrementalDupCandidates(newDocs: DataFrame, indexed: DataFrame): DataFrame =
     incrementalAgainstIndex(newDocs, cappedIndexRows(indexed))
 
+  // Bench readers: the registry form REBUILDS the band index in-query
+  // (cappedIndexRows — a signing pass plus the BandCap count window over
+  // the index side) because the DuckDB oracle needs the whole
+  // computation expressible as one self-contained query over the raw
+  // parquet. That index build dominates q57/q59's measured time and is
+  // ORACLE-HARNESS OVERHEAD, not the ingest cost: production persists
+  // the index ONCE with [[writeBandIndex]] (cap applied at write time,
+  // bucketed by bk), and a real ingest joins the new batch against the
+  // bucketed table with no index-side exchange and no window —
+  // BucketingSpec pins that plan (only the batch side shuffles).
   private def q57(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     incrementalDupCandidates(
@@ -814,6 +835,10 @@ object Dedup {
   // q57's collision set upgraded with the full-sketch verify: the
   // persisted index rows already carry each indexed doc's 8-slice
   // sketch, so agreement is computed entirely from index columns.
+  // Same bench caveat as q57: the in-query index build (signing pass +
+  // BandCap window) is oracle-harness overhead — the production path
+  // reads a [[writeBandIndex]] table and pays only the batch-side
+  // shuffle (BucketingSpec pins the exchange-free index side).
   private def q59(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     incrementalVerifiedAgainstIndex(

@@ -82,9 +82,17 @@ object TextAnalysis {
     * the score definition cannot drift between them.
     */
   private[graft] def withQuality(docs: DataFrame, keep: String*): DataFrame =
-    docs
+    scoreQuality(docs
       .select((keep.map(col) :+ col("doc_id") :+ col("n_chars") :+
-        split(col("text"), " ").as("w")): _*)
+        split(col("text"), " ").as("w")): _*))
+
+  /** The q28 scoring chain over a frame that already stages the word
+    * array as `w` (plus `n_chars`). Split out so `qualityEnsemble` can
+    * score its shared tokenized frame with the EXACT q28 kernel —
+    * zero drift by construction — without re-splitting the text.
+    */
+  private[graft] def scoreQuality(staged: DataFrame): DataFrame =
+    staged
       .withColumn("n_words", size(col("w")))
       .withColumn("n_uniq", size(array_distinct(col("w"))))
       .withColumn("n_stop", size(filter(col("w"), x => x.isInCollection(Stopwords))))
@@ -187,9 +195,18 @@ object TextAnalysis {
     * scans across DataFrame branches), the same trade q37 makes.
     */
   def qualityFilterApprox(docs: DataFrame, keepFrac: Double,
+      accuracy: Int = 10000): DataFrame =
+    qualityFilterPreScored(withQuality(docs, "lang")
+      .select(col("doc_id"), col("lang"), col("quality")), keepFrac, accuracy)
+
+  /** The approx-percentile quality gate over an already-scored
+    * `(doc_id, lang, quality)` frame. A pipeline that persists the
+    * (row-local, deterministic) quality score once — Curate stage 1
+    * writes it into its artifacts — gates later stages here without
+    * re-reading and re-tokenizing the text.
+    */
+  def qualityFilterPreScored(scored: DataFrame, keepFrac: Double,
       accuracy: Int = 10000): DataFrame = {
-    val scored = withQuality(docs, "lang")
-      .select(col("doc_id"), col("lang"), col("quality"))
     val thresholds = scored
       .groupBy(col("lang"))
       .agg(expr(s"approx_percentile(quality, ${1.0 - keepFrac}, $accuracy)")
@@ -561,14 +578,29 @@ object TextAnalysis {
   /** Per-doc mean corpus-unigram token probability over any
     * `(doc_id, text)` frame (the q56 kernel).
     */
-  def unigramLm(docs: DataFrame): DataFrame = {
-    val perDoc = docs.select(col("doc_id"),
+  def unigramLm(docs: DataFrame): DataFrame =
+    lmFromPerDoc(docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("w"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c")))
+
+  /** The q56 kernel over an already-built `(doc_id, w, c)` token
+    * pre-aggregate. Split out so `qualityEnsemble` can share ONE word
+    * pre-aggregate exchange between the LM leg and its n_docs count;
+    * `unigramLm` itself is unchanged in plan and in values.
+    */
+  private[graft] def lmFromPerDoc(perDoc: DataFrame): DataFrame =
+    lmFromPerDoc(perDoc, perDoc.agg(sum(col("c")).as("total")))
+
+  /** As above, with the 1-row corpus-totals frame supplied by the
+    * caller (must carry `total` = the corpus token count; any extra
+    * columns are pruned by the select below). `qualityEnsemble` passes
+    * a shared cached totals frame that also carries its n_docs count,
+    * so both corpus scalars cost ONE aggregate branch.
+    */
+  private[graft] def lmFromPerDoc(perDoc: DataFrame, totals: DataFrame): DataFrame = {
     val freq = perDoc.groupBy(col("w")).agg(sum(col("c")).as("cnt"))
-    val total = perDoc.agg(sum(col("c")).as("total"))
     val maxSafeCnt = Long.MaxValue / LmScale
-    val scaled = freq.crossJoin(broadcast(total))
+    val scaled = freq.crossJoin(broadcast(totals))
       .select(col("w"),
         when(col("cnt") > maxSafeCnt, raise_error(concat(
           lit(s"unigramLm: token count > Long-safe ceiling $maxSafeCnt " +
@@ -779,10 +811,30 @@ object TextAnalysis {
   // verifies (zero drift by construction); thresholds sit at the
   // fixture's measured deciles so the gate genuinely discriminates.
   // All comparisons are on bit-identical doubles, so the boolean is
-  // engine-portable. Distributed shape: four doc-level legs (scan /
-  // scan / 3-scan boilerplate / reused-exchange LM) joined on doc_id —
-  // every join input is one row per doc, so the joins stay doc-count-
-  // sized at any corpus scale.
+  // engine-portable.
+  //
+  // Distributed shape (fused, round 9): the naive form ran each leg's
+  // standalone kernel and re-read + re-tokenized `documents` ~7 times
+  // (scan + scan + 3-scan boilerplate + 2-scan LM). At 100 TB those
+  // are 7 full-corpus passes where 3 suffice, so the ensemble now
+  // shares ONE tokenized frame `(doc_id, n_chars, w, grams)` and the
+  // plan holds exactly THREE documents scans (spec-pinned):
+  //   1. row-local leg — the q28 quality chain and q41 repetition
+  //      columns fused into one pass over the staged arrays (the
+  //      EXACT shared kernels: scoreQuality / repetitionCols);
+  //   2. word pre-aggregate `(doc_id, w, c)` — persisted once, read
+  //      by all four of its consumers (LM freq, the per-doc LM join,
+  //      and the corpus totals: token count + n_docs in one pass);
+  //   3. gram pre-aggregate `(doc_id, gram, c)` — persisted once,
+  //      read by the corpus doc-frequency branch (count of pre-agg
+  //      rows per gram == count of DISTINCT docs, the same integers
+  //      q50 computes) and by the per-doc hot-gram occurrence sum
+  //      (sum(c) == q50's count over the raw explode). The hot table
+  //      stays a few-thousand-row unhinted AQE broadcast.
+  // Every per-leg value is bit-identical to its standalone query
+  // (integer counts; the same double divisions), so oracle o61 — and
+  // the per-leg oracles — are unchanged. The final joins stay
+  // one-row-per-doc at any corpus scale.
   private val EnsMinQuality = 62.0
   private val EnsMaxDupFrac = 0.02
   private val EnsMaxBoilerFrac = 0.05
@@ -797,12 +849,59 @@ object TextAnalysis {
       maxDupFrac: Double = EnsMaxDupFrac,
       maxBoilerFrac: Double = EnsMaxBoilerFrac,
       minMeanProb: Double = EnsMinMeanProb): DataFrame = {
-    val q = withQuality(docs).select(col("doc_id"), col("quality"))
-    val rep = TrainingData.repetitionSignal(docs)
-      .select(col("doc_id"), col("dup_frac"))
-    val boiler = boilerplateSignal(docs).select(col("doc_id"), col("boiler_frac"))
-    val lm = unigramLm(docs).select(col("doc_id"), col("mean_prob"))
-    q.join(rep, "doc_id").join(boiler, "doc_id").join(lm, "doc_id")
+    val base = docs.select(col("doc_id"), col("n_chars"),
+      split(col("text"), " ").as("w"),
+      graft.functions.WordGrams(col("text"), 3).as("grams"))
+    // leg 1 (one scan): row-local quality + repetition over the staged arrays
+    val rowLocal = scoreQuality(base)
+      .select((Seq(col("doc_id"), col("quality")) ++
+        TrainingData.repetitionCols): _*)
+      .select(col("doc_id"), col("quality"), col("dup_frac"), col("n_grams"))
+    // leg 2 (one scan): the word pre-aggregate. PERSISTED, not
+    // exchange-reuse-shared: its consumers (LM freq, LM per-doc join,
+    // corpus totals) each prune different columns and sit under
+    // different joins, so Catalyst specializes each branch (count
+    // elision, IsNotNull pushdown) and the canonicalized subtrees stop
+    // matching — reuse held for only some pairs when this was tried.
+    // A persisted pre-aggregate is the same bytes a materialized
+    // exchange would write, read back by all consumers, and is robust
+    // to optimizer changes. (Doc-level near-linear memory: token-level
+    // rows AFTER in-doc dedup; spills to disk beyond executor memory.)
+    val perDocW = base.select(col("doc_id"), explode(col("w")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Both corpus scalars in ONE pass over the cached pre-aggregate —
+    // n_docs is exact here because split(text, ' ') yields >=1 element
+    // for every non-null string, so every document has a word row. The
+    // 1-row persist keeps the second consumer (hot-gram filter) from
+    // paying a second pass.
+    val totals = perDocW.agg(sum(col("c")).as("total"),
+      countDistinct(col("doc_id")).as("n_docs")).persist()
+    val lm = lmFromPerDoc(perDocW, totals).select(col("doc_id"), col("mean_prob"))
+    // leg 3 (one scan): the gram pre-aggregate, persisted for the same
+    // reason, shared by the corpus doc-frequency branch and the
+    // per-doc hot-occurrence sum. df counts pre-aggregate rows ==
+    // DISTINCT docs per gram, and sum(c) over hot grams == q50's count
+    // over the raw explode — the exact q50 integers.
+    val perDocG = base.select(col("doc_id"), explode(col("grams")).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = perDocG.groupBy(col("gram")).agg(count(col("c")).as("df"))
+      .crossJoin(broadcast(totals))
+      .filter(col("df") * 100 > col("n_docs") * BoilerPctDocs)
+      .select(col("gram"))
+    val boilerPerDoc = perDocG.join(hot, "gram")
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("n_boiler"))
+    rowLocal
+      .join(boilerPerDoc, Seq("doc_id"), "left")
+      .withColumn("boiler_frac",
+        when(col("n_grams") > 0,
+          coalesce(col("n_boiler"), lit(0L)).cast("double") /
+            col("n_grams").cast("double"))
+          .otherwise(lit(0.0)))
+      .join(lm, "doc_id")
+      .select(col("doc_id"), col("quality"), col("dup_frac"),
+        col("boiler_frac"), col("mean_prob"))
       .withColumn("keep",
         col("quality") >= minQuality && col("dup_frac") <= maxDupFrac &&
           col("boiler_frac") <= maxBoilerFrac && col("mean_prob") >= minMeanProb)

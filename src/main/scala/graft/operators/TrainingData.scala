@@ -88,12 +88,18 @@ object TrainingData {
     docs
       .select(col("doc_id"),
         graft.functions.WordGrams(col("text"), 3).as("grams"))
-      .select(col("doc_id"),
-        size(col("grams")).cast("long").as("n_grams"),
-        size(array_distinct(col("grams"))).cast("long").as("n_distinct"),
-        expr("CASE WHEN size(grams) > 0 THEN 1.0 - " +
-          "CAST(size(array_distinct(grams)) AS DOUBLE) / " +
-          "CAST(size(grams) AS DOUBLE) ELSE 0.0 END").as("dup_frac"))
+      .select((col("doc_id") +: repetitionCols): _*)
+
+  /** The q41 scoring columns over an already-staged `grams` array.
+    * Shared with TextAnalysis.qualityEnsemble so its fused single-pass
+    * leg uses the EXACT q41 expressions — zero drift by construction.
+    */
+  private[graft] def repetitionCols: Seq[org.apache.spark.sql.Column] = Seq(
+    size(col("grams")).cast("long").as("n_grams"),
+    size(array_distinct(col("grams"))).cast("long").as("n_distinct"),
+    expr("CASE WHEN size(grams) > 0 THEN 1.0 - " +
+      "CAST(size(array_distinct(grams)) AS DOUBLE) / " +
+      "CAST(size(grams) AS DOUBLE) ELSE 0.0 END").as("dup_frac"))
 
   private def q41(s: SparkSession, d: String): DataFrame =
     repetitionSignal(Tables.documents(s, d))

@@ -71,11 +71,19 @@ object Curate {
     // keep each cluster's HIGHEST-QUALITY member (the q53 kernel) — not
     // an arbitrary/min-id copy: near-dup families often mix a clean
     // original with mangled variants, and the quality-ranked survivor is
-    // what the downstream percentile gate should be judging
-    val survivors = Dedup.canonicalDocs(docs,
+    // what the downstream percentile gate should be judging.
+    // The corpus is scored ONCE here and `quality` rides the stage
+    // artifacts: survivor selection (canonicalDocsPreScored) and the
+    // stage-2 percentile gate both reuse the persisted column instead
+    // of re-tokenizing the text (quality is row-local + deterministic,
+    // so scoring before vs after dedup is value-identical).
+    val scoredDocs = TextAnalysis.withQuality(docs, "text", "lang", "source")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"), col("quality"))
+    val survivors = Dedup.canonicalDocsPreScored(scoredDocs,
         Dedup.dupClusters(Dedup.candidatePairs(spark, sfDir)))
       .select("doc_id")
-    val deduped = stage(docs.join(survivors, Seq("doc_id"), "left_semi"), "deduped")
+    val deduped = stage(scoredDocs.join(survivors, Seq("doc_id"), "left_semi"), "deduped")
 
     // 1b. semantic dedup over the SURVIVING docs' embeddings (q55
     // kernel): paraphrases and templated rewrites share no long n-grams,
@@ -95,11 +103,17 @@ object Curate {
       deduped.join(semDropped, Seq("doc_id"), "left_anti"), "sem_deduped")
 
     // 2. quality gate: top half per language among the survivors —
-    // threshold-broadcast form (no per-language sort partition)
-    val kept = TextAnalysis.qualityFilterApprox(semDeduped, keepFrac = 0.5)
+    // threshold-broadcast form (no per-language sort partition), fed by
+    // the quality column persisted in stage 1 (no re-tokenize pass).
+    // `quality` is dropped from the artifact here so stages 3+ keep
+    // their r8 schemas.
+    val kept = TextAnalysis.qualityFilterPreScored(
+        semDeduped.select(col("doc_id"), col("lang"), col("quality")),
+        keepFrac = 0.5)
       .select("doc_id")
     val curated = stage(
-      semDeduped.join(kept, Seq("doc_id"), "left_semi"), "quality")
+      semDeduped.join(kept, Seq("doc_id"), "left_semi").drop("quality"),
+      "quality")
 
     // 3. mixture balancing: every source contributes the same token
     // budget to what follows (deterministic salted-hash sampling)

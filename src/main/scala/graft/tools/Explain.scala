@@ -26,8 +26,12 @@ object Explain {
       println(s"\n================ $n ================")
       val df = graft.Registry.byName(n).run(spark, data)
       if (runtime) {
-        df.count()
-        println(df.queryExecution.executedPlan.toString.take(12000))
+        // collect() drives THIS df's queryExecution to the AQE-final
+        // plan (df.count() would execute a separate QueryExecution and
+        // leave this one isFinalPlan=false)
+        df.collect()
+        println(df.queryExecution
+          .explainString(org.apache.spark.sql.execution.FormattedMode).take(14000))
       } else df.explain("formatted")
     }
     spark.stop()

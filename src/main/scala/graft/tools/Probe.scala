@@ -12,7 +12,10 @@ object Probe {
     println("ntzInfer=" + spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled"))
     val e0 = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     e0.printSchema()
-    val e = e0.selectExpr("event_id", "timestamp_micros(ts div 1000) AS ts", "event_type", "props")
+    // Tables.apply owns the schema-adaptive ts normalization (raw-nanos
+    // LongType on legacy fixtures vs native timestamp on current ones).
+    val e = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "event_type", "props")
     e.printSchema()
     e.selectExpr(
       "date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS s",

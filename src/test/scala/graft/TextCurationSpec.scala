@@ -75,6 +75,27 @@ class TextCurationSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "corpus df must be an aggregate, not a window")
   }
 
+  test("q61 ensemble executes exactly three documents scans (fused tokenized frame)") {
+    // row-local quality+repetition pass, word pre-aggregate, gram
+    // pre-aggregate — the naive per-leg form was ~7 scans. The two
+    // pre-aggregates are persisted and every other branch reads the
+    // cache back (InMemoryTableScan), so only three parquet scans
+    // materialize. Execute first (the caches and AQE finalize at
+    // runtime), then count DISTINCT scan node ids — the formatted
+    // output repeats a cached subplan's scan in its Initial Plan
+    // printout, so a raw line count overstates.
+    val df = Registry.byName("q61_quality_ensemble").run(spark, TestSpark.sf0001)
+    df.collect()
+    val fin = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val scanIds = """Scan parquet\s+\((\d+)\)""".r
+      .findAllMatchIn(fin).map(_.group(1)).toSet
+    assert(scanIds.size <= 3,
+      s"expected <=3 materialized documents scans (row-local + word + gram), got ${scanIds.size}")
+    assert(fin.contains("InMemoryTableScan"),
+      s"expected the word/gram pre-aggregates to be read from cache:\n${fin.take(2000)}")
+    assert(!fin.contains("Window"), "no window anywhere in the ensemble")
+  }
+
   test("unigram lm: mean token probability is the exact integer-scaled value") {
     // freqs over the corpus: a=2, b=1, c=1, total=4 → scaled probs
     // (×1e12, floored): a=5e11, b=2.5e11, c=2.5e11. Doc 1 = "a a b":
