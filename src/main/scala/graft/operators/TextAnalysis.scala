@@ -835,6 +835,13 @@ object TextAnalysis {
   // (integer counts; the same double divisions), so oracle o61 — and
   // the per-leg oracles — are unchanged. The final joins stay
   // one-row-per-doc at any corpus scale.
+  //
+  // Bench-reading caveat: Spark's CacheManager dedups persisted frames
+  // by logical plan, so REPEATED q61 invocations in one session (the
+  // bench's warm + timed passes; a pipeline calling the ensemble
+  // twice) reuse the already-materialized pre-aggregates — warm
+  // numbers are cache-warm; the cold cost is the first execution.
+  // That reuse is the desired production behavior, not an accident.
   private val EnsMinQuality = 62.0
   private val EnsMaxDupFrac = 0.02
   private val EnsMaxBoilerFrac = 0.05

@@ -14,6 +14,20 @@ class ExtensionsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("events read fails loudly at the read site on an unexpected ts type") {
+    // Tables.apply branches on the ts dataType (raw-nanos LongType on
+    // legacy fixtures, a timestamp type on current ones); a THIRD shape
+    // must throw a descriptive error immediately, not surface later as
+    // an opaque analysis failure three joins downstream.
+    val dir = Files.createTempDirectory("badevents").toString
+    Seq((1L, "not-a-timestamp", "click"))
+      .toDF("event_id", "ts", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](Tables.events(spark, dir))
+    assert(e.getMessage.contains("unexpected type"))
+    assert(e.getMessage.contains("StringType"))
+  }
+
   test("typed RiskVectorAgg matches the declarative risk table") {
     val events = Tables.events(spark, TestSpark.sf0001)
     val typed = events
