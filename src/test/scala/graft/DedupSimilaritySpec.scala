@@ -158,6 +158,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
       numCells = clusters, nProbe = 2, centroids = Some(cents)))
     val recall = brute.intersect(ivf).size.toDouble / brute.size
     assert(recall >= 0.8, s"IVF recall $recall < 0.8 (brute=${brute.size}, hit=${brute.intersect(ivf).size})")
+
+    // recall is MONOTONE in nProbe (an exact-top-k member is outranked
+    // by fewer than k vectors in the whole corpus, so once probed it
+    // can never be displaced by widening the candidate pool) and hits
+    // 1.0 at nProbe == numCells (the pool is the corpus — exact by
+    // construction). This is the production lever SCALE.md's probe
+    // curve documents; the invariant must hold on any data.
+    val recalls = Seq(1, 2, clusters).map { p =>
+      val r = pairs(Similarity.ivfTopK(df, pred, 5,
+        numCells = clusters, nProbe = p, centroids = Some(cents)))
+      brute.intersect(r).size.toDouble / brute.size
+    }
+    assert(recalls == recalls.sorted,
+      s"recall must be non-decreasing in nProbe: $recalls")
+    assert(recalls.last == 1.0,
+      s"nProbe == numCells must be exact, got ${recalls.last}")
   }
 
   test("incremental dedup: new docs flag against the index, never each other") {
