@@ -96,6 +96,39 @@ class TextCurationSpec extends AnyFunSuite {
     assert(!fin.contains("Window"), "no window anywhere in the ensemble")
   }
 
+  test("q61 fused legs equal the standalone kernels, including edge docs") {
+    // the fusion shares tokenized frames instead of calling each
+    // kernel; this pins value-equality against the UNFUSED composition
+    // on adversarial shapes the fixtures don't cover: empty text (one
+    // empty-string token, zero grams), one- and two-word docs (no
+    // grams -> boiler_frac/dup_frac 0.0), heavy in-doc repetition, and
+    // a doc that is pure corpus-hot boilerplate
+    val docs = Seq(
+      (1L, ""), (2L, "solo"), (3L, "two words"),
+      (4L, "a b c a b c a b c a b c"),
+      (5L, "x y z w v u t s r q p o n m"),
+      (6L, "a b c a b c"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val fused = TextAnalysis.qualityEnsemble(docs, 0.0, 1.0, 1.0, 0.0)
+      .select("doc_id", "quality", "dup_frac", "boiler_frac", "mean_prob")
+    val unfused = TextAnalysis.withQuality(docs).select(col("doc_id"), col("quality"))
+      .join(graft.operators.TrainingData.repetitionSignal(docs)
+        .select(col("doc_id"), col("dup_frac")), "doc_id")
+      .join(TextAnalysis.boilerplateSignal(docs)
+        .select(col("doc_id"), col("boiler_frac")), "doc_id")
+      .join(TextAnalysis.unigramLm(docs)
+        .select(col("doc_id"), col("mean_prob")), "doc_id")
+    assert(fused.count() == 6)
+    // bit-identical doubles: exact collect comparison, no tolerance
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("quality"), r.getAs[Double]("dup_frac"),
+          r.getAs[Double]("boiler_frac"), r.getAs[Double]("mean_prob")))).toMap
+    assert(rows(fused) == rows(unfused))
+  }
+
   test("unigram lm: mean token probability is the exact integer-scaled value") {
     // freqs over the corpus: a=2, b=1, c=1, total=4 → scaled probs
     // (×1e12, floored): a=5e11, b=2.5e11, c=2.5e11. Doc 1 = "a a b":
