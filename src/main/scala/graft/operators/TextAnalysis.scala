@@ -847,9 +847,13 @@ object TextAnalysis {
   private val EnsMaxBoilerFrac = 0.05
   private val EnsMinMeanProb = 0.033
 
-  /** Multi-signal keep/drop verdict per document over any `(doc_id,
-    * text, lang, source, n_chars)` frame — the composable production
-    * gate (`keep` = every signal inside its threshold).
+  /** Multi-signal keep/drop verdict per document over any BATCH
+    * `(doc_id, text, lang, source, n_chars)` frame — the composable
+    * production gate (`keep` = every signal inside its threshold).
+    * Batch-only by nature (the corpus-frequency legs aggregate the
+    * whole input, and the shared pre-aggregates persist); the
+    * streaming path applies the row-local gate (`qualityAtLeast`)
+    * with thresholds computed offline, see streaming.StreamingCurate.
     */
   def qualityEnsemble(docs: DataFrame,
       minQuality: Double = EnsMinQuality,
