@@ -12,22 +12,32 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
-    // Two timed passes, report the min: single-pass numbers jitter up to
-    // ±60% per query under VM noise. A query that throws reports -1 so
+    // Three timed passes, report the per-query MIN (the BENCH_sf1.json
+    // convention, adopted for round benches too): single-pass numbers
+    // jitter up to ±60% per query under VM noise, and min-of-3 is the
+    // stable estimator of the query's actual cost on this box. The
+    // per-query max/min ratio is emitted alongside ("spread") so a
+    // round-over-round delta can be read against the measured noise
+    // band instead of re-litigated. A query that throws reports -1 so
     // a deterministic failure is never mistaken for a fast run.
+    val runs = 3
     val results = names.map { name =>
       def timed(): Double = {
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      name -> (try math.min(timed(), timed()) catch { case _: Throwable => -1.0 })
+      name -> (try Seq.fill(runs)(timed()) catch { case _: Throwable => Seq(-1.0) })
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jmap(f: Seq[Double] => Double) = results
+      .map { case (k, ts) => s"\"" + k + "\":" + f(ts) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val qs = jmap(_.min)
+    val spread = jmap(ts =>
+      if (ts.min > 0) math.rint(ts.max / ts.min * 100) / 100 else -1.0)
+    val total = results.map(_._2.min).filter(_ >= 0).sum
+    val failed = results.count(_._2.min < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

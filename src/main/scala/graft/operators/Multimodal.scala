@@ -282,6 +282,63 @@ object Multimodal {
     Dedup.bandedHammingPairs(imageAHashes(bmpMediaTable(s, d)),
       AHashBits, AHashBands, AHashHammingMax, AHashBandCap)
 
+  // ---- q60b/q80b: the SQL-expressible half of q60/q80, DuckDB-checked ----
+  // q60/q80 are rows-only because BMP/WAV DECODE has no DuckDB twin —
+  // but the banded-hamming PAIRING over the decoded aHashes is pure
+  // integer SQL. These companions split the pipeline at that boundary:
+  // Spark computes the aHashes (decode stays CI-asserted by the
+  // brute-force recall specs), STAGES them to a parquet the oracle can
+  // read, and runs the same banded pairing over the staged frame; the
+  // oracle replays the pairing in DuckDB (the o49 SQL shape) over the
+  // identical staged bytes. Everything downstream of decode is thereby
+  // driver-hash-checked, not trusted.
+  //
+  // The stage path is per-sf (Bench at sf0.1 and Verify at sf0.01
+  // write different dirs, no clobbering); the oracle reads the sf0.01
+  // dir because that is the scale the driver's correctness gate runs
+  // at. Staging is overwrite-idempotent and a few KB per sf.
+  private val StageRoot = "/root/repo/target/oracle_stage"
+  private val OracleSf = "sf0.01" // the driver gate's fixture scale
+
+  private def stageHashes(s: SparkSession, d: String, sub: String,
+      hashes: DataFrame): DataFrame = {
+    val path = s"$StageRoot/${new java.io.File(d).getName}/$sub"
+    hashes.write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
+  private def q60b(s: SparkSession, d: String): DataFrame =
+    Dedup.bandedHammingPairs(
+      stageHashes(s, d, "q60_ahash", imageAHashes(bmpMediaTable(s, d))),
+      AHashBits, AHashBands, AHashHammingMax, AHashBandCap)
+
+  private def q80b(s: SparkSession, d: String): DataFrame =
+    Dedup.bandedHammingPairs(
+      stageHashes(s, d, "q80_ahash", audioAHashes(wavMediaTable(s, d))),
+      AHashBits, AHashBands, AHashHammingMax, AHashBandCap)
+
+  private def bandedPairsSql(stageSub: String): String = {
+    val sliceWidth = AHashBits / AHashBands
+    val mask = (1L << sliceWidth) - 1
+    s"""WITH h AS (
+       |  SELECT doc_id, sh
+       |  FROM read_parquet('$StageRoot/$OracleSf/$stageSub/*.parquet')),
+       |b AS (
+       |  SELECT doc_id, sh,
+       |         unnest(list_transform(range(0, $AHashBands), i ->
+       |           CAST(i AS VARCHAR) || ':' ||
+       |           CAST(((sh >> (i * $sliceWidth)) & $mask) AS VARCHAR))) AS bk
+       |  FROM h),
+       |small AS (SELECT bk FROM b GROUP BY bk HAVING count(*) <= $AHashBandCap)
+       |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.sh, c.sh)) AS INT) AS hamming
+       |FROM b a JOIN small USING (bk) JOIN b c ON a.bk = c.bk AND a.doc_id < c.doc_id
+       |WHERE bit_count(xor(a.sh, c.sh)) <= $AHashHammingMax""".stripMargin
+  }
+
+  private val o60b = bandedPairsSql("q60_ahash")
+  private val o80b = bandedPairsSql("q80_ahash")
+
   // ---- q33: metadata extraction over opaque payloads (pure columns) ------
   // byte length, full-content digest, head-window digest ("thumbnail"),
   // and a strided frame sample — all computable without decoding.
@@ -316,7 +373,13 @@ object Multimodal {
     GraftQuery("q60_image_near_dups",
       "aHash perceptual image dedup via the banded-hamming index (rows-only: no BMP decode in DuckDB)",
       q60, None),
+    GraftQuery("q60b_image_pairs_sql",
+      "q60's banded-hamming pairing over STAGED aHashes — DuckDB-checked; decode stays CI-only",
+      q60b, Some(o60b)),
     GraftQuery("q80_audio_near_dups",
       "energy-aHash audio dedup via the same banded-hamming index (rows-only: no WAV decode in DuckDB)",
-      q80, None))
+      q80, None),
+    GraftQuery("q80b_audio_pairs_sql",
+      "q80's banded-hamming pairing over STAGED aHashes — DuckDB-checked; decode stays CI-only",
+      q80b, Some(o80b)))
 }

@@ -573,7 +573,10 @@ object TextAnalysis {
   // hashes on the UNIFORM (doc_id, w) pair, not the Zipf-skewed word
   // alone. n_tokens = sum(cnt) and sum_scaled = sum(cnt * p_scaled) are
   // exact in the same integer arithmetic as the per-occurrence form.
-  private val LmScale = 1000000000000L
+  // private[graft] so tools.LmHeadroom derives its Long-safe ceiling
+  // from THIS constant — lowering LmScale (the documented web-corpus
+  // mitigation) must move the headroom report with it.
+  private[graft] val LmScale = 1000000000000L
 
   /** Per-doc mean corpus-unigram token probability over any
     * `(doc_id, text)` frame (the q56 kernel).
@@ -854,12 +857,50 @@ object TextAnalysis {
     * whole input, and the shared pre-aggregates persist); the
     * streaming path applies the row-local gate (`qualityAtLeast`)
     * with thresholds computed offline, see streaming.StreamingCurate.
+    *
+    * Cache lifecycle: the word/gram pre-aggregates and the 1-row
+    * totals persist for the SESSION (CacheManager dedups repeat
+    * invocations on the same input — the desired warm-path behavior,
+    * but successive DIFFERENT batches each add three cache entries).
+    * Use [[withQualityEnsemble]] to bound them, or clear via
+    * `spark.catalog.clearCache()`.
     */
   def qualityEnsemble(docs: DataFrame,
       minQuality: Double = EnsMinQuality,
       maxDupFrac: Double = EnsMaxDupFrac,
       maxBoilerFrac: Double = EnsMaxBoilerFrac,
-      minMeanProb: Double = EnsMinMeanProb): DataFrame = {
+      minMeanProb: Double = EnsMinMeanProb): DataFrame =
+    buildQualityEnsemble(docs, minQuality, maxDupFrac, maxBoilerFrac,
+      minMeanProb)._1
+
+  /** Loan-pattern wrapper around [[qualityEnsemble]] for long-lived
+    * sessions: runs `body` with the ensemble frame, then unpersists
+    * the three internal pre-aggregate caches in a finally block
+    * (blocking, so the executor blocks are gone when this returns).
+    * Use this when gating successive distinct batches in one session —
+    * the bare `qualityEnsemble` leaves its caches alive for plan-level
+    * reuse, which is the right call for repeated reads of the SAME
+    * frame but accumulates for the session lifetime across different
+    * inputs. Any result that must outlive `body` has to be
+    * materialized inside it (collect / write / localCheckpoint): the
+    * returned plan recomputes from scratch once the caches drop.
+    */
+  def withQualityEnsemble[T](docs: DataFrame,
+      minQuality: Double = EnsMinQuality,
+      maxDupFrac: Double = EnsMaxDupFrac,
+      maxBoilerFrac: Double = EnsMaxBoilerFrac,
+      minMeanProb: Double = EnsMinMeanProb)(body: DataFrame => T): T = {
+    val (result, cached) = buildQualityEnsemble(docs, minQuality,
+      maxDupFrac, maxBoilerFrac, minMeanProb)
+    try body(result)
+    finally cached.foreach(_.unpersist(blocking = true))
+  }
+
+  private def buildQualityEnsemble(docs: DataFrame,
+      minQuality: Double,
+      maxDupFrac: Double,
+      maxBoilerFrac: Double,
+      minMeanProb: Double): (DataFrame, Seq[DataFrame]) = {
     val base = docs.select(col("doc_id"), col("n_chars"),
       split(col("text"), " ").as("w"),
       graft.functions.WordGrams(col("text"), 3).as("grams"))
@@ -878,17 +919,22 @@ object TextAnalysis {
     // exchange would write, read back by all consumers, and is robust
     // to optimizer changes. (Doc-level near-linear memory: token-level
     // rows AFTER in-doc dedup; spills to disk beyond executor memory.)
-    val perDocW = base.select(col("doc_id"), explode(col("w")).as("w"))
+    val perDocW = base.select(col("doc_id"), explode_outer(col("w")).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Both corpus scalars in ONE pass over the cached pre-aggregate —
-    // n_docs is exact here because split(text, ' ') yields >=1 element
-    // for every non-null string, so every document has a word row. The
-    // 1-row persist keeps the second consumer (hot-gram filter) from
-    // paying a second pass.
-    val totals = perDocW.agg(sum(col("c")).as("total"),
+    // n_docs is exact (matches the standalone boilerplateSignal's
+    // countDistinct over the WHOLE input) because explode_OUTER keeps
+    // a (doc_id, null, 1) row for null-text docs, whose split array is
+    // null; non-null text always yields >=1 token. The null rows are
+    // excluded from the token total here and filtered out of the LM
+    // leg below, so only n_docs sees them. The 1-row persist keeps the
+    // second consumer (hot-gram filter) from paying a second pass.
+    val totals = perDocW.agg(
+      sum(when(col("w").isNotNull, col("c"))).as("total"),
       countDistinct(col("doc_id")).as("n_docs")).persist()
-    val lm = lmFromPerDoc(perDocW, totals).select(col("doc_id"), col("mean_prob"))
+    val lm = lmFromPerDoc(perDocW.filter(col("w").isNotNull), totals)
+      .select(col("doc_id"), col("mean_prob"))
     // leg 3 (one scan): the gram pre-aggregate, persisted for the same
     // reason, shared by the corpus doc-frequency branch and the
     // per-doc hot-occurrence sum. df counts pre-aggregate rows ==
@@ -903,7 +949,7 @@ object TextAnalysis {
       .select(col("gram"))
     val boilerPerDoc = perDocG.join(hot, "gram")
       .groupBy(col("doc_id")).agg(sum(col("c")).as("n_boiler"))
-    rowLocal
+    val result = rowLocal
       .join(boilerPerDoc, Seq("doc_id"), "left")
       .withColumn("boiler_frac",
         when(col("n_grams") > 0,
@@ -916,6 +962,7 @@ object TextAnalysis {
       .withColumn("keep",
         col("quality") >= minQuality && col("dup_frac") <= maxDupFrac &&
           col("boiler_frac") <= maxBoilerFrac && col("mean_prob") >= minMeanProb)
+    (result, Seq(perDocW, totals, perDocG))
   }
 
   private def q61(s: SparkSession, d: String): DataFrame =

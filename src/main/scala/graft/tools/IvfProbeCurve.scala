@@ -27,7 +27,12 @@ object IvfProbeCurve {
     val exact = Similarity.cosineTopK(emb, queryPred, k)
       .select("qid", "nid").localCheckpoint()
     val nExact = exact.count()
-    val probes = Seq(1, 2, 4, 8, numCells)
+    require(nExact > 0, s"no exact top-k pairs: no vec_id % 100 == 0 " +
+      s"rows in $sfDir — recall would divide by zero")
+    // drop sweep points >= numCells (nProbe saturates there) and keep
+    // exactly one numCells point, so small cell counts (e.g. 4) don't
+    // sweep an out-of-range probe or a duplicate
+    val probes = Seq(1, 2, 4, 8).filter(_ < numCells) :+ numCells
     val curve = probes.map { p =>
       val t0 = System.nanoTime()
       val approx = Similarity.ivfTopK(emb, queryPred, k,

@@ -29,7 +29,7 @@ object LmHeadroom {
       .groupBy(col("g")).agg(count(lit(1)).as("cnt2"))
       .agg(max(col("cnt2")).as("max_cnt2"), count(lit(1)).as("vocab2"))
       .head()
-    val maxSafe = Long.MaxValue / 1000000000000L
+    val maxSafe = Long.MaxValue / graft.operators.TextAnalysis.LmScale
 
     println(s"""{"sf":"${args(0)}","max_unigram_cnt":${uni.getLong(0)},""" +
       s""""total_tokens":${uni.getLong(1)},"vocab":${uni.getLong(2)},""" +

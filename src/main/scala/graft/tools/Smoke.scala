@@ -21,23 +21,42 @@ object Smoke {
     df.show(10, false)
     if (all) {
       val names = graft.SparkEntry.queries.keys.toSeq.sorted
-      val failures = names.flatMap { name =>
+      val results = names.map { name =>
         try {
           val rows = graft.SparkEntry.queries(name)(spark, dir).count()
           println(s"ok   $name rows=$rows")
-          if (rows == 0) println(s"WARN $name returned 0 rows")
-          None
+          (name, Some(rows))
         } catch {
           case e: Throwable =>
             println(s"FAIL $name: ${e.getClass.getSimpleName}: " +
               s"${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}")
-            Some(name)
+            (name, None)
         }
       }
-      println(s"swept ${names.size} queries on $dir, ${failures.size} failed" +
-        (if (failures.nonEmpty) s": ${failures.mkString(", ")}" else ""))
-      if (failures.nonEmpty) sys.exit(1)
+      val failures = results.collect { case (n, None) => n }
+      // A query that silently empties (fixture drift, a filter gone
+      // over-strict) must not pass the round gate: 0 rows is a failure
+      // unless the query is expected-empty at smoke scale.
+      val zeroRows = results.collect { case (n, Some(0L)) => n }
+        .filterNot(MayBeEmpty)
+      println(s"swept ${names.size} queries on $dir, " +
+        s"${failures.size} failed, ${zeroRows.size} unexpectedly empty" +
+        (if (failures.nonEmpty) s"; failed: ${failures.mkString(", ")}"
+         else "") +
+        (if (zeroRows.nonEmpty) s"; empty: ${zeroRows.mkString(", ")}"
+         else ""))
+      if (failures.nonEmpty || zeroRows.nonEmpty) {
+        spark.stop()
+        sys.exit(1)
+      }
     }
     spark.stop()
   }
+
+  /** Queries allowed to return 0 rows at smoke scale (sf0.001): the
+    * adversarial/contamination probes whose hit sets are legitimately
+    * empty on a tiny clean fixture. Everything else returning 0 rows
+    * is treated as fixture drift and fails the sweep.
+    */
+  private val MayBeEmpty: Set[String] = Set()
 }

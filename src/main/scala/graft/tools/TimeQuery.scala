@@ -1,7 +1,7 @@
 package graft.tools
 
 /** Time individual registry queries: one untimed warm pass then the min
-  * of two timed passes (the Bench convention), one JSON line per query.
+  * of three timed passes (the Bench convention), one JSON line per query.
   *
   * Usage: TimeQuery <sfDir> <queryName>...
   */
@@ -18,7 +18,7 @@ object TimeQuery {
         (System.nanoTime() - t0) / 1e9
       }
       pass()
-      println(s"""{"query":"$name","sec":${math.min(pass(), pass())}}""")
+      println(s"""{"query":"$name","sec":${Seq.fill(3)(pass()).min}}""")
     }
     spark.stop()
   }

@@ -65,6 +65,41 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("q32 HLL error bound vs exact at sf0.01: per-user 3-sigma, mean within rsd") {
+    // the driver-gate fixture scale: per-user sketch error stays inside
+    // ~3σ of rsd=0.05, and the MEAN relative error across users stays
+    // inside rsd itself — the aggregate claim the rows-only q32 rests on
+    val events = Tables.events(spark, "/root/testdata/sf0.01")
+    val exact = RiskScoring.riskTable(events)
+      .select("user_id", "n_types", "n_purchases")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = ScaleVariants.approxRisk(events).collect()
+    assert(approx.length == exact.size)
+    val relErrs = approx.map { r =>
+      val (et, ep) = exact(r.getAs[Long]("user_id"))
+      val (at, ap) = (r.getAs[Long]("n_types_approx"), r.getAs[Long]("n_purchases_approx"))
+      assert(math.abs(at - et) <= math.max(3, 0.15 * et), s"types: $at vs $et")
+      assert(math.abs(ap - ep) <= math.max(3, 0.15 * ep), s"purchases: $ap vs $ep")
+      if (et > 0) math.abs(at - et).toDouble / et else 0.0
+    }
+    val meanRel = relErrs.sum / relErrs.length
+    assert(meanRel <= 0.05, s"mean relative error $meanRel exceeds rsd 0.05")
+  }
+
+  test("q60b/q80b staged-hash companions reproduce q60/q80 exactly") {
+    // the DuckDB-checked halves split the pipeline at the decode
+    // boundary: staging the aHashes through parquet and re-reading
+    // them must not move a single pair (hash values are exact longs —
+    // any drift would mean the staged frame the ORACLE reads differs
+    // from what the in-memory pipeline consumed)
+    def pairs(name: String) = Registry.byName(name)
+      .run(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(pairs("q60b_image_pairs_sql") == pairs("q60_image_near_dups"))
+    assert(pairs("q80b_audio_pairs_sql") == pairs("q80_audio_near_dups"))
+  }
+
   test("multimodal: batched stub decode preserves ids and emits frame counts") {
     val media = Multimodal.mediaTable(spark, TestSpark.sf0001)
       .as[Multimodal.MediaRecord]

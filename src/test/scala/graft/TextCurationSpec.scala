@@ -103,11 +103,14 @@ class TextCurationSpec extends AnyFunSuite {
     // empty-string token, zero grams), one- and two-word docs (no
     // grams -> boiler_frac/dup_frac 0.0), heavy in-doc repetition, and
     // a doc that is pure corpus-hot boilerplate
+    // doc 7 has NULL text: both compositions drop it from the output
+    // (no token rows -> no LM row -> the inner join filters it), but
+    // it must still count into the boilerplate n_docs denominator
     val docs = Seq(
       (1L, ""), (2L, "solo"), (3L, "two words"),
       (4L, "a b c a b c a b c a b c"),
       (5L, "x y z w v u t s r q p o n m"),
-      (6L, "a b c a b c"))
+      (6L, "a b c a b c"), (7L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("s"))
       .withColumn("n_chars", length(col("text")).cast("long"))
@@ -127,6 +130,52 @@ class TextCurationSpec extends AnyFunSuite {
         ((r.getAs[Double]("quality"), r.getAs[Double]("dup_frac"),
           r.getAs[Double]("boiler_frac"), r.getAs[Double]("mean_prob")))).toMap
     assert(rows(fused) == rows(unfused))
+  }
+
+  test("fused ensemble counts null-text docs into n_docs at the hot-gram boundary") {
+    // regression for the fused n_docs source: counting distinct doc_id
+    // over the WORD pre-aggregate missed null-text docs (no token
+    // rows), shifting the hot threshold df*100 > n_docs for EVERY doc.
+    // This corpus sits exactly on the boundary: 200 docs (199 textual
+    // + 1 null), one gram shared by exactly 2 docs -> df*100 = 200,
+    // which is NOT > 200 (not hot) but would be > 199 if the null doc
+    // were dropped. boiler_frac must match the standalone kernel: 0.0.
+    val docs = ((0L until 197L)
+      .map(i => (i, s"pad${i}a pad${i}b pad${i}c pad${i}d"))
+      ++ Seq((500L, "same gram here tailx tailya"),
+        (501L, "same gram here tailp tailqa"),
+        (502L, null.asInstanceOf[String])))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    def boiler(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("boiler_frac")).toMap
+    val fused = boiler(TextAnalysis.qualityEnsemble(docs, 0.0, 1.0, 1.0, 0.0)
+      .select(col("doc_id"), col("boiler_frac")))
+    val standalone = boiler(TextAnalysis.boilerplateSignal(docs)
+      .select(col("doc_id"), col("boiler_frac")))
+    assert(fused(500L) == 0.0 && fused(501L) == 0.0,
+      s"df=2 of n_docs=200 must NOT be hot: ${fused(500L)}, ${fused(501L)}")
+    assert(fused == (standalone - 502L),
+      "fused boiler_frac must equal the standalone kernel on all textual docs")
+  }
+
+  test("withQualityEnsemble frees the internal pre-aggregate caches") {
+    // the bare qualityEnsemble persists three frames for session-level
+    // reuse; the loan wrapper must unpersist them (blocking) once the
+    // body returns — a long-lived session gating successive DIFFERENT
+    // batches would otherwise accumulate cache entries for its lifetime
+    val docs = Seq((901L, "alpha beta gamma delta epsilon zeta"),
+      (902L, "eta theta iota kappa lambda mu"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val n = TextAnalysis.withQualityEnsemble(docs, 0.0, 1.0, 1.0, 0.0)(_.count())
+    assert(n == 2)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before, s"leaked ${after - before} ensemble cache RDDs")
   }
 
   test("unigram lm: mean token probability is the exact integer-scaled value") {
