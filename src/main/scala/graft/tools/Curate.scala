@@ -57,13 +57,24 @@ object Curate {
       trainPacks: Long, trainBenchDropped: Long = 0L)
 
   def run(spark: SparkSession, sfDir: String, outDir: String,
-      benchmark: Option[DataFrame] = None): StageCounts = {
+      benchmark: Option[DataFrame] = None,
+      stageWalls: Option[scala.collection.mutable.ListBuffer[(String, Double)]] = None)
+      : StageCounts = {
     val docs = Tables.documents(spark, sfDir)
 
     // write a stage, then hand back the WRITTEN parquet: downstream
-    // stages and counts read the file, never the stage's lineage
+    // stages and counts read the file, never the stage's lineage.
+    // Stage walls are MARK-based — each stage's wall runs from the
+    // previous stage's completion to this stage's write finishing —
+    // because two stages do eager driver-side work BEFORE their write
+    // (clustering's label-propagation rounds, the k-means fit); timing
+    // only the write would attribute the pipeline's dominant cost to
+    // nothing.
+    var mark = System.nanoTime()
     def stage(df: DataFrame, name: String): DataFrame = {
       df.write.mode("overwrite").parquet(s"$outDir/$name")
+      stageWalls.foreach(_ += name -> (System.nanoTime() - mark) / 1e9)
+      mark = System.nanoTime()
       spark.read.parquet(s"$outDir/$name")
     }
 
@@ -93,10 +104,18 @@ object Curate {
     // with no embedding row has no semanticDedup verdict at all, and it
     // must survive the stage — on corpora with partial embedding
     // coverage a kept-set semi-join would silently discard it.
-    val semDropped = Similarity.semanticDedup(
-        Tables.embeddings(spark, sfDir)
-          .join(deduped.select(col("doc_id").as("vec_id")),
-            Seq("vec_id"), "left_semi"))
+    // Production centroid choice: k-means fit on the SURVIVORS' frame,
+    // not the demo low-id seed — the seed assumes vec_id < numCells
+    // rows exist, and on a filtered frame they may all have lost their
+    // dedup vote (first observed composing at sf1: every low-id doc
+    // sat in a replica family whose higher-quality survivor had a
+    // shifted id, and the demo seed was empty).
+    val survivorEmb = Tables.embeddings(spark, sfDir)
+      .join(deduped.select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_semi")
+    val semDropped = Similarity.semanticDedup(survivorEmb,
+        centroids = Some(Similarity.kmeansCentroids(
+          survivorEmb, k = 16, iters = 2, seed = 7L)))
       .filter(!col("kept"))
       .select(col("vec_id").as("doc_id"))
     val semDeduped = stage(
@@ -178,13 +197,41 @@ object Curate {
       trainBenchDropped = benchDropped)
   }
 
+  /** Restart-from-stage: re-run ONLY the packing stage (6) against a
+    * prior run's written `clean` artifact — the restartability the
+    * staged-parquet design buys, exercised as code. Returns (packs,
+    * wall seconds); none of stages 1–5 recompute (the read is footer
+    * metadata + one scan of the stage-5 parquet).
+    */
+  def repack(spark: SparkSession, outDir: String): (Long, Double) = {
+    val t0 = System.nanoTime()
+    val trainClean = spark.read.parquet(s"$outDir/clean")
+      .filter(col("split") === "train")
+    val packed = TrainingData.packSequences(trainClean, shards = 8, capacity = 512L)
+    packed.write.mode("overwrite").parquet(s"$outDir/train_packed")
+    val n = spark.read.parquet(s"$outDir/train_packed")
+      .select("shard", "pack_id").distinct().count()
+    (n, (System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: Curate <sfDir> [outDir]")
-    val outDir = if (args.length > 1) args(1)
+    val rest = args.filterNot(_ == "--repack")
+    require(rest.nonEmpty, "usage: Curate <sfDir> [outDir] [--repack]")
+    val outDir = if (rest.length > 1) rest(1)
       else java.nio.file.Files.createTempDirectory("curate").toString
     val spark = graft.GraftSession.local("graft-curate")
-    val c = run(spark, args(0), outDir)
-    println(s"curate: $c -> $outDir")
+    if (args.contains("--repack")) {
+      val (packs, sec) = repack(spark, outDir)
+      println(s"""{"repack_packs":$packs,"repack_sec":$sec,"out":"$outDir"}""")
+    } else {
+      val walls = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+      val t0 = System.nanoTime()
+      val c = run(spark, rest(0), outDir, stageWalls = Some(walls))
+      val total = (System.nanoTime() - t0) / 1e9
+      val stages = walls.map { case (n, s) => s""""$n":$s""" }.mkString("{", ",", "}")
+      println(s"curate: $c -> $outDir")
+      println(s"""{"total_sec":$total,"stages":$stages,"sf":"${rest(0)}"}""")
+    }
     spark.stop()
   }
 }

@@ -551,6 +551,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.columns.contains("quality"))
   }
 
+  test("streaming gate verdicts match the batch ensemble's quality leg on a replayed corpus") {
+    // drift check between the two production gates: StreamingCurate
+    // applies the row-local quality kernel with an OFFLINE threshold,
+    // the batch ensemble applies the same kernel inside its fused
+    // multi-leg plan. Replaying the whole sf0.001 corpus through the
+    // streaming path must keep EXACTLY the docs the ensemble's quality
+    // leg keeps, with bit-identical scores — any divergence means the
+    // fused plan and the streaming projection no longer share one
+    // kernel. Threshold = the corpus median, so the gate genuinely
+    // discriminates (~half each side).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text", "lang", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    val ensAll = graft.operators.TextAnalysis
+      .qualityEnsemble(graft.Tables.documents(spark, TestSpark.sf0001),
+        0.0, 1.0, 1.0, 0.0)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    val theta = ensAll.values.toSeq.sorted.apply(ensAll.size / 2)
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    mem.addData(docs.toIndexedSeq: _*)
+    val q = graft.streaming.StreamingCurate.curate(
+        mem.toDF.toDF("doc_id", "text", "lang", "source", "n_chars"), theta)
+      .writeStream.format("memory").queryName("gate_drift").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("gate_drift").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    val batchKept = ensAll.filter { case (_, qv) => qv >= theta }
+    assert(streamed.keySet == batchKept.keySet,
+      s"streaming gate kept ${streamed.size}, ensemble quality leg ${batchKept.size}")
+    batchKept.foreach { case (id, qv) =>
+      assert(streamed(id) == qv, s"doc $id: streaming ${streamed(id)} vs batch $qv")
+    }
+    assert(streamed.nonEmpty && streamed.size < docs.length,
+      "median threshold must discriminate")
+  }
+
   test("normalization works on a streamed shape-2 drop dir") {
     val drop = Files.createTempDirectory("drop3").toString
     writeEventFile(drop, "h.json",
