@@ -213,8 +213,15 @@ class TrainingDataSpec extends AnyFunSuite {
 
   test("curation pipeline: stages compose, counts are consistent, output readable") {
     val out = java.nio.file.Files.createTempDirectory("curateout").toString
-    val c = graft.tools.Curate.run(spark, TestSpark.sf0001, out)
+    val walls = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+    val c = graft.tools.Curate.run(spark, TestSpark.sf0001, out,
+      stageWalls = Some(walls))
     assert(c.input == 500) // sf0.001 documents
+    // every stage reports a positive mark-based wall, in pipeline order
+    assert(walls.map(_._1).toSeq == Seq("deduped", "sem_deduped",
+      "quality", "mixed", "mixture_report", "splits", "clean",
+      "train_packed"))
+    assert(walls.forall(_._2 > 0))
     assert(c.afterDedup <= c.input && c.afterDedup > 0)
     // semantic dedup only removes docs, and keeps at least the cell seeds
     assert(c.afterSemDedup <= c.afterDedup && c.afterSemDedup > 0)
@@ -236,6 +243,11 @@ class TrainingDataSpec extends AnyFunSuite {
       .agg(sum("n_tokens").as("tot"), count(lit(1)).as("n"))
       .filter(col("tot") > 512 && col("n") > 1)
     assert(over.count() == 0)
+    // restart-from-stage: re-running ONLY the packing stage against the
+    // written clean artifact reproduces the same pack count (stages
+    // 1-5 are never recomputed — repack reads $out/clean directly)
+    val (repacked, _) = graft.tools.Curate.repack(spark, out)
+    assert(repacked == c.trainPacks)
   }
 
   test("curation stage 5b drops train docs leaking an external benchmark") {
