@@ -34,12 +34,28 @@ object StreamingCurate {
 
   /** The row-local curation stages, composable onto any (streaming or
     * batch) documents frame: q28 quality scoring + fixed-threshold
-    * gate, then PII redaction over the surviving text.
+    * gate, the q41 repetition gate (`dup_frac <= maxDupFrac`, default
+    * wide open for compatibility), then PII redaction over the
+    * surviving text. Both gates are BOTH of the batch ensemble's
+    * row-local legs, built from the same shared kernels
+    * (qualityAtLeast / TrainingData.repetitionCols) so stream and
+    * batch verdicts agree bit-exactly — only the corpus-frequency
+    * legs (boilerplate, LM) stay batch-side, because a row cannot see
+    * the corpus. Thresholds come from an offline batch run, as with
+    * quality. Signals compute over the RAW text, before redaction
+    * (redaction edits grams).
     */
-  def curate(docs: DataFrame, minQuality: Double): DataFrame =
-    TextAnalysis.qualityAtLeast(docs, minQuality)
+  def curate(docs: DataFrame, minQuality: Double,
+      maxDupFrac: Double = 1.0): DataFrame = {
+    val scored = TextAnalysis.qualityAtLeast(docs, minQuality)
+      .withColumn("grams", graft.functions.WordGrams(col("text"), 3))
+    scored
+      .select((scored.columns.map(col).toSeq ++ TrainingData.repetitionCols): _*)
+      .filter(col("dup_frac") <= maxDupFrac)
       .withColumn("text", TextAnalysis.redactPii(col("text")))
-      .select("doc_id", "text", "lang", "source", "n_chars", "quality")
+      .select("doc_id", "text", "lang", "source", "n_chars", "quality",
+        "dup_frac")
+  }
 
   /** End-to-end feed curation: JSON documents arrive on the DSv2 feed
     * `feed`, the row-local stages run in-stream, the near-dup leg

@@ -570,25 +570,37 @@ class StreamingSpec extends AnyFunSuite {
     val ensAll = graft.operators.TextAnalysis
       .qualityEnsemble(graft.Tables.documents(spark, TestSpark.sf0001),
         0.0, 1.0, 1.0, 0.0)
-      .select("doc_id", "quality").collect()
-      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
-    val theta = ensAll.values.toSeq.sorted.apply(ensAll.size / 2)
+      .select("doc_id", "quality", "dup_frac").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("quality"), r.getAs[Double]("dup_frac")))).toMap
+    // thresholds at the corpus median quality and p75 dup_frac
+    val theta = ensAll.values.map(_._1).toSeq.sorted.apply(ensAll.size / 2)
+    val delta = ensAll.values.map(_._2).toSeq.sorted.apply(ensAll.size * 3 / 4)
+    // ground truth: the ensemble's OWN keep verdict with only its two
+    // row-local legs armed (corpus legs wide open)
+    val batchKept = graft.operators.TextAnalysis
+      .qualityEnsemble(graft.Tables.documents(spark, TestSpark.sf0001),
+        theta, delta, 1.0, 0.0)
+      .collect().filter(_.getAs[Boolean]("keep"))
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("quality"), r.getAs[Double]("dup_frac")))).toMap
     val mem = MemoryStream[(Long, String, String, String, Long)]
     mem.addData(docs.toIndexedSeq: _*)
     val q = graft.streaming.StreamingCurate.curate(
-        mem.toDF.toDF("doc_id", "text", "lang", "source", "n_chars"), theta)
+        mem.toDF.toDF("doc_id", "text", "lang", "source", "n_chars"),
+        theta, delta)
       .writeStream.format("memory").queryName("gate_drift").start()
     q.processAllAvailable(); q.stop()
     val streamed = spark.table("gate_drift").collect()
-      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
-    val batchKept = ensAll.filter { case (_, qv) => qv >= theta }
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("quality"), r.getAs[Double]("dup_frac")))).toMap
     assert(streamed.keySet == batchKept.keySet,
-      s"streaming gate kept ${streamed.size}, ensemble quality leg ${batchKept.size}")
-    batchKept.foreach { case (id, qv) =>
-      assert(streamed(id) == qv, s"doc $id: streaming ${streamed(id)} vs batch $qv")
+      s"streaming gate kept ${streamed.size}, ensemble row-local legs ${batchKept.size}")
+    batchKept.foreach { case (id, v) =>
+      assert(streamed(id) == v, s"doc $id: streaming ${streamed(id)} vs batch $v")
     }
     assert(streamed.nonEmpty && streamed.size < docs.length,
-      "median threshold must discriminate")
+      "median/p75 thresholds must discriminate")
   }
 
   test("normalization works on a streamed shape-2 drop dir") {
