@@ -763,7 +763,9 @@ object Similarity {
           case -1 => numCells // shares sum to 1, only float dust gets here
           case i  => i + 1
         }
-    val probedShare = topShareSum(p - 1)
+    // shares sum to 1 only up to float association dust — clamp so a
+    // full probe reports exactly 1.0
+    val probedShare = math.min(1.0, topShareSum(p - 1))
     val floor =
       if (measuredCurve.nonEmpty)
         measuredCurve.sortBy(_._1).takeWhile(_._1 <= p).lastOption

@@ -853,6 +853,10 @@ object TextAnalysis {
   /** Multi-signal keep/drop verdict per document over any BATCH
     * `(doc_id, text, lang, source, n_chars)` frame — the composable
     * production gate (`keep` = every signal inside its threshold).
+    * Docs with NULL text produce no output row (no signal is
+    * computable; the standalone-kernel composition drops them at the
+    * same join) but still count into the corpus n_docs that sets the
+    * hot-gram threshold.
     * Batch-only by nature (the corpus-frequency legs aggregate the
     * whole input, and the shared pre-aggregates persist); the
     * streaming path applies the row-local gate (`qualityAtLeast`)

@@ -43,8 +43,17 @@ object IvfProbeCurve {
     }
     val items = curve.map { case (p, r, s) =>
       s"""{"nprobe":$p,"recall":$r,"sec":$s}""" }.mkString(",")
+    // close the loop: feed the measured curve + the measured cell
+    // balance into the operational planner, so the tool's output ends
+    // in a verdict, not just data (target recall 0.9, the SCALE.md
+    // operating point)
+    val plan = Similarity.recommendNProbe(
+      Similarity.cellBalance(emb, numCells), targetRecall = 0.9,
+      measuredCurve = curve.map { case (p, r, _) => (p, r) })
     println(s"""{"sf":"$sfDir","num_cells":$numCells,"k":$k,""" +
-      s""""exact_pairs":$nExact,"curve":[$items]}""")
+      s""""exact_pairs":$nExact,"curve":[$items],""" +
+      s""""recommended_nprobe":${plan.nProbe},"use_exact":${plan.useExact},""" +
+      s""""probed_share":${plan.probedShare},"max_load_factor":${plan.maxLoadFactor}}""")
     spark.stop()
   }
 }
