@@ -10,10 +10,11 @@ class RegistrySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   // the three declared rows-only queries: q32's HLL sketch has no DuckDB
-  // twin (accuracy CI-asserted in ExtensionsSpec) and q60/q80's media
-  // decodes (BMP / WAV) are not expressible in SQL (recall
-  // brute-force-asserted in ExtensionsSpec); everything else must carry
-  // an oracle
+  // twin (accuracy CI-asserted in ExtensionsSpec, error-bounded at
+  // sf0.01) and q60/q80's media decodes (BMP / WAV) are not expressible
+  // in SQL (recall brute-force-asserted in ExtensionsSpec; their banded
+  // PAIRING halves ARE driver-checked via the q60b/q80b staged-hash
+  // companions); everything else must carry an oracle
   private val declaredRowsOnly =
     Set("q32_approx_distinct", "q60_image_near_dups", "q80_audio_near_dups")
 
