@@ -51,6 +51,11 @@ import org.apache.spark.sql.functions._
   */
 object Curate {
 
+  // one definition for both run() and repack() — a repack with different
+  // pack geometry than the run it restarts would silently "succeed"
+  private val PackShards = 8
+  private val PackCapacity = 512L
+
   final case class StageCounts(input: Long, afterDedup: Long,
       afterSemDedup: Long, afterQuality: Long, afterMixture: Long,
       train: Long, val_ : Long, testClean: Long, testDropped: Long,
@@ -176,7 +181,7 @@ object Curate {
 
     // 6. pack the train split into fixed token budgets
     val packed = stage(TrainingData.packSequences(
-      trainClean, shards = 8, capacity = 512L),
+      trainClean, shards = PackShards, capacity = PackCapacity),
       "train_packed")
 
     // counts read the written parquet (footer metadata, no recompute)
@@ -207,7 +212,8 @@ object Curate {
     val t0 = System.nanoTime()
     val trainClean = spark.read.parquet(s"$outDir/clean")
       .filter(col("split") === "train")
-    val packed = TrainingData.packSequences(trainClean, shards = 8, capacity = 512L)
+    val packed = TrainingData.packSequences(trainClean,
+      shards = PackShards, capacity = PackCapacity)
     packed.write.mode("overwrite").parquet(s"$outDir/train_packed")
     val n = spark.read.parquet(s"$outDir/train_packed")
       .select("shard", "pack_id").distinct().count()
