@@ -116,6 +116,39 @@ object InvariantProps extends Properties("graft") {
         id.samples.toSeq == a.samples.toSeq
     }
 
+  // ---- bandedHammingPairs (pigeonhole exactness on near-collisions) ------
+  // Random 64-bit hashes almost never sit within hamming 3 of each
+  // other, so a naive random property would pass vacuously; instead
+  // generate FAMILIES — base hashes plus variants at 0..6 bit flips —
+  // and assert the banded index recalls EXACTLY the brute-force
+  // hamming<=3 pair set (4 bands of 16 bits guarantee every <=3 pair
+  // shares a band; >3 pairs must be filtered, not leaked).
+  private val hashFamilyGen: Gen[List[Long]] = for {
+    nBases <- Gen.choose(1, 4)
+    bases <- Gen.listOfN(nBases, Gen.long)
+    variants <- Gen.listOfN(nBases, Gen.listOfN(3, for {
+      nFlips <- Gen.choose(0, 6)
+      bits <- Gen.listOfN(nFlips, Gen.choose(0, 63))
+    } yield bits))
+  } yield bases.zip(variants).flatMap { case (b, vs) =>
+    b :: vs.map(bits => bits.foldLeft(b)((h, i) => h ^ (1L << i)))
+  }
+
+  property("banded hamming pairs equal brute force on near-collision families") =
+    Prop.forAllNoShrink(hashFamilyGen) { hashes =>
+      val hs = hashes.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      val got = graft.operators.Dedup
+        .bandedHammingPairs(hs.toDF("doc_id", "sh"), 64, 4, 3, 1000)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Int]("hamming"))).toSet
+      val expected = (for {
+        i <- hs.indices; j <- (i + 1) until hs.size
+        d = java.lang.Long.bitCount(hs(i)._2 ^ hs(j)._2) if d <= 3
+      } yield (hs(i)._1, hs(j)._1, d)).toSet
+      got == expected
+    }
+
   // ---- recommendNProbe (planner over arbitrary cell balances) ------------
   // Structural invariants for ANY balance and target, floor mode: the
   // plan is in range, covers the target with the FEWEST cells, reports
