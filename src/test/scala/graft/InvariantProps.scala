@@ -149,6 +149,70 @@ object InvariantProps extends Properties("graft") {
       got == expected
     }
 
+  // ---- dupClusters (distributed labels == driver union-find) -------------
+  // The clustering operator is the engine's most central dedup kernel;
+  // this pins its semantics generically: for ANY random edge list, the
+  // pointer-jumped label propagation must produce exactly the
+  // min-node-id labeling of the union-find components.
+  private val edgesGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(2, 24)
+    m <- Gen.choose(1, 32)
+    es <- Gen.listOfN(m, for {
+      a <- Gen.choose(0L, n - 1L); b <- Gen.choose(0L, n - 1L)
+    } yield (a, b))
+  } yield es.filter { case (a, b) => a != b }.map {
+    case (a, b) => (math.min(a, b), math.max(a, b))
+  }
+
+  property("dup clustering labels equal union-find min-id components") =
+    Prop.forAllNoShrink(edgesGen.suchThat(_.nonEmpty)) { edges =>
+      val got = graft.operators.Dedup
+        .dupClusters(edges.toDF("doc_a", "doc_b")).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+      // driver-side union-find with min-id roots
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      got == nodes.map(v => v -> find(v)).toMap
+    }
+
+  // ---- unigramLm (integer-exact arithmetic vs BigInt reference) ----------
+  // The LM leg's cross-engine parity rests on integer scaling:
+  // p_scaled = floor(cnt * 1e12 / total) summed per doc. Recompute in
+  // BigInt on the driver for random tiny corpora; every long must be
+  // exact, and mean_prob the identical double division.
+  private val lmCorpusGen: Gen[List[(Long, String)]] = for {
+    nDocs <- Gen.choose(1, 4)
+    docs <- Gen.listOfN(nDocs, Gen.choose(1, 8).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  property("unigram LM matches exact BigInt integer scaling") =
+    Prop.forAllNoShrink(lmCorpusGen) { corpus =>
+      val scale = BigInt("1000000000000")
+      val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }
+      val freq = toks.flatMap(_._2).groupBy(identity).map { case (w, o) => w -> o.size }
+      val total = BigInt(freq.values.sum)
+      val pScaled = freq.map { case (w, c) => w -> (BigInt(c) * scale / total) }
+      val got = graft.operators.TextAnalysis
+        .unigramLm(corpus.toDF("doc_id", "text")).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("sum_scaled"),
+            r.getAs[Double]("mean_prob")))).toMap
+      toks.forall { case (id, ws) =>
+        val sum = ws.map(pScaled).sum
+        got(id) == ((ws.size.toLong, sum.toLong,
+          sum.toLong.toDouble / (ws.size.toLong.toDouble * 1e12)))
+      }
+    }
+
   // ---- recommendNProbe (planner over arbitrary cell balances) ------------
   // Structural invariants for ANY balance and target, floor mode: the
   // plan is in range, covers the target with the FEWEST cells, reports
