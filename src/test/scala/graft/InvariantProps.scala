@@ -213,6 +213,43 @@ object InvariantProps extends Properties("graft") {
       }
     }
 
+  // ---- packSequences (deterministic next-fit laws) -----------------------
+  // For ANY corpus and geometry: one output row per doc, shard ==
+  // doc_id % shards, and the pack labels are EXACTLY the sequential
+  // next-fit assignment in doc_id order within each shard (which
+  // implies every pack fits the capacity unless it is a single
+  // oversized doc).
+  private val packCorpusGen: Gen[(List[(Long, String)], Int, Long)] = for {
+    n <- Gen.choose(1, 30)
+    lens <- Gen.listOfN(n, Gen.choose(1, 12))
+    shards <- Gen.choose(1, 4)
+    capacity <- Gen.choose(8, 32)
+  } yield (lens.zipWithIndex.map { case (l, i) =>
+    (i.toLong, Seq.fill(l)("w").mkString(" "))
+  }, shards, capacity.toLong)
+
+  property("packSequences emits the exact per-shard next-fit assignment") =
+    Prop.forAllNoShrink(packCorpusGen) { case (docs, shards, capacity) =>
+      val got = graft.operators.TrainingData
+        .packSequences(docs.toDF("doc_id", "text"), shards, capacity)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("shard"), r.getAs[Long]("pack_id"),
+            r.getAs[Long]("n_tokens")))).toMap
+      val expected = docs
+        .map { case (id, t) => (id, id % shards, t.split(" ").length.toLong) }
+        .groupBy(_._2).flatMap { case (shard, members) =>
+          var running = 0L; var pack = 0L; var first = true
+          members.sortBy(_._1).map { case (id, _, n) =>
+            if (first) { first = false; running = n }
+            else if (running + n > capacity) { running = n; pack += 1 }
+            else running += n
+            id -> ((shard, pack, n))
+          }
+        }
+      got == expected
+    }
+
   // ---- recommendNProbe (planner over arbitrary cell balances) ------------
   // Structural invariants for ANY balance and target, floor mode: the
   // plan is in range, covers the target with the FEWEST cells, reports
