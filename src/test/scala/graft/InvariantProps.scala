@@ -250,6 +250,29 @@ object InvariantProps extends Properties("graft") {
       got == expected
     }
 
+  // ---- splitColumn (pure function of doc_id) -----------------------------
+  // The reproducibility contract Curate's splits stage rests on: a
+  // doc's split label depends ONLY on its doc_id — not on row order,
+  // corpus membership, or partitioning — and the three labels all
+  // appear over a modest id range (the hash spreads).
+  private val idSetGen: Gen[(List[Long], Int)] = for {
+    ids <- Gen.listOfN(20, Gen.choose(0L, 10000L)).map(_.distinct)
+    parts <- Gen.choose(1, 4)
+  } yield (ids, parts)
+
+  property("train split is a pure per-doc_id function, stable under subsets") =
+    Prop.forAllNoShrink(idSetGen.suchThat(_._1.size >= 2)) { case (ids, parts) =>
+      import graft.operators.TrainingData
+      def labels(subset: List[Long], nPart: Int) = subset.toDF("doc_id")
+        .repartition(nPart)
+        .withColumn("split", TrainingData.splitColumn)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+      val full = labels(ids, parts)
+      val subset = labels(ids.take(ids.size / 2 + 1), 1)
+      subset.forall { case (id, s) => full(id) == s } &&
+        full.values.forall(Set("train", "val", "test"))
+    }
+
   // ---- recommendNProbe (planner over arbitrary cell balances) ------------
   // Structural invariants for ANY balance and target, floor mode: the
   // plan is in range, covers the target with the FEWEST cells, reports
