@@ -468,4 +468,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(b.getAs[Double]("token_amount") == a.getAs[Double]("token_amount"))
     assert(b.getAs[java.sql.Timestamp]("ts") == a.getAs[java.sql.Timestamp]("ts"))
   }
+
+  test("canonical table ORC sink/source round-trip (columnar alternative to parquet)") {
+    // ORC ships with Spark (no extra dependency) and, unlike CSV, is
+    // schema-preserving — the round-trip must be exact on every column
+    // including the timestamp, with no re-declared read schema
+    import graft.operators.Normalize
+    import graft.sources.Schemas
+    val src = Normalize.fromShape2(
+      spark.read.schema(Schemas.heliusShape2).json(Seq(
+        """{"signature":"s2","slot":11,"blockTime":1742601660,"meta":{"fee":7},"transaction":{"message":{"accountKeys":["FP"]}},"tokenTransfers":[{"fromUserAccount":"C","toUserAccount":"D","tokenAmount":2.5,"mint":"N","tokenStandard":"F"}]}""").toDS))
+    val dir = Files.createTempDirectory("orc").toString
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    // names and types must survive (file reads relax nullability to
+    // true — the same contract parquet reads have)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      src.schema.map(f => (f.name, f.dataType)),
+      "ORC must preserve column names and types")
+    val (a, b) = (src.collect().head, back.collect().head)
+    assert(src.columns.forall(c => b.getAs[Any](c) == a.getAs[Any](c)),
+      "every column must round-trip bit-exactly")
+  }
 }
