@@ -178,6 +178,36 @@ object Multimodal {
       when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("media_type"),
       col("source"))
 
+  /** Ingest a DIRECTORY of raw media files as [[MediaRecord]]s via
+    * Spark's built-in `binaryFile` source — how image/audio bytes
+    * actually enter the engine from object storage (the fixture
+    * `mediaTable` above synthesizes payloads from the documents table;
+    * this is the production door). Scale shape: `binaryFile` does
+    * distributed listing and per-file tasks, `pathGlobFilter` prunes at
+    * the LISTING (non-matching files are never opened), and the decode
+    * stages downstream stay map-side, so payload bytes still never
+    * shuffle. `media_id` is the xxhash64 of the file path — stable
+    * across runs, collision odds ~n²/2⁶⁵; keep the path column when
+    * ids must be reversible. `media_type` derives from the extension
+    * (bmp→image, wav→audio, avi→video, else "binary").
+    */
+  def readBinaryDir(s: SparkSession, dir: String,
+      glob: String = "*"): Dataset[MediaRecord] = {
+    import s.implicits._
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        col("content"),
+        when(lower(col("path")).endsWith(".bmp"), "image")
+          .when(lower(col("path")).endsWith(".wav"), "audio")
+          .when(lower(col("path")).endsWith(".avi"), "video")
+          .otherwise("binary").as("media_type"),
+        lit(dir).as("source"))
+      .as[MediaRecord]
+  }
+
   /** `(media_id, sh)` aHash perceptual fingerprints of the decodable BMP
     * payloads in a media frame — the image half of the dedup
     * composition: binary is consumed MAP-SIDE (one decode + 8×8

@@ -469,6 +469,36 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(b.getAs[java.sql.Timestamp]("ts") == a.getAs[java.sql.Timestamp]("ts"))
   }
 
+  test("binaryFile media ingest: typed records from raw files, dedup finds the planted copy") {
+    // the production door for media bytes: files on storage → binaryFile
+    // source → MediaRecord → the same map-side aHash + banded-hamming
+    // composition the fixture-backed q60 runs. Payload identity must
+    // survive the trip (the copy pair is found at hamming 0) and the
+    // extension → media_type mapping must hold; the .txt file is listed
+    // but typed "binary" and skipped by the image pipeline.
+    import graft.operators.{Dedup, ImageCodec}
+    val dir = Files.createTempDirectory("media").toString
+    val px = Array.tabulate[Byte](192)(i => ((i * 37) % 251).toByte)
+    val bmp = ImageCodec.encode(ImageCodec.Image(8, 8, px))
+    val other = ImageCodec.encode(ImageCodec.Image(8, 8,
+      Array.tabulate[Byte](192)(i => ((i * 91 + 13) % 251).toByte)))
+    Files.write(java.nio.file.Paths.get(dir, "a.bmp"), bmp)
+    Files.write(java.nio.file.Paths.get(dir, "copy_of_a.bmp"), bmp)
+    Files.write(java.nio.file.Paths.get(dir, "b.bmp"), other)
+    Files.write(java.nio.file.Paths.get(dir, "notes.txt"), "hello".getBytes)
+    val recs = Multimodal.readBinaryDir(spark, dir).collect()
+    assert(recs.length == 4)
+    assert(recs.count(_.media_type == "image") == 3)
+    assert(recs.count(_.media_type == "binary") == 1)
+    assert(recs.map(_.media_id).distinct.length == 4, "path-hash ids must be unique")
+    val hashes = Multimodal.imageAHashes(
+      Multimodal.readBinaryDir(spark, dir, glob = "*.bmp"))
+    assert(hashes.count() == 3, "glob prunes the txt at listing; all BMPs decode")
+    val pairs = Dedup.bandedHammingPairs(hashes, 64, 4, 3, 200).collect()
+    assert(pairs.count(_.getAs[Int]("hamming") == 0) == 1,
+      "exactly the planted copy pair at hamming 0")
+  }
+
   test("canonical table ORC sink/source round-trip (columnar alternative to parquet)") {
     // ORC ships with Spark (no extra dependency) and, unlike CSV, is
     // schema-preserving — the round-trip must be exact on every column
