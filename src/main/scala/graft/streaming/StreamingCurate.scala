@@ -45,6 +45,33 @@ object StreamingCurate {
     * quality. Signals compute over the RAW text, before redaction
     * (redaction edits grams).
     */
+  /** Derives the streaming gate's thresholds from an OFFLINE batch
+    * sample — the "production computes the threshold offline" half of
+    * the contract, as code: `minQuality` = the quality value keeping
+    * the top `keepQualityFrac` of the sample, `maxDupFrac` = the
+    * dup_frac value keeping the bottom `keepDupFrac`. ONE scan of the
+    * sample (both signals computed row-locally off one staged
+    * tokenization, both quantiles in one aggregate) using
+    * `percentile_approx` — the sketch-mergeable form that scales to a
+    * corpus-sized sample where an exact sort-percentile would
+    * single-partition each column. Feed the result to [[curate]].
+    */
+  def offlineGateThresholds(sample: DataFrame,
+      keepQualityFrac: Double = 0.5,
+      keepDupFrac: Double = 0.95): (Double, Double) = {
+    require(keepQualityFrac > 0 && keepQualityFrac <= 1.0 &&
+      keepDupFrac > 0 && keepDupFrac <= 1.0, "keep fractions must be in (0, 1]")
+    val scored = TextAnalysis.withQuality(sample, "text")
+      .withColumn("grams", graft.functions.WordGrams(col("text"), 3))
+    val sig = scored.select((col("quality") +: TrainingData.repetitionCols): _*)
+    val row = sig.agg(
+      percentile_approx(col("quality"), lit(1.0 - keepQualityFrac),
+        lit(10000)).as("min_q"),
+      percentile_approx(col("dup_frac"), lit(keepDupFrac),
+        lit(10000)).as("max_dup")).head()
+    (row.getDouble(0), row.getDouble(1))
+  }
+
   def curate(docs: DataFrame, minQuality: Double,
       maxDupFrac: Double = 1.0): DataFrame = {
     val scored = TextAnalysis.qualityAtLeast(docs, minQuality)

@@ -603,6 +603,30 @@ class StreamingSpec extends AnyFunSuite {
       "median/p75 thresholds must discriminate")
   }
 
+  test("offline threshold derivation gates the expected fractions, end to end") {
+    // the other half of the offline-threshold contract: derive
+    // (minQuality, maxDupFrac) from the batch sample in one scan, feed
+    // them to the row-local gate, and the kept set must be exactly the
+    // docs inside both thresholds — with the kept fraction in the
+    // neighborhood the keep-fractions asked for (approx percentiles,
+    // discrete score ties -> loose band, exact containment strict)
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+    val (minQ, maxDup) = graft.streaming.StreamingCurate
+      .offlineGateThresholds(docs, keepQualityFrac = 0.5, keepDupFrac = 0.95)
+    val kept = graft.streaming.StreamingCurate.curate(docs, minQ, maxDup)
+      .select("doc_id", "quality", "dup_frac").collect()
+    assert(kept.forall(r => r.getAs[Double]("quality") >= minQ &&
+      r.getAs[Double]("dup_frac") <= maxDup))
+    val total = docs.count().toDouble
+    assert(kept.length / total > 0.3 && kept.length / total < 0.65,
+      s"~half by quality x ~95% by dup expected, got ${kept.length}/$total")
+    // keep-everything fractions must gate nothing out
+    val (qAll, dAll) = graft.streaming.StreamingCurate
+      .offlineGateThresholds(docs, keepQualityFrac = 1.0, keepDupFrac = 1.0)
+    val all = graft.streaming.StreamingCurate.curate(docs, qAll, dAll).count()
+    assert(all == total.toLong, s"keep-all thresholds must pass every doc, got $all")
+  }
+
   test("normalization works on a streamed shape-2 drop dir") {
     val drop = Files.createTempDirectory("drop3").toString
     writeEventFile(drop, "h.json",
