@@ -551,7 +551,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.columns.contains("quality"))
   }
 
-  test("streaming gate verdicts match the batch ensemble's quality leg on a replayed corpus") {
+  test("streaming gate verdicts match the batch ensemble's row-local legs on a replayed corpus") {
     // drift check between the two production gates: StreamingCurate
     // applies the row-local quality kernel with an OFFLINE threshold,
     // the batch ensemble applies the same kernel inside its fused
