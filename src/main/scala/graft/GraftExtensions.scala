@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayDot, GramHashes, MinHashSlices, ShingleHashes, ShingleSet, SimHash, WordGrams}
+import graft.functions.{ArrayDot, GramHashes, MinHashSlices, NfcNormalize, ShingleHashes, ShingleSet, SimHash, WordGrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -42,6 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("word_grams"),
       new ExpressionInfo(classOf[WordGrams].getName, "word_grams"),
       (exprs: Seq[Expression]) => WordGrams(exprs(0), SimHash.bitsArg(exprs(1)))))
+    e.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs(0))))
   }
 }
 
@@ -63,5 +67,7 @@ object GraftFunctions {
         SimHash.bitsArg(exprs(1)), SimHash.bitsArg(exprs(2))))
     org.apache.spark.sql.graftshim.ColumnBridge.registerTempFunction(
       spark, "word_grams", exprs => WordGrams(exprs(0), SimHash.bitsArg(exprs(1))))
+    org.apache.spark.sql.graftshim.ColumnBridge.registerTempFunction(
+      spark, "nfc_normalize", exprs => NfcNormalize(exprs(0)))
   }
 }

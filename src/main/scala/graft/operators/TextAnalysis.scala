@@ -268,6 +268,88 @@ object TextAnalysis {
       |                   (a, b) -> (a * 31 + b) % 1000000007) AS fp_rolling
       |FROM documents""".stripMargin
 
+  // ---- q81: Unicode text normalization (pre-tokenization hygiene) --------
+  // The CCNet/Dolma-style cleanup stage every web corpus runs BEFORE
+  // tokenization or dedup: NFC canonical composition (so `e`+combining
+  // acute and precomposed `é` fingerprint identically), unicode spaces
+  // mapped to ASCII space, zero-width characters and soft hyphens
+  // stripped, CRLF/CR folded to LF, C0/DEL controls (except tab and
+  // newline) dropped, horizontal-whitespace runs collapsed, and the
+  // result trimmed. Without it, byte-level dedup (q22/q30) and token
+  // counting (q29) silently treat visually-identical documents as
+  // distinct. Scale shape: pure row-local column expressions — the NFC
+  // leg is the native [[graft.functions.NfcNormalize]] (ASCII fast
+  // path returns the input buffer untouched), the rest are codegen'd
+  // regexp_replace — zero shuffle, embarrassingly parallel.
+  //
+  // The regex classes stay in the common subset of Java regex and RE2
+  // (`\x{...}` character classes, no lookarounds), and the chain ORDER
+  // is part of the contract: NFC first (composition can only involve
+  // codepoints the later strips never touch — the stripped classes are
+  // all NFC-inert), space-map before collapse (so NBSP runs collapse
+  // with ASCII runs), CR-fold before the control strip (the control
+  // class must not eat the CR that still has a meaning).
+  private val UnicodeSpaceClass =
+    "[\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}\\x{202F}\\x{205F}\\x{3000}]"
+  private val ZeroWidthClass = "[\\x{200B}-\\x{200D}\\x{FEFF}\\x{00AD}]"
+  private val ControlClass =
+    "[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}]"
+
+  /** The full normalization chain as one composable column. Idempotent:
+    * the output contains only NFC text, ASCII spaces, and LF — every
+    * later pass is the identity (spec-asserted).
+    */
+  def normalizeText(text: Column): Column = {
+    val nfc = graft.functions.NfcNormalize(text)
+    val spaced = regexp_replace(nfc, UnicodeSpaceClass, " ")
+    val noZw = regexp_replace(spaced, ZeroWidthClass, "")
+    val lf = regexp_replace(noZw, "\\r\\n?", "\n")
+    val noCtl = regexp_replace(lf, ControlClass, "")
+    trim(regexp_replace(noCtl, "[ \\t]+", " "))
+  }
+
+  // The fixture text is clean single-spaced ASCII (normalization is the
+  // identity on it), so the query plants deterministic unicode dirt on
+  // both sides first — q52's planted-PII pattern: NBSP padding, a
+  // zero-width space, decomposed `cafe`+U+0301 / `nai`+U+0308+`ve`,
+  // tab runs, CRLF, a BEL control, and a trailing ideographic space.
+  // The normalized TEXT itself is emitted (not a hash), so the driver
+  // byte-compares the actual unicode output of both engines.
+  private def q81(s: SparkSession, d: String): DataFrame = {
+    val dirty = concat(
+      lit("\u00A0\u00A0"), col("text"),
+      lit("\u200B cafe\u0301\t\tnai\u0308ve\r\n\u0007end\u3000"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), dirty.as("t"))
+      .select(
+        col("doc_id"),
+        length(col("t")).as("n_dirty"),
+        normalizeText(col("t")).as("norm_text"))
+      .withColumn("n_norm", length(col("norm_text")))
+  }
+
+  private val NormalizeSqlChain =
+    s"""trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |         nfc_normalize(t),
+       |         '$UnicodeSpaceClass', ' ', 'g'),
+       |         '$ZeroWidthClass', '', 'g'),
+       |         '\\r\\n?', e'\\n', 'g'),
+       |         '$ControlClass', '', 'g'),
+       |         '[ \\t]+', ' ', 'g'))""".stripMargin
+
+  private val o81 =
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |         chr(160) || chr(160) || text || chr(8203) || ' cafe' ||
+       |         chr(769) || chr(9) || chr(9) || 'nai' || chr(776) || 've' ||
+       |         chr(13) || chr(10) || chr(7) || 'end' || chr(12288) AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |       CAST(length(t) AS BIGINT) AS n_dirty,
+       |       $NormalizeSqlChain AS norm_text,
+       |       CAST(length($NormalizeSqlChain) AS BIGINT) AS n_norm
+       |FROM aug""".stripMargin
+
   // ---- q37: term salience (TF-IDF-shaped, exact-arithmetic) --------------
   // Top-3 salient terms per document, scored tf * N / df. Uses the
   // exact integer ratio instead of log-idf so both engines produce
@@ -1136,5 +1218,6 @@ object TextAnalysis {
     GraftQuery("q61_quality_ensemble", "multi-signal ensemble quality gate (q28+q41+q50+q56)", q61, Some(o61)),
     GraftQuery("q68_length_quantiles", "exact per-language discrete length quantiles (integer-rank)", q68, Some(o68)),
     GraftQuery("q71_bigram_lm", "mean conditional bigram probability (word-order LM proxy)", q71, Some(o71)),
-    GraftQuery("q79_gopher_rules", "Gopher rule-based quality gate (integer-exact cross-multiplied ratios)", q79, Some(o79)))
+    GraftQuery("q79_gopher_rules", "Gopher rule-based quality gate (integer-exact cross-multiplied ratios)", q79, Some(o79)),
+    GraftQuery("q81_normalize_text", "Unicode NFC + whitespace/control normalization (planted-dirt, byte-compared)", q81, Some(o81)))
 }

@@ -350,4 +350,55 @@ class TextCurationSpec extends AnyFunSuite {
     val single = TextAnalysis.bigramLm(Seq((9L, "solo")).toDF("doc_id", "text"))
     assert(single.count() == 0L)
   }
+
+  private def norm1(s: String): String = {
+    val df = Seq((1L, s)).toDF("doc_id", "text")
+      .select(TextAnalysis.normalizeText(col("text")).as("n"))
+    df.head().getString(0)
+  }
+
+  test("q81: the full normalization chain on planted dirt") {
+    // q81's exact dirty template: NFC composes the combining marks,
+    // NBSP/ideographic spaces map to ASCII, ZWSP and BEL vanish, CRLF
+    // folds to LF, tab runs collapse, edges trim
+    val dirty =
+      "\u00A0\u00A0hello world\u200B cafe\u0301\t\tnai\u0308ve\r\n\u0007end\u3000"
+    assert(norm1(dirty) == "hello world caf\u00E9 na\u00EFve\nend")
+  }
+
+  test("q81: normalization is idempotent and the identity on clean text") {
+    val cases = Seq(
+      "already clean ascii text",
+      " lead nbsp\u00A0\u00A0run",
+      "zero\u200Bwidth\uFEFFeverywhere\u00AD",
+      "cr\rlf\r\nmix\r",
+      "ctl\u0001\u0002chars",
+      "tabs\t\t\tand  spaces")
+    for (c <- cases) {
+      val once = norm1(c)
+      assert(norm1(once) == once, s"not idempotent on ${c.map(_.toInt)}")
+    }
+    assert(norm1("already clean ascii text") == "already clean ascii text")
+  }
+
+  test("q81: NFC kernel — decomposed composes, ASCII takes the zero-copy path") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // decomposed e + U+0301 composes to the precomposed codepoint
+    assert(graft.functions.NfcNormalize.compute(
+      UTF8String.fromString("cafe\u0301")).toString == "caf\u00E9")
+    // already-NFC non-ASCII input comes back as the same buffer
+    val nfc = UTF8String.fromString("caf\u00E9")
+    assert(graft.functions.NfcNormalize.compute(nfc) eq nfc)
+    // the ASCII fast path returns the INPUT reference — no allocation
+    val ascii = UTF8String.fromString("plain ascii text")
+    assert(graft.functions.NfcNormalize.compute(ascii) eq ascii)
+  }
+
+  test("q81: nfc_normalize is SQL-registered and null-safe") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT nfc_normalize('cafe\u0301') AS c, nfc_normalize(CAST(NULL AS STRING)) AS n")
+      .head()
+    assert(r.getString(0) == "caf\u00E9" && r.isNullAt(1))
+  }
 }
