@@ -394,6 +394,25 @@ class TextCurationSpec extends AnyFunSuite {
     assert(graft.functions.NfcNormalize.compute(ascii) eq ascii)
   }
 
+  test("q81: normalization repairs byte-level dedup on visually-identical docs") {
+    // the operational point of the stage: the same sentence typed with
+    // precomposed accents vs decomposed marks + NBSP padding + a ZWSP
+    // hashes as two distinct documents raw, and as ONE after
+    // normalizeText — i.e. q22's md5-groupBy only deduplicates these
+    // once q81 has run
+    val clean = "caf\u00E9 menu for na\u00EFve guests"
+    val dirty =
+      "\u00A0cafe\u0301 menu for\u200B nai\u0308ve guests\u3000"
+    val docs = Seq((1L, clean), (2L, dirty)).toDF("doc_id", "text")
+    val raw = docs.select(md5(col("text").cast("binary")).as("h"))
+      .distinct().count()
+    val normed = docs
+      .select(md5(TextAnalysis.normalizeText(col("text")).cast("binary")).as("h"))
+      .distinct().count()
+    assert(raw == 2L, "raw bytes must differ (the failure mode)")
+    assert(normed == 1L, "normalized bytes must collapse to one document")
+  }
+
   test("q81: nfc_normalize is SQL-registered and null-safe") {
     GraftFunctions.register(spark)
     val r = spark.sql(
