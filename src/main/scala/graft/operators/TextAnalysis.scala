@@ -284,11 +284,15 @@ object TextAnalysis {
   //
   // The regex classes stay in the common subset of Java regex and RE2
   // (`\x{...}` character classes, no lookarounds), and the chain ORDER
-  // is part of the contract: NFC first (composition can only involve
-  // codepoints the later strips never touch — the stripped classes are
-  // all NFC-inert), space-map before collapse (so NBSP runs collapse
-  // with ASCII runs), CR-fold before the control strip (the control
-  // class must not eat the CR that still has a meaning).
+  // is part of the contract: the zero-width/control strips and CR fold
+  // run BEFORE NFC, because a stripped codepoint can sit between a
+  // base and its combining mark (`e`+ZWSP+U+0301) — composing first
+  // would leave the re-exposed decomposed pair in the output, breaking
+  // idempotence and the "output is NFC" guarantee. NFC itself can
+  // never produce characters of the stripped or space classes (no
+  // canonical decomposition maps into them), so stripping first loses
+  // nothing. After NFC: space-map before collapse (so NBSP runs
+  // collapse with ASCII runs), trim last.
   private val UnicodeSpaceClass =
     "[\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}\\x{202F}\\x{205F}\\x{3000}]"
   private val ZeroWidthClass = "[\\x{200B}-\\x{200D}\\x{FEFF}\\x{00AD}]"
@@ -297,15 +301,15 @@ object TextAnalysis {
 
   /** The full normalization chain as one composable column. Idempotent:
     * the output contains only NFC text, ASCII spaces, and LF — every
-    * later pass is the identity (spec-asserted).
+    * later pass is the identity (spec- and property-asserted).
     */
   def normalizeText(text: Column): Column = {
-    val nfc = graft.functions.NfcNormalize(text)
+    val noZw = regexp_replace(text, ZeroWidthClass, "")
+    val noCtl = regexp_replace(noZw, ControlClass, "")
+    val lf = regexp_replace(noCtl, "\\r\\n?", "\n")
+    val nfc = graft.functions.NfcNormalize(lf)
     val spaced = regexp_replace(nfc, UnicodeSpaceClass, " ")
-    val noZw = regexp_replace(spaced, ZeroWidthClass, "")
-    val lf = regexp_replace(noZw, "\\r\\n?", "\n")
-    val noCtl = regexp_replace(lf, ControlClass, "")
-    trim(regexp_replace(noCtl, "[ \\t]+", " "))
+    trim(regexp_replace(spaced, "[ \\t]+", " "))
   }
 
   // The fixture text is clean single-spaced ASCII (normalization is the
@@ -329,12 +333,12 @@ object TextAnalysis {
   }
 
   private val NormalizeSqlChain =
-    s"""trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-       |         nfc_normalize(t),
+    s"""trim(regexp_replace(regexp_replace(nfc_normalize(
+       |         regexp_replace(regexp_replace(regexp_replace(t,
+       |           '$ZeroWidthClass', '', 'g'),
+       |           '$ControlClass', '', 'g'),
+       |           '\\r\\n?', e'\\n', 'g')),
        |         '$UnicodeSpaceClass', ' ', 'g'),
-       |         '$ZeroWidthClass', '', 'g'),
-       |         '\\r\\n?', e'\\n', 'g'),
-       |         '$ControlClass', '', 'g'),
        |         '[ \\t]+', ' ', 'g'))""".stripMargin
 
   private val o81 =

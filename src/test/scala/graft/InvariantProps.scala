@@ -301,4 +301,42 @@ object InvariantProps extends Properties("graft") {
         plan.recallFloor == plan.probedShare &&
         math.abs(plan.maxLoadFactor - sorted.head * ws.size) < 1e-9
     }
+
+  // ---- normalizeText (q81, arbitrary adversarial unicode) ----------------
+  // The chain's two contracts over ANY input drawn from an alphabet
+  // that deliberately interleaves bases, combining marks, every
+  // stripped/mapped class, and CR/LF/TAB: (1) idempotence — a second
+  // pass is the identity; (2) the output charset — NFC-normalized, no
+  // stripped-class or unicode-space characters, no CR or TAB, no
+  // double spaces, no space at either edge. The blocked-composition
+  // family (base, ZWSP, mark) is the case that forced strip-before-NFC.
+  private val normAlphabet: Gen[Char] = Gen.oneOf(
+    'a', 'e', 'o', ' ', '\t', '\r', '\n',
+    '\u0301', '\u0308', '\u00E9', // combining acute/diaeresis, precomposed e-acute
+    '\u00A0', '\u2003', '\u3000', // NBSP, em space, ideographic space
+    '\u200B', '\uFEFF', '\u00AD', // ZWSP, BOM/ZWNBSP, soft hyphen
+    '\u0007', '\u0001', '\u007F') // BEL, SOH, DEL
+  private val normDocGen: Gen[String] =
+    Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, normAlphabet).map(_.mkString))
+
+  private val NormForbidden = Set(
+    '\r', '\t', '\u00A0', '\u2003', '\u3000',
+    '\u200B', '\uFEFF', '\u00AD', '\u0007', '\u0001', '\u007F')
+
+  property("normalizeText is idempotent with an NFC, space-disciplined output") =
+    Prop.forAllNoShrink(Gen.listOfN(24, normDocGen)) { docs =>
+      val out = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.normalizeText(col("text")).as("n"))
+        .select(col("doc_id"), col("n"),
+          graft.operators.TextAnalysis.normalizeText(col("n")).as("n2"))
+        .collect().map(r => (r.getString(1), r.getString(2)))
+      out.forall { case (n, n2) =>
+        n == n2 &&
+          java.text.Normalizer.isNormalized(n, java.text.Normalizer.Form.NFC) &&
+          !n.exists(NormForbidden) &&
+          !n.contains("  ") && !n.startsWith(" ") && !n.endsWith(" ")
+      }
+    }
 }

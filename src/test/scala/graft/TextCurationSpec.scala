@@ -394,6 +394,18 @@ class TextCurationSpec extends AnyFunSuite {
     assert(graft.functions.NfcNormalize.compute(ascii) eq ascii)
   }
 
+  test("q81: stripping cannot re-expose a blocked combining sequence") {
+    // a zero-width or control char between a base and its combining
+    // mark blocks NFC composition; if the strip ran AFTER composing,
+    // the strip would leave the decomposed pair behind (non-NFC,
+    // non-idempotent output). The chain strips first, so both compose.
+    assert(norm1("e\u200B\u0301x") == "\u00E9x")
+    assert(norm1("e\u0007\u0301x") == "\u00E9x")
+    val out = norm1("e\uFEFF\u0308")
+    assert(out == "\u00EB" &&
+      java.text.Normalizer.isNormalized(out, java.text.Normalizer.Form.NFC))
+  }
+
   test("q81: normalization repairs byte-level dedup on visually-identical docs") {
     // the operational point of the stage: the same sentence typed with
     // precomposed accents vs decomposed marks + NBSP padding + a ZWSP
