@@ -36,7 +36,17 @@ object StreamingCurate {
     * batch) documents frame: q28 quality scoring + fixed-threshold
     * gate, the q41 repetition gate (`dup_frac <= maxDupFrac`, default
     * wide open for compatibility), then PII redaction over the
-    * surviving text. Both gates are BOTH of the batch ensemble's
+    * surviving text.
+    *
+    * Production ingest of raw web text should compose
+    * `TextAnalysis.normalizeText` (q81) over `text` BEFORE this gate —
+    * and derive [[offlineGateThresholds]] from a sample normalized the
+    * same way — so signals and byte-level dedup see canonical bytes.
+    * It is deliberately NOT embedded here: the gates must stay
+    * bit-exact with the batch ensemble's row-local legs, which score
+    * whatever text they are given; normalization is its own stage,
+    * applied identically to both paths (identity on already-clean
+    * corpora like the fixtures). Both gates are BOTH of the batch ensemble's
     * row-local legs, built from the same shared kernels
     * (qualityAtLeast / TrainingData.repetitionCols) so stream and
     * batch verdicts agree bit-exactly — only the corpus-frequency

@@ -47,6 +47,12 @@ import org.apache.spark.sql.functions._
   * a mega-language makes that a straggler at corpus scale (the exact
   * form remains the q45 oracle).
   *
+  * Raw web corpora should be passed through
+  * `TextAnalysis.normalizeText` (q81) at ingest, before this pipeline:
+  * stage 1's md5 dedup and every text signal assume canonical bytes.
+  * The fixtures are already clean (normalization is the identity on
+  * them), so the stage is not repeated here.
+  *
   * Usage: Curate <sfDir> [outDir]
   */
 object Curate {
