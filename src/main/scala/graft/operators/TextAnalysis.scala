@@ -316,13 +316,18 @@ object TextAnalysis {
   // identity on it), so the query plants deterministic unicode dirt on
   // both sides first — q52's planted-PII pattern: NBSP padding, a
   // zero-width space, decomposed `cafe`+U+0301 / `nai`+U+0308+`ve`,
-  // tab runs, CRLF, a BEL control, and a trailing ideographic space.
+  // tab runs, CRLF, a BEL control, a trailing ideographic space, and
+  // the hard NFC families the easy cases don't reach — Hangul jamo
+  // composing ALGORITHMICALLY to a precomposed LVT syllable, the
+  // ANGSTROM/OHM singleton replacements, a double-diacritic pair in
+  // both mark orders (canonical REORDERING must yield one form), and
+  // the fi ligature (compat-only: NFC must NOT touch it).
   // The normalized TEXT itself is emitted (not a hash), so the driver
   // byte-compares the actual unicode output of both engines.
   private def q81(s: SparkSession, d: String): DataFrame = {
     val dirty = concat(
       lit("\u00A0\u00A0"), col("text"),
-      lit("\u200B cafe\u0301\t\tnai\u0308ve\r\n\u0007end\u3000"))
+      lit("\u200B cafe\u0301\t\tnai\u0308ve\r\n\u0007end \u1100\u1161\u11A8 \u212B\u2126 e\u0323\u0301e\u0301\u0323 \u0418\u0306\uFB01\u3000"))
     Tables.documents(s, d)
       .select(col("doc_id"), dirty.as("t"))
       .select(
@@ -346,7 +351,11 @@ object TextAnalysis {
        |  SELECT doc_id,
        |         chr(160) || chr(160) || text || chr(8203) || ' cafe' ||
        |         chr(769) || chr(9) || chr(9) || 'nai' || chr(776) || 've' ||
-       |         chr(13) || chr(10) || chr(7) || 'end' || chr(12288) AS t
+       |         chr(13) || chr(10) || chr(7) || 'end ' ||
+       |         chr(4352) || chr(4449) || chr(4520) || ' ' ||
+       |         chr(8491) || chr(8486) || ' e' ||
+       |         chr(803) || chr(769) || 'e' || chr(769) || chr(803) || ' ' ||
+       |         chr(1048) || chr(774) || chr(64257) || chr(12288) AS t
        |  FROM documents)
        |SELECT doc_id,
        |       CAST(length(t) AS BIGINT) AS n_dirty,

@@ -362,8 +362,10 @@ class TextCurationSpec extends AnyFunSuite {
     // NBSP/ideographic spaces map to ASCII, ZWSP and BEL vanish, CRLF
     // folds to LF, tab runs collapse, edges trim
     val dirty =
-      "\u00A0\u00A0hello world\u200B cafe\u0301\t\tnai\u0308ve\r\n\u0007end\u3000"
-    assert(norm1(dirty) == "hello world caf\u00E9 na\u00EFve\nend")
+      "\u00A0\u00A0hello world\u200B cafe\u0301\t\tnai\u0308ve\r\n\u0007end " +
+      "\u1100\u1161\u11A8 \u212B\u2126 e\u0323\u0301e\u0301\u0323 \u0418\u0306\uFB01\u3000"
+    assert(norm1(dirty) == "hello world caf\u00E9 na\u00EFve\nend " +
+      "\uAC01 \u00C5\u03A9 \u1EB9\u0301\u1EB9\u0301 \u0419\uFB01")
   }
 
   test("q81: normalization is idempotent and the identity on clean text") {
