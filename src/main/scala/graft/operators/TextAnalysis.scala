@@ -363,6 +363,93 @@ object TextAnalysis {
        |       CAST(length($NormalizeSqlChain) AS BIGINT) AS n_norm
        |FROM aug""".stripMargin
 
+  // ---- q82: C4 line- and page-level cleaning rules -----------------------
+  // The T5/C4 heuristics (Raffel et al. 2020 §2.2) — the rule-list
+  // complement of q79's Gopher ratios, applied at LINE granularity
+  // where Gopher scores whole documents: keep only lines ending in a
+  // terminal punctuation mark, with >= 5 words, not mentioning
+  // "javascript"; drop the whole PAGE when it contains "{" or "lorem
+  // ipsum", or fewer than `C4MinKeptLines` surviving lines (the
+  // paper's "fewer than 3 sentences", with kept lines as the sentence
+  // proxy). Scale shape: the line rules run inside a higher-order
+  // `filter` over `split(text, '\n')` — row-local, codegen'd, zero
+  // shuffle; no explode, so a million-line page never leaves its row.
+  val C4MinLineWords = 5
+  val C4MinKeptLines = 3
+  private val C4LineEnd = "[.!?\"]$" // RE2 and Java agree: end-of-string
+
+  /** The surviving lines of a page under the C4 line rules, in order. */
+  def c4KeptLines(text: Column): Column =
+    filter(split(text, "\n"), l =>
+      l.rlike(C4LineEnd) &&
+        size(split(l, " ")) >= C4MinLineWords &&
+        !lower(l).contains("javascript"))
+
+  /** The C4 page verdict given the raw text and its kept lines. */
+  def c4PageKeep(text: Column, kept: Column): Column =
+    !text.contains("{") &&
+      !lower(text).contains("lorem ipsum") &&
+      size(kept) >= C4MinKeptLines
+
+  // Fixture docs are single-line and unpunctuated (every line rule
+  // would fire identically), so the query builds a deterministic
+  // multi-line page around each doc — q52/q81's planted-dirt pattern —
+  // with doc_id-varying page-level violations: every 5th page plants a
+  // brace line, every 7th a lorem-ipsum line (which PASSES the line
+  // rules — page rules are the only thing that catches it).
+  private def q82(s: SparkSession, d: String): DataFrame = {
+    val page = array_join(array(
+      concat(lit("Doc "), col("doc_id").cast("string"),
+        lit(" begins with a full sentence here.")),
+      lit("short line."),
+      lit("this line has no terminal punctuation at all"),
+      lit("Javascript is required for this page to work properly."),
+      col("text"),
+      concat(col("text"), lit(" padded into a sentence that ends well.")),
+      when(col("doc_id") % 5 === 0, lit("function() { return 1; }"))
+        .otherwise(lit("A third proper sentence keeps the page alive.")),
+      when(col("doc_id") % 7 === 0,
+        lit("Lorem ipsum dolor sit amet consectetur."))
+        .otherwise(lit("Closing sentence number four stays here."))), "\n")
+    val kept = c4KeptLines(col("t"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), page.as("t"))
+      .select(col("doc_id"),
+        size(split(col("t"), "\n")).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept"),
+        c4PageKeep(col("t"), kept).as("page_keep"),
+        array_join(kept, "\n").as("kept_text"))
+  }
+
+  private val o82 =
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |         'Doc ' || CAST(doc_id AS VARCHAR) || ' begins with a full sentence here.' || chr(10) ||
+       |         'short line.' || chr(10) ||
+       |         'this line has no terminal punctuation at all' || chr(10) ||
+       |         'Javascript is required for this page to work properly.' || chr(10) ||
+       |         text || chr(10) ||
+       |         text || ' padded into a sentence that ends well.' || chr(10) ||
+       |         CASE WHEN doc_id % 5 = 0 THEN 'function() { return 1; }'
+       |              ELSE 'A third proper sentence keeps the page alive.' END || chr(10) ||
+       |         CASE WHEN doc_id % 7 = 0 THEN 'Lorem ipsum dolor sit amet consectetur.'
+       |              ELSE 'Closing sentence number four stays here.' END AS t
+       |  FROM documents),
+       |k AS (
+       |  SELECT doc_id, t,
+       |         list_filter(string_split(t, chr(10)), x ->
+       |           regexp_matches(x, '$C4LineEnd')
+       |           AND len(string_split(x, ' ')) >= $C4MinLineWords
+       |           AND NOT contains(lower(x), 'javascript')) AS kept
+       |  FROM aug)
+       |SELECT doc_id,
+       |       CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+       |       CAST(len(kept) AS BIGINT) AS n_kept,
+       |       (NOT contains(t, '{') AND NOT contains(lower(t), 'lorem ipsum')
+       |        AND len(kept) >= $C4MinKeptLines) AS page_keep,
+       |       array_to_string(kept, chr(10)) AS kept_text
+       |FROM k""".stripMargin
+
   // ---- q37: term salience (TF-IDF-shaped, exact-arithmetic) --------------
   // Top-3 salient terms per document, scored tf * N / df. Uses the
   // exact integer ratio instead of log-idf so both engines produce
@@ -1232,5 +1319,6 @@ object TextAnalysis {
     GraftQuery("q68_length_quantiles", "exact per-language discrete length quantiles (integer-rank)", q68, Some(o68)),
     GraftQuery("q71_bigram_lm", "mean conditional bigram probability (word-order LM proxy)", q71, Some(o71)),
     GraftQuery("q79_gopher_rules", "Gopher rule-based quality gate (integer-exact cross-multiplied ratios)", q79, Some(o79)),
-    GraftQuery("q81_normalize_text", "Unicode NFC + whitespace/control normalization (planted-dirt, byte-compared)", q81, Some(o81)))
+    GraftQuery("q81_normalize_text", "Unicode NFC + whitespace/control normalization (planted-dirt, byte-compared)", q81, Some(o81)),
+    GraftQuery("q82_c4_line_filter", "C4 line/page cleaning rules (terminal-punct lines, javascript/brace/lorem drops)", q82, Some(o82)))
 }

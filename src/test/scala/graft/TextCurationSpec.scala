@@ -427,6 +427,44 @@ class TextCurationSpec extends AnyFunSuite {
     assert(normed == 1L, "normalized bytes must collapse to one document")
   }
 
+  test("q82: C4 line rules keep exactly the punctuated >=5-word non-js lines") {
+    val page = Seq(
+      "This first sentence has enough words here.", // kept
+      "Too short.",                                 // < 5 words
+      "no terminal punctuation on this line at all", // no punct
+      "Enable Javascript to view this entire page.", // javascript
+      "Does a question mark count as terminal?",     // kept (?)
+      "\"A quoted ending also survives the rule.\"") // kept (")
+      .mkString("\n")
+    val out = Seq((1L, page)).toDF("doc_id", "text")
+      .select(TextAnalysis.c4KeptLines(col("text")).as("k"))
+      .head().getSeq[String](0)
+    assert(out == Seq(
+      "This first sentence has enough words here.",
+      "Does a question mark count as terminal?",
+      "\"A quoted ending also survives the rule.\""))
+  }
+
+  test("q82: page rules drop brace, lorem ipsum, and thin pages") {
+    def verdict(page: String): Boolean =
+      Seq((1L, page)).toDF("doc_id", "text")
+        .select(TextAnalysis.c4PageKeep(col("text"),
+          TextAnalysis.c4KeptLines(col("text"))).as("p"))
+        .head().getBoolean(0)
+    val threeGood = Seq(
+      "One full sentence with plenty of words here.",
+      "Two full sentences with plenty of words here.",
+      "Three full sentences with plenty of words here.")
+    assert(verdict(threeGood.mkString("\n")))
+    // a brace ANYWHERE on the page kills it, even on a dropped line
+    assert(!verdict((threeGood :+ "x { y").mkString("\n")))
+    // lorem ipsum kills the page even though its line PASSES line rules
+    assert(!verdict((threeGood :+
+      "Lorem ipsum dolor sit amet consectetur.").mkString("\n")))
+    // fewer than 3 surviving lines kills the page
+    assert(!verdict(threeGood.take(2).mkString("\n")))
+  }
+
   test("q81: nfc_normalize is SQL-registered and null-safe") {
     GraftFunctions.register(spark)
     val r = spark.sql(
