@@ -627,6 +627,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(all == total.toLong, s"keep-all thresholds must pass every doc, got $all")
   }
 
+  test("q81 composes in-flight: unicode normalization runs inside the micro-batch before the gate") {
+    // the integration the StreamingCurate scaladoc prescribes: map
+    // normalizeText over the stream BEFORE the gate, so signals and
+    // any downstream byte-level dedup see canonical bytes. Two
+    // visually-identical arrivals (one decomposed + NBSP/ZWSP-ridden,
+    // one clean) must leave the micro-batch byte-identical.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val dirty = "\u00A0the data row\u200B cafe\u0301 value\u3000"
+    val clean = "the data row caf\u00E9 value"
+    mem.addData((1L, dirty, "en", "s", 24L), (2L, clean, "en", "s", 23L))
+    val normalized = mem.toDF.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .withColumn("text", graft.operators.TextAnalysis.normalizeText(col("text")))
+    val q = graft.streaming.StreamingCurate
+      .curate(normalized, minQuality = -1e9, maxDupFrac = 1.0)
+      .writeStream.format("memory").queryName("norm_inflight").start()
+    q.processAllAvailable(); q.stop()
+    val texts = spark.table("norm_inflight").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(texts.size == 2, "wide-open gate must pass both docs")
+    assert(texts(1L) == clean && texts(2L) == clean,
+      "in-flight normalization must make the pair byte-identical")
+  }
+
   test("normalization works on a streamed shape-2 drop dir") {
     val drop = Files.createTempDirectory("drop3").toString
     writeEventFile(drop, "h.json",
