@@ -372,8 +372,13 @@ object TextAnalysis {
   // ipsum", or fewer than `C4MinKeptLines` surviving lines (the
   // paper's "fewer than 3 sentences", with kept lines as the sentence
   // proxy). Scale shape: the line rules run inside a higher-order
-  // `filter` over `split(text, '\n')` — row-local, codegen'd, zero
-  // shuffle; no explode, so a million-line page never leaves its row.
+  // `filter` over `split(text, '\n')` — row-local, zero shuffle; no
+  // explode, so a million-line page never leaves its row. Honest
+  // codegen caveat (plan-verified): Spark's higher-order functions
+  // are CodegenFallback, so the filtering Project sits OUTSIDE the
+  // WholeStageCodegen span — still one scan and no exchange, and the
+  // per-line predicate is regex-dominated either way; an exploded
+  // codegen'd alternative would trade this for a corpus×lines shuffle.
   val C4MinLineWords = 5
   val C4MinKeptLines = 3
   private val C4LineEnd = "[.!?\"]$" // RE2 and Java agree: end-of-string
