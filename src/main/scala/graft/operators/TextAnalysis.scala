@@ -534,6 +534,43 @@ object TextAnalysis {
       |  FROM documents)
       |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 100""".stripMargin
 
+  // ---- q83: BPE first-merge pair counts (tokenizer training prep) --------
+  // The first step of byte-pair-encoding tokenizer training: the
+  // corpus-weighted frequency of every ADJACENT CHARACTER PAIR inside
+  // words — the statistic whose argmax becomes BPE merge #1 (and whose
+  // top-k previews the early merge table). Scale shape is the whole
+  // point: the naive form explodes every character position of every
+  // token in the corpus (corpus-tokens × word-length rows through a
+  // shuffle); this one aggregates the corpus to its VOCABULARY first
+  // (one shuffle with map-side combine — the q29 word-count shape) and
+  // explodes pairs only over distinct words weighted by their counts.
+  // Vocabulary grows by Heaps' law (sublinear in corpus size), so the
+  // pair explode touches millions of rows where the naive form touches
+  // trillions at 100 TB. Second aggregation is over the pair alphabet
+  // (bounded by |charset|²) — TakeOrdered closes it.
+  private def q83(s: SparkSession, d: String): DataFrame = {
+    val vocab = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .filter(length(col("w")) >= 2)
+    vocab
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(50)
+  }
+
+  private val o83 =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |v AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
+      |      FROM tok GROUP BY w HAVING length(w) >= 2),
+      |p AS (SELECT unnest(list_transform(range(1, length(w)),
+      |                    i -> substr(w, i, 2))) AS pair, freq
+      |      FROM v)
+      |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+      |FROM p GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin
+
   // ---- q50: corpus-frequency boilerplate signal --------------------------
   // The C4/Dolma-style cleaning rule "drop lines that repeat across the
   // corpus", re-expressed over 3-grams (the fixtures have no line
@@ -1325,5 +1362,6 @@ object TextAnalysis {
     GraftQuery("q71_bigram_lm", "mean conditional bigram probability (word-order LM proxy)", q71, Some(o71)),
     GraftQuery("q79_gopher_rules", "Gopher rule-based quality gate (integer-exact cross-multiplied ratios)", q79, Some(o79)),
     GraftQuery("q81_normalize_text", "Unicode NFC + whitespace/control normalization (planted-dirt, byte-compared)", q81, Some(o81)),
-    GraftQuery("q82_c4_line_filter", "C4 line/page cleaning rules (terminal-punct lines, javascript/brace/lorem drops)", q82, Some(o82)))
+    GraftQuery("q82_c4_line_filter", "C4 line/page cleaning rules (terminal-punct lines, javascript/brace/lorem drops)", q82, Some(o82)),
+    GraftQuery("q83_bpe_pairs", "BPE first-merge char-pair counts (vocabulary-weighted, not corpus-exploded)", q83, Some(o83)))
 }

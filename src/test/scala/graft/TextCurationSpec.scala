@@ -465,6 +465,23 @@ class TextCurationSpec extends AnyFunSuite {
     assert(!verdict(threeGood.take(2).mkString("\n")))
   }
 
+  test("q83: pair counts are vocabulary-weighted and exactly the BPE statistic") {
+    // corpus: "ab ab abc cd" — vocab {ab:2, abc:1, cd:1}; within-word
+    // pairs weighted by word freq: ab -> 2 (from "ab") + 1 (from
+    // "abc") = 3, bc -> 1, cd -> 1; argmax "ab" is BPE merge #1
+    val docs = Seq((1L, "ab ab abc"), (2L, "cd")).toDF("doc_id", "text")
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .filter(length(col("w")) >= 2)
+    val pairs = vocab
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pairs == Map("ab" -> 3L, "bc" -> 1L, "cd" -> 1L))
+  }
+
   test("q81: nfc_normalize is SQL-registered and null-safe") {
     GraftFunctions.register(spark)
     val r = spark.sql(
