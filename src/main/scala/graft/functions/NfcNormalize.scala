@@ -51,18 +51,14 @@ object NfcNormalize {
 
   /** Static kernel, also the codegen target. */
   def compute(s: UTF8String): UTF8String = {
-    val bytes = s.getBytes
-    var i = 0
-    while (i < bytes.length) {
-      if (bytes(i) < 0) { // high bit set: non-ASCII — take the slow path
-        val str = s.toString
-        return if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
-        else UTF8String.fromString(
-          java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
-      }
-      i += 1
-    }
-    s // pure ASCII is NFC by construction
+    // isFullAscii scans the (possibly off-heap) buffer in place —
+    // unlike getBytes, which copies when the string is a page slice,
+    // i.e. for every parquet-read row
+    if (s.isFullAscii) return s // pure ASCII is NFC by construction
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
 
   /** Column-API entry point. */
