@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayDot, GramHashes, MinHashSlices, NfcNormalize, ShingleHashes, ShingleSet, SimHash, WordGrams}
+import graft.functions.{ArrayDot, GramHashes, MinHashSlices, NfcNormalize, NormalizeText, ShingleHashes, ShingleSet, SimHash, WordGrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -46,6 +46,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (exprs: Seq[Expression]) => NfcNormalize(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
+      (exprs: Seq[Expression]) => NormalizeText(exprs(0))))
   }
 }
 
@@ -69,5 +73,7 @@ object GraftFunctions {
       spark, "word_grams", exprs => WordGrams(exprs(0), SimHash.bitsArg(exprs(1))))
     org.apache.spark.sql.graftshim.ColumnBridge.registerTempFunction(
       spark, "nfc_normalize", exprs => NfcNormalize(exprs(0)))
+    org.apache.spark.sql.graftshim.ColumnBridge.registerTempFunction(
+      spark, "normalize_text", exprs => NormalizeText(exprs(0)))
   }
 }

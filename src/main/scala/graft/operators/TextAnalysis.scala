@@ -299,11 +299,12 @@ object TextAnalysis {
   private val ControlClass =
     "[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}]"
 
-  /** The full normalization chain as one composable column. Idempotent:
-    * the output contains only NFC text, ASCII spaces, and LF — every
-    * later pass is the identity (spec- and property-asserted).
+  /** The five-stage regexp form of the chain — retained as the
+    * EXECUTABLE SPEC: the DuckDB oracle replays these exact stages, and
+    * a ScalaCheck property pins the fused kernel against this column
+    * over adversarial unicode. Not the production entry point.
     */
-  def normalizeText(text: Column): Column = {
+  private[graft] def normalizeTextChain(text: Column): Column = {
     val noZw = regexp_replace(text, ZeroWidthClass, "")
     val noCtl = regexp_replace(noZw, ControlClass, "")
     val lf = regexp_replace(noCtl, "\\r\\n?", "\n")
@@ -311,6 +312,17 @@ object TextAnalysis {
     val spaced = regexp_replace(nfc, UnicodeSpaceClass, " ")
     trim(regexp_replace(spaced, "[ \\t]+", " "))
   }
+
+  /** The full normalization chain as one composable column. Idempotent:
+    * the output contains only NFC text, ASCII spaces, and LF — every
+    * later pass is the identity (spec- and property-asserted). Fused
+    * into the native [[graft.functions.NormalizeText]] kernel: one
+    * detection scan + at most two char passes where the regexp form
+    * scans and re-allocates five times per row; clean ASCII rows return
+    * the input buffer untouched.
+    */
+  def normalizeText(text: Column): Column =
+    graft.functions.NormalizeText(text)
 
   // The fixture text is clean single-spaced ASCII (normalization is the
   // identity on it), so the query plants deterministic unicode dirt on

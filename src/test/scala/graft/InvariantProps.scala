@@ -315,7 +315,7 @@ object InvariantProps extends Properties("graft") {
     '\u0301', '\u0308', '\u00E9', // combining acute/diaeresis, precomposed e-acute
     '\u00A0', '\u2003', '\u3000', // NBSP, em space, ideographic space
     '\u200B', '\uFEFF', '\u00AD', // ZWSP, BOM/ZWNBSP, soft hyphen
-    '\u0007', '\u0001', '\u007F') // BEL, SOH, DEL
+    '\u0007', '\u0001', '\u007F', '\u000B') // BEL, SOH, DEL, VT
   private val normDocGen: Gen[String] =
     Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, normAlphabet).map(_.mkString))
 
@@ -323,17 +323,18 @@ object InvariantProps extends Properties("graft") {
     '\r', '\t', '\u00A0', '\u2003', '\u3000',
     '\u200B', '\uFEFF', '\u00AD', '\u0007', '\u0001', '\u007F')
 
-  property("normalizeText is idempotent with an NFC, space-disciplined output") =
+  property("normalizeText: fused kernel == regexp chain, idempotent, NFC, space-disciplined") =
     Prop.forAllNoShrink(Gen.listOfN(24, normDocGen)) { docs =>
       val out = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
         .toDF("doc_id", "text")
         .select(col("doc_id"),
-          graft.operators.TextAnalysis.normalizeText(col("text")).as("n"))
-        .select(col("doc_id"), col("n"),
+          graft.operators.TextAnalysis.normalizeText(col("text")).as("n"),
+          graft.operators.TextAnalysis.normalizeTextChain(col("text")).as("c"))
+        .select(col("n"), col("c"),
           graft.operators.TextAnalysis.normalizeText(col("n")).as("n2"))
-        .collect().map(r => (r.getString(1), r.getString(2)))
-      out.forall { case (n, n2) =>
-        n == n2 &&
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      out.forall { case (n, chain, n2) =>
+        n == chain && n == n2 &&
           java.text.Normalizer.isNormalized(n, java.text.Normalizer.Form.NFC) &&
           !n.exists(NormForbidden) &&
           !n.contains("  ") && !n.startsWith(" ") && !n.endsWith(" ")

@@ -408,6 +408,17 @@ class TextCurationSpec extends AnyFunSuite {
       java.text.Normalizer.isNormalized(out, java.text.Normalizer.Form.NFC))
   }
 
+  test("q81: CR folding sees through stripped junk, matching the staged chain") {
+    // the chain strips zero-width/control chars BEFORE folding CRLF,
+    // so CR + strippable junk + LF is ONE newline — the fused kernel's
+    // lookahead corner (a naive single pass would emit two)
+    assert(norm1("a\r\u200B\nb") == "a\nb")
+    assert(norm1("a\r\u0007\u000B\nb") == "a\nb")
+    assert(norm1("a\r\rb") == "a\n\nb") // CR CR is two lone folds
+    assert(norm1("a\rb") == "a\nb")
+    assert(norm1("tail\r") == "tail\n")
+  }
+
   test("q81: normalization repairs byte-level dedup on visually-identical docs") {
     // the operational point of the stage: the same sentence typed with
     // precomposed accents vs decomposed marks + NBSP padding + a ZWSP
