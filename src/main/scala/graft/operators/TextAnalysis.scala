@@ -665,10 +665,17 @@ object TextAnalysis {
   // bare lowercase words, so the query plants deterministic doc_id-
   // derived PII on both sides first — the regex logic is exercised for
   // real, and the redacted-text hash proves byte-identical replacement.
+  // Ordering note for the two digit-grid additions: phone (3-3-4) and
+  // SSN (3-2-4) cannot match inside each other (the middle group's
+  // width disagrees at the following separator), and the card pattern
+  // needs four 4-digit groups no other pattern leaves behind — so
+  // appending them keeps every earlier replacement stable.
   val PiiPatterns: Seq[(String, String)] = Seq(
     "[a-z0-9.]+@[a-z0-9.]+[.][a-z]+" -> "<EMAIL>",
     "[0-9]{3}-[0-9]{3}-[0-9]{4}" -> "<PHONE>",
-    "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+" -> "<IP>")
+    "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+" -> "<IP>",
+    "[0-9]{3}-[0-9]{2}-[0-9]{4}" -> "<SSN>",
+    "[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}" -> "<CARD>")
 
   /** Replaces every PII match with its placeholder, in [[PiiPatterns]]
     * order (emails first — their local parts may contain digits and
@@ -693,6 +700,13 @@ object TextAnalysis {
       lit(" node "),
       format_string("10.%d.%d.%d",
         col("doc_id") % 256, expr("(doc_id div 256) % 256"), col("doc_id") % 100),
+      lit(" ssn "),
+      format_string("%03d-%02d-%04d",
+        lit(100) + col("doc_id") % 900, col("doc_id") % 100, col("doc_id") % 10000),
+      lit(" card "),
+      format_string("%04d %04d %04d %04d",
+        col("doc_id") % 10000, (col("doc_id") + 1) % 10000,
+        (col("doc_id") + 2) % 10000, (col("doc_id") + 3) % 10000),
       when(col("doc_id") % 3 === 0, lit(" cc admin@example.org")).otherwise(lit("")))
     Tables.documents(s, d)
       .select(col("doc_id"), planted.as("t"))
@@ -714,6 +728,11 @@ object TextAnalysis {
        |         printf('%03d-%03d-%04d', 200 + doc_id % 700, doc_id % 1000, doc_id % 10000) ||
        |         ' node ' ||
        |         printf('10.%d.%d.%d', doc_id % 256, (doc_id // 256) % 256, doc_id % 100) ||
+       |         ' ssn ' ||
+       |         printf('%03d-%02d-%04d', 100 + doc_id % 900, doc_id % 100, doc_id % 10000) ||
+       |         ' card ' ||
+       |         printf('%04d %04d %04d %04d', doc_id % 10000, (doc_id + 1) % 10000,
+       |                (doc_id + 2) % 10000, (doc_id + 3) % 10000) ||
        |         CASE WHEN doc_id % 3 = 0 THEN ' cc admin@example.org' ELSE '' END AS t
        |  FROM documents)
        |SELECT doc_id,

@@ -67,6 +67,23 @@ class TextCurationSpec extends AnyFunSuite {
     assert(red == "<EMAIL> and <IP>")
   }
 
+  test("pii: ssn and card redact without biting phones, ips, or each other") {
+    val rows = Seq(
+      (1L, "ssn 123-45-6789 on file"),
+      (2L, "card 1234 5678 9012 3456 charged"),
+      (3L, "card 1234-5678-9012-3456 dashed"),
+      (4L, "phone 555-123-4567 is not an ssn"),
+      (5L, "mixed 987-65-4321 then 555-000-1111 then 10.0.0.1"))
+      .toDF("id", "t")
+      .select(col("id"), TextAnalysis.redactPii(col("t")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) == "ssn <SSN> on file")
+    assert(rows(2L) == "card <CARD> charged")
+    assert(rows(3L) == "card <CARD> dashed")
+    assert(rows(4L) == "phone <PHONE> is not an ssn")
+    assert(rows(5L) == "mixed <SSN> then <PHONE> then <IP>")
+  }
+
   test("q50 plans three documents scans with no window") {
     val p = Registry.byName("q50_boilerplate").run(spark, TestSpark.sf0001)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
