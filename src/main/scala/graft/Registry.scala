@@ -36,6 +36,7 @@ object Registry {
       Windowed.queries ++
       Dedup.queries ++
       Similarity.queries ++
+      Quantization.queries ++
       TextAnalysis.queries ++
       RiskExplain.queries ++
       ScaleVariants.queries ++

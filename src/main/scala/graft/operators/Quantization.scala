@@ -1,0 +1,288 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) over the embedding column — the memory
+  * side of the ANN scale story (Jégou et al., "Product Quantization
+  * for Nearest Neighbor Search", TPAMI 2011; the IVF-ADC pairing every
+  * large vector index uses).
+  *
+  * Why this exists at 100 TB: q26/q39 keep the corpus as full float
+  * vectors (64 dims = 256 B/vector; real models are 768–4096 dims =
+  * 3–16 KB). PQ splits each vector into `NumSub` subspaces and stores
+  * only the id of the nearest codeword per subspace — here 8 codes of
+  * 4 bits = 4 B/vector, a 64× compression — so the scan side of a
+  * top-k query reads codes, not floats, and distance evaluation
+  * becomes `NumSub` table lookups (ADC: asymmetric distance
+  * computation) instead of a 64-mult dot product. The codebook is
+  * O(NumSub·NumCodes·dim) — bytes, always broadcastable — and the
+  * query-side lookup tables are O(queries·NumSub·NumCodes).
+  *
+  * Distributed shape (the plan you'd want at any scale):
+  *   - encode: ONE corpus scan, zero shuffle — the codebook rides in
+  *     as a broadcast 1-row frame and the per-subspace argmin folds
+  *     row-locally (no explode, no groupBy re-assembly);
+  *   - query: corpus codes vs broadcast per-query lookup tables — the
+  *     q26 broadcast-nested-loop shape with the per-pair cost dropped
+  *     from O(dim) to O(NumSub); top-k is a per-query window.
+  *   - at production scale PQ composes with IVF (probe cells first,
+  *     ADC within probed cells); here the two layers are separate
+  *     queries so each is independently oracle-checked.
+  *
+  * Determinism (the o26/o39 discipline): the demo codebook is the
+  * first `NumCodes` vectors by `vec_id` (SQL-expressible, like q39's
+  * demo centroids; `kmeansCodebook` is the production path), float
+  * components widen to double once, every fold is left-to-right over
+  * an identical operand sequence, and every tie (equal subspace
+  * distance, equal ADC distance) breaks on the lower id, so both
+  * engines agree bit-for-bit.
+  */
+object Quantization {
+
+  private val SubDim = 8 // dims per subspace
+  private val NumSub = 8 // 64-dim fixtures => 8 subspaces
+  private val NumCodes = 16 // codewords per subspace (4-bit codes)
+  private val TopK = 5
+  private val QueryStride = 100 // query set = vec_id % stride == 0 (q26's)
+
+  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Squared L2 between subspace `j` (0-based) of full vectors `x` and
+    * `y`: left-to-right fold over the subspace's dims (element_at is
+    * 1-based). Both engines evaluate the identical operand sequence.
+    */
+  private def subDist2(x: Column, y: Column, j: Column): Column =
+    aggregate(sequence(lit(1), lit(SubDim)), lit(0.0), (s, i) => {
+      val xi = element_at(x, j * SubDim + i)
+      val yi = element_at(y, j * SubDim + i)
+      s + (xi - yi) * (xi - yi)
+    })
+
+  /** Demo codebook as a broadcastable 1-row frame `(cbv)` where `cbv`
+    * is the `vec_id`-ordered array of the first `numCodes` vectors
+    * (each subspace uses the matching slice — a shared codeword id
+    * space keeps the encode fold one nested loop). Deterministic and
+    * SQL-expressible, like q39's demo centroids; [[kmeansCodebook]] is
+    * the fitted production path. Fails loudly on an empty seed (the
+    * demoCentroids contract).
+    */
+  def demoCodebook(embeddings: DataFrame, numCodes: Int = NumCodes): DataFrame = {
+    val seed = embeddings.filter(col("vec_id") < numCodes)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    require(!seed.isEmpty,
+      s"PQ demo-codebook seed (vec_id < $numCodes) matched no rows; " +
+        "pass a fitted codebook (e.g. kmeansCodebook)")
+    seed.agg(transform(
+      array_sort(collect_list(struct(col("vec_id").as("i"), col("v").as("v")))),
+      s => s.getField("v")).as("cbv"))
+  }
+
+  /** Fitted production codebook: per-subspace L2 Lloyd iterations over
+    * a SAMPLE of the corpus (the FAISS convention — PQ codebooks train
+    * on ~10⁵ sampled vectors regardless of corpus size; the
+    * cluster-scale work is encode/query, which stay distributed),
+    * re-assembled into the same 1-row `(cbv)` shape the encode/query
+    * path consumes (codeword `c`'s full vector is the concatenation of
+    * each subspace's `c`-th centroid — subspaces are independent in
+    * PQ, so sharing the id space loses nothing).
+    *
+    * Deterministic: the sample is the `trainSample` lowest `vec_id`s,
+    * init is the first `numCodes` sample subvectors (== the demo
+    * codebook when the sample covers them), assignment ties break on
+    * the lower codeword, and empty cells keep their previous centroid.
+    * Lloyd never increases training distortion, so with a full-corpus
+    * sample the fitted codebook's total `qerr` is <= the demo
+    * codebook's (spec-pinned).
+    */
+  def kmeansCodebook(embeddings: DataFrame, numCodes: Int = NumCodes,
+      iters: Int = 5, trainSample: Int = 100000): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val sample: Array[Array[Double]] = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .orderBy(col("vec_id")).limit(trainSample)
+      .select(col("v")).as[Seq[Double]].collect().map(_.toArray)
+    require(sample.nonEmpty, "PQ codebook training sample is empty")
+    require(sample.head.length == NumSub * SubDim,
+      s"embedding dim ${sample.head.length} != ${NumSub * SubDim}")
+    val k = math.min(numCodes, sample.length)
+    val perSub: Array[Array[Array[Double]]] = Array.tabulate(NumSub) { j =>
+      val xs = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, j * SubDim, (j + 1) * SubDim))
+      var cents = xs.take(k).map(_.clone)
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(k, SubDim)(0.0)
+        val cnt = new Array[Long](k)
+        xs.foreach { x =>
+          var best = 0; var bd = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            var d = 0.0; var i = 0
+            while (i < SubDim) { val t = x(i) - cents(c)(i); d += t * t; i += 1 }
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          cnt(best) += 1
+          var i = 0
+          while (i < SubDim) { sums(best)(i) += x(i); i += 1 }
+        }
+        cents = Array.tabulate(k)(c =>
+          if (cnt(c) > 0) Array.tabulate(SubDim)(i => sums(c)(i) / cnt(c))
+          else cents(c))
+      }
+      cents
+    }
+    val assembled: Seq[Seq[Double]] = (0 until k).map(c =>
+      (0 until NumSub).flatMap(j => perSub(j)(c).toSeq))
+    Seq(Tuple1(assembled)).toDF("cbv")
+  }
+
+  /** PQ-encode: `(vec_id, codes, qerr)` — per-subspace nearest-codeword
+    * ids (ties to the lowest id) and the total squared reconstruction
+    * error. ONE scan, zero shuffle: the codebook is a broadcast 1-row
+    * cross join and both outputs fold row-locally.
+    */
+  def pqEncode(embeddings: DataFrame, codebook: DataFrame): DataFrame = {
+    val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    base.crossJoin(broadcast(codebook))
+      .withColumn("sub", transform(sequence(lit(0), lit(NumSub - 1)), j =>
+        aggregate(
+          sequence(lit(0), size(col("cbv")) - 1),
+          struct(lit(Double.MaxValue).as("d"), lit(-1).as("c")),
+          (acc, c) => {
+            val d = subDist2(col("v"), element_at(col("cbv"), c + 1), j)
+            // strict < keeps the first (lowest) code on exact ties
+            when(d < acc.getField("d"), struct(d.as("d"), c.as("c")))
+              .otherwise(acc)
+          })))
+      .select(col("vec_id"),
+        transform(col("sub"), s => s.getField("c")).as("codes"),
+        aggregate(col("sub"), lit(0.0), (s, x) => s + x.getField("d")).as("qerr"))
+  }
+
+  /** ADC top-`k`: every query vector (uncompressed) against the
+    * PQ-encoded corpus. Per-query lookup tables (subspace × codeword
+    * squared distances) broadcast against the codes scan; approximate
+    * distance is `NumSub` lookups summed j-ascending; rank ascending
+    * with `nid` tiebreak. Output `(qid, nid, adist, rk)`.
+    */
+  def adcTopK(embeddings: DataFrame, queryPred: Column, k: Int,
+      codebook: Option[DataFrame] = None): DataFrame = {
+    val cb = codebook.getOrElse(demoCodebook(embeddings))
+    val encoded = pqEncode(embeddings, cb)
+    val luts = embeddings.filter(queryPred)
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+      .crossJoin(broadcast(cb))
+      .withColumn("lut", transform(sequence(lit(0), lit(NumSub - 1)), j =>
+        transform(sequence(lit(0), size(col("cbv")) - 1), c =>
+          subDist2(col("qv"), element_at(col("cbv"), c + 1), j))))
+      .select(col("qid"), col("lut"))
+    val sims = encoded.crossJoin(broadcast(luts))
+      .where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        aggregate(sequence(lit(0), lit(NumSub - 1)), lit(0.0), (s, j) =>
+          s + element_at(element_at(col("lut"), j + 1),
+            element_at(col("codes"), j + 1) + 1)).as("adist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("nid").asc)
+    sims.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Per-subspace quantization distortion — the PQ quality observable
+    * (codebook size vs reconstruction error is THE tuning curve; a
+    * subspace with outsized distortion wants its own larger codebook
+    * or a rotation). One encode pass + an 8-group aggregate; the
+    * double sum goes through DECIMAL(18,2) (registry determinism
+    * rule) so both engines sum exactly. Output
+    * `(j, n, sum_d2, mean_d2, max_d2)`.
+    */
+  def pqDistortion(embeddings: DataFrame,
+      codebook: Option[DataFrame] = None): DataFrame = {
+    val cb = codebook.getOrElse(demoCodebook(embeddings))
+    val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    base.crossJoin(broadcast(cb))
+      .select(posexplode(transform(sequence(lit(0), lit(NumSub - 1)), j =>
+        aggregate(
+          sequence(lit(0), size(col("cbv")) - 1),
+          lit(Double.MaxValue),
+          (acc, c) => least(acc, subDist2(col("v"), element_at(col("cbv"), c + 1), j)))))
+        .as(Seq("j", "d2")))
+      .groupBy(col("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("d2").cast("decimal(18,2)")).as("sum_dec"),
+        max(col("d2")).as("max_d2"))
+      .select(col("j"), col("n"),
+        col("sum_dec").cast("double").as("sum_d2"),
+        (col("sum_dec").cast("double") / col("n").cast("double")).as("mean_d2"),
+        col("max_d2"))
+  }
+
+  private def q84(s: SparkSession, d: String): DataFrame =
+    adcTopK(Tables.embeddings(s, d), col("vec_id") % QueryStride === 0, TopK)
+
+  private def q85(s: SparkSession, d: String): DataFrame =
+    pqDistortion(Tables.embeddings(s, d))
+
+  // Shared oracle CTEs: double-widened vectors, the demo codebook, and
+  // the per-(vector, subspace, codeword) squared distance computed as
+  // the identical left fold (list_reduce has no init, but 0.0 + x1 ==
+  // x1 in IEEE — the o26 precedent).
+  private val oCommon =
+    s"""v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cb AS (
+       |  SELECT vec_id AS code, v AS cw FROM v WHERE vec_id < $NumCodes),
+       |sd AS (
+       |  SELECT v.vec_id, cb.code, j.j,
+       |         list_reduce(list_transform(range(1, ${SubDim + 1}),
+       |             i -> (v.v[j.j * $SubDim + i] - cb.cw[j.j * $SubDim + i]) *
+       |                  (v.v[j.j * $SubDim + i] - cb.cw[j.j * $SubDim + i])),
+       |           (a, b) -> a + b) AS d2
+       |  FROM v CROSS JOIN cb CROSS JOIN (SELECT unnest(range(0, $NumSub)) AS j) j),
+       |enc AS (
+       |  SELECT vec_id, j, code, d2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+       |                                 ORDER BY d2 ASC, code ASC) AS erk
+       |    FROM sd)
+       |  WHERE erk = 1)""".stripMargin
+
+  private val o84 =
+    s"""WITH $oCommon,
+       |lut AS (
+       |  SELECT vec_id AS qid, j, code, d2 FROM sd WHERE vec_id % $QueryStride = 0),
+       |pairs AS (
+       |  SELECT lut.qid, enc.vec_id AS nid, enc.j, lut.d2
+       |  FROM enc JOIN lut ON enc.j = lut.j AND enc.code = lut.code
+       |  WHERE lut.qid <> enc.vec_id),
+       |adist AS (
+       |  SELECT qid, nid,
+       |         list_reduce(list_transform(
+       |             list_sort(list(struct_pack(j := j, d := d2))), x -> x.d),
+       |           (a, b) -> a + b) AS adist
+       |  FROM pairs GROUP BY qid, nid)
+       |SELECT qid, nid, adist, rk FROM (
+       |  SELECT qid, nid, adist,
+       |         row_number() OVER (PARTITION BY qid ORDER BY adist ASC, nid ASC) AS rk
+       |  FROM adist)
+       |WHERE rk <= $TopK""".stripMargin
+
+  private val o85 =
+    s"""WITH $oCommon
+       |SELECT CAST(j AS INTEGER) AS j, count(*) AS n,
+       |       CAST(sum(CAST(d2 AS DECIMAL(18,2))) AS DOUBLE) AS sum_d2,
+       |       CAST(sum(CAST(d2 AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_d2,
+       |       max(d2) AS max_d2
+       |FROM enc GROUP BY j""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q84_pq_adc_topk",
+      "product-quantization ADC top-k (4-bit codes, broadcast LUTs)",
+      q84, Some(o84)),
+    GraftQuery("q85_pq_distortion",
+      "per-subspace PQ reconstruction-error diagnostic",
+      q85, Some(o85)))
+}

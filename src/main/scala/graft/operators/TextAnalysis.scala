@@ -1375,6 +1375,177 @@ object TextAnalysis {
        |FROM r""".stripMargin
   }
 
+  // ---- q86: CCNet-style per-language LM tertile bucketing ----------------
+  // The CCNet recipe (Wenzek et al. 2020): score each document with a
+  // language-model quality proxy, then split each language's corpus
+  // into head/middle/tail TERTILES of that score — downstream training
+  // mixes sample head-heavy without hard-dropping the tail. The score
+  // here is q56's mean corpus-unigram probability (higher = more
+  // fluent, the repo's integer-exact KenLM stand-in); buckets come
+  // from DISCRETE ranks (the q68 lesson — no interpolated quantile
+  // crosses an engine boundary): rank docs per language by
+  // (mean_prob DESC, doc_id ASC), head = rank <= ceil(n/3), middle =
+  // rank <= ceil(2n/3), tail = rest, with the ceilings in pure integer
+  // arithmetic. One exchange for the per-language window (the q68
+  // scale caveat shared: per-language sort — at 100 TB rank per
+  // (lang, shard) and merge, or take approx_percentile cutpoints when
+  // exactness isn't contractual; exact selection is the oracle
+  // semantic here). The LM side inherits q56's shapes unchanged.
+  /** Per-doc CCNet-style LM bucket over any `(doc_id, text, lang)`
+    * frame: `(doc_id, lang, mean_prob, bucket)` with bucket in
+    * {head, middle, tail} by per-language tertile of mean_prob.
+    */
+  def lmBuckets(docs: DataFrame): DataFrame = {
+    val lm = unigramLm(docs).select(col("doc_id"), col("mean_prob"))
+    val base = docs.select(col("doc_id"), col("lang")).join(lm, "doc_id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    base
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("mean_prob").desc, col("doc_id").asc)))
+      .withColumn("n", count(lit(1)).over(w))
+      .select(col("doc_id"), col("lang"), col("mean_prob"),
+        when(col("rk") <= expr("(n + 2) div 3"), lit("head"))
+          .when(col("rk") <= expr("(2 * n + 2) div 3"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  private def q86(s: SparkSession, d: String): DataFrame =
+    lmBuckets(Tables.documents(s, d))
+
+  private val o86 =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |freq AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+       |tot AS (SELECT count(*) AS total FROM toks),
+       |scaled AS (
+       |  SELECT w, (cnt * $LmScale) // total AS p_scaled FROM freq CROSS JOIN tot),
+       |per AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |         CAST(sum(p_scaled) AS BIGINT) AS sum_scaled
+       |  FROM toks JOIN scaled USING (w) GROUP BY doc_id),
+       |lm AS (
+       |  SELECT doc_id,
+       |         CAST(sum_scaled AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * ${LmScale}.0) AS mean_prob
+       |  FROM per),
+       |r AS (
+       |  SELECT d.doc_id, d.lang, lm.mean_prob,
+       |         row_number() OVER (PARTITION BY d.lang
+       |                            ORDER BY lm.mean_prob DESC, d.doc_id ASC) AS rk,
+       |         count(*) OVER (PARTITION BY d.lang) AS n
+       |  FROM documents d JOIN lm ON d.doc_id = lm.doc_id)
+       |SELECT doc_id, lang, mean_prob,
+       |       CASE WHEN rk <= (n + 2) // 3 THEN 'head'
+       |            WHEN rk <= (2 * n + 2) // 3 THEN 'middle'
+       |            ELSE 'tail' END AS bucket
+       |FROM r""".stripMargin
+
+  // ---- q87: hybrid retrieval — reciprocal-rank fusion of BM25 + dense ----
+  // The production RAG retrieval shape: run the lexical ranker (q58's
+  // BM25 kernel) and the dense ranker (q26's brute-force cosine; IVF
+  // or PQ substitute at scale) independently, then fuse by reciprocal
+  // rank — RRF (Cormack et al. 2009), score = Σ 1/(K + rank) with
+  // K = 60, the fusion every hybrid search stack ships because it
+  // needs no score calibration between rankers. The query is a term
+  // set on the lexical side and the corresponding query vector
+  // (doc_id == vec_id in the fixture corpus) on the dense side; a doc
+  // absent from one ranker's top-k contributes 0 from that ranker
+  // (NULL-safe coalesce, both engines). Both inputs are <= k rows by
+  // construction, so the fusion's outer join and final rank window are
+  // driver-trivial at ANY corpus scale — the expensive parts are the
+  // upstream rankers, which keep their own audited shapes.
+  private val RrfK = 60
+  private val HybridK = 10
+
+  /** RRF fusion of lexical BM25 top-`k` (for `terms`) and dense cosine
+    * top-`k` (for query vector `queryVecId`): `(doc_id, lex_rk,
+    * dense_rk, rrf, rk)`, ranked by fused score desc, doc_id asc.
+    */
+  def hybridRrf(docs: DataFrame, embeddings: DataFrame, terms: Seq[String],
+      queryVecId: Long, k: Int): DataFrame = {
+    // bounded global windows: both frames are <= k rows
+    val lex = lexicalTopK(docs, terms, k)
+      .withColumn("lex_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("lex_rk"))
+    val dense = Similarity.cosineTopK(embeddings, col("vec_id") === queryVecId, k)
+      .select(col("nid").as("doc_id"), col("rk").as("dense_rk"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rk"), col("dense_rk"),
+        (coalesce(lit(1.0) / (lit(RrfK) + col("lex_rk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("dense_rk")), lit(0.0))).as("rrf"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rrf").desc, col("doc_id").asc)))
+  }
+
+  private def q87(s: SparkSession, d: String): DataFrame =
+    hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d),
+      QueryTerms, queryVecId = 0L, HybridK)
+
+  private val o87 = {
+    val lst = QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |         string_split(text, ' ') AS w0
+       |  FROM documents),
+       |stats AS (
+       |  SELECT count(*) AS n_docs,
+       |         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       |  FROM base),
+       |tf AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+       |    SELECT doc_id, dl, unnest(w0) AS term FROM base)
+       |  WHERE term IN ($lst)
+       |  GROUP BY doc_id, dl, term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term,
+       |         (CAST(n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) *
+       |         ((CAST(tf.tf AS DOUBLE) * ($Bm25K1 + 1.0)) /
+       |          (CAST(tf.tf AS DOUBLE) + $Bm25K1 * (1.0 - $Bm25B +
+       |           $Bm25B * (CAST(tf.dl AS DOUBLE) / avgdl)))) AS s
+       |  FROM tf JOIN df USING (term) CROSS JOIN stats),
+       |lexs AS (
+       |  SELECT doc_id,
+       |         list_reduce(list_transform(
+       |           list_sort(list(struct_pack(t := term, s := s))), x -> x.s),
+       |           (a, b) -> a + b) AS score
+       |  FROM scored GROUP BY doc_id),
+       |lex AS (
+       |  SELECT doc_id, lex_rk FROM (
+       |    SELECT doc_id,
+       |           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS lex_rk
+       |    FROM lexs)
+       |  WHERE lex_rk <= $HybridK),
+       |v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+       |  FROM v),
+       |p AS (
+       |  SELECT c.vec_id AS nid,
+       |         list_reduce(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]),
+       |                     (a, b) -> a + b) / (q.nrm * c.nrm) AS sim
+       |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id = 0),
+       |dense AS (
+       |  SELECT nid AS doc_id, dense_rk FROM (
+       |    SELECT nid, row_number() OVER (ORDER BY sim DESC, nid ASC) AS dense_rk
+       |    FROM p)
+       |  WHERE dense_rk <= $HybridK),
+       |f AS (
+       |  SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id, lex_rk, dense_rk,
+       |         coalesce(1.0 / ($RrfK + lex_rk), 0.0) +
+       |         coalesce(1.0 / ($RrfK + dense_rk), 0.0) AS rrf
+       |  FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id)
+       |SELECT doc_id, lex_rk, dense_rk, rrf,
+       |       row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rk
+       |FROM f""".stripMargin
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q27_langid", "marker-word language identification", q27, Some(o27)),
     GraftQuery("q28_quality", "document quality scoring", q28, Some(o28)),
@@ -1394,5 +1565,7 @@ object TextAnalysis {
     GraftQuery("q79_gopher_rules", "Gopher rule-based quality gate (integer-exact cross-multiplied ratios)", q79, Some(o79)),
     GraftQuery("q81_normalize_text", "Unicode NFC + whitespace/control normalization (planted-dirt, byte-compared)", q81, Some(o81)),
     GraftQuery("q82_c4_line_filter", "C4 line/page cleaning rules (terminal-punct lines, javascript/brace/lorem drops)", q82, Some(o82)),
-    GraftQuery("q83_bpe_pairs", "BPE first-merge char-pair counts (vocabulary-weighted, not corpus-exploded)", q83, Some(o83)))
+    GraftQuery("q83_bpe_pairs", "BPE first-merge char-pair counts (vocabulary-weighted, not corpus-exploded)", q83, Some(o83)),
+    GraftQuery("q86_lm_buckets", "CCNet-style per-language LM tertile buckets (discrete integer ranks)", q86, Some(o86)),
+    GraftQuery("q87_hybrid_rrf", "hybrid retrieval: reciprocal-rank fusion of BM25 + dense cosine top-k", q87, Some(o87)))
 }

@@ -1,0 +1,133 @@
+package graft
+
+import graft.operators.{Quantization, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product-quantization invariants (q84/q85), plus the CCNet bucket
+  * (q86) and hybrid-RRF (q87) contracts. All against the sf0.001
+  * fixtures — the oracle parity itself is driver-checked; these pin
+  * the algebraic properties no row-hash can express.
+  */
+class QuantizationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def emb = Tables.embeddings(spark, TestSpark.sf0001)
+  private def docs = Tables.documents(spark, TestSpark.sf0001)
+
+  test("codeword vectors PQ-encode to themselves with zero error") {
+    val enc = Quantization.pqEncode(emb, Quantization.demoCodebook(emb))
+      .filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("codes"), col("qerr")).collect()
+    assert(enc.length == 16)
+    enc.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getDouble(2) == 0.0, s"vec $id qerr")
+      // with distinct random subvectors the zero-distance codeword is the
+      // vector itself in every subspace
+      assert(r.getSeq[Int](1).forall(_ == id.toInt), s"vec $id codes")
+    }
+  }
+
+  test("ADC with a full-corpus codebook degenerates to exact L2 top-k") {
+    // every vector is its own codeword => adist(q, x) == the subspace-
+    // grouped L2^2(q, x), so PQ top-k must equal brute-force L2 top-k
+    val full = Quantization.demoCodebook(emb, numCodes = 1000000)
+    val pq = Quantization.adcTopK(emb, col("vec_id") % 100 === 0, 5,
+      codebook = Some(full))
+      .select(col("qid"), col("rk"), col("nid")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // reference: same subspace-grouped summation, computed directly
+    val base = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val d2 = aggregate(sequence(lit(0), lit(7)), lit(0.0), (s, j) =>
+      s + aggregate(sequence(lit(1), lit(8)), lit(0.0), (t, i) => {
+        val xi = element_at(col("qv"), j * 8 + i)
+        val yi = element_at(col("v"), j * 8 + i)
+        t + (xi - yi) * (xi - yi)
+      }))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d").asc, col("nid").asc)
+    val exact = base.crossJoin(broadcast(q)).where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"), d2.as("d"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("nid")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(pq.nonEmpty && pq == exact)
+  }
+
+  test("distortion is pointwise monotone in codebook size (prefix codebooks)") {
+    val d16 = Quantization.pqDistortion(emb,
+      Some(Quantization.demoCodebook(emb, 16)))
+      .select(col("j"), col("mean_d2")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val d4 = Quantization.pqDistortion(emb,
+      Some(Quantization.demoCodebook(emb, 4)))
+      .select(col("j"), col("mean_d2")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(d16.keySet == (0 until 8).toSet)
+    // codebook-4 is a prefix of codebook-16, so per-vector min distance
+    // can only shrink; means follow (DECIMAL rounding is shared)
+    (0 until 8).foreach(j => assert(d16(j) <= d4(j), s"subspace $j"))
+  }
+
+  test("Lloyd-fitted codebook never exceeds demo-codebook distortion") {
+    // init == demo codebook and the sample covers the whole fixture, so
+    // Lloyd's monotone objective makes this an invariant, not a hope
+    val demoErr = Quantization.pqEncode(emb, Quantization.demoCodebook(emb))
+      .agg(sum(col("qerr").cast("decimal(18,2)"))).collect().head.getDecimal(0)
+    val fitted = Quantization.kmeansCodebook(emb)
+    val fitErr = Quantization.pqEncode(emb, fitted)
+      .agg(sum(col("qerr").cast("decimal(18,2)"))).collect().head.getDecimal(0)
+    assert(fitErr.compareTo(demoErr) <= 0, s"fitted $fitErr vs demo $demoErr")
+    val row = fitted.collect().head
+    val cbv = row.getSeq[scala.collection.Seq[Double]](0)
+    assert(cbv.length == 16 && cbv.forall(_.length == 64))
+  }
+
+  test("q86 buckets split every language into exact discrete tertiles") {
+    val out = TextAnalysis.lmBuckets(docs)
+      .groupBy(col("lang"), col("bucket")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val perLang = out.keys.map(_._1).toSet
+    assert(perLang.nonEmpty)
+    perLang.foreach { lang =>
+      val h = out.getOrElse((lang, "head"), 0L)
+      val m = out.getOrElse((lang, "middle"), 0L)
+      val t = out.getOrElse((lang, "tail"), 0L)
+      val n = h + m + t
+      assert(h == (n + 2) / 3, s"$lang head")
+      assert(h + m == (2 * n + 2) / 3, s"$lang head+middle")
+    }
+    // ordering contract: no tail doc outscores a head doc within a lang
+    val rows = TextAnalysis.lmBuckets(docs)
+      .select(col("lang"), col("bucket"), col("mean_prob")).collect()
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val head = rs.filter(_.getString(1) == "head").map(_.getDouble(2))
+      val tail = rs.filter(_.getString(1) == "tail").map(_.getDouble(2))
+      if (head.nonEmpty && tail.nonEmpty)
+        assert(head.min >= tail.max, s"$lang bucket ordering")
+    }
+  }
+
+  test("q87 RRF fuses exactly the union of the two top-k lists") {
+    val out = TextAnalysis.hybridRrf(docs, emb,
+      Seq("spark", "join", "window", "dup"), queryVecId = 0L, k = 10)
+      .collect()
+    assert(out.nonEmpty && out.length <= 20)
+    out.foreach { r =>
+      val lexRk = if (r.isNullAt(1)) None else Some(r.getInt(1))
+      val denseRk = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      assert(lexRk.isDefined || denseRk.isDefined)
+      val expected = lexRk.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        denseRk.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(r.getDouble(3) == expected, s"doc ${r.getLong(0)} rrf")
+    }
+    // fused rank is dense over 1..n and ordered by rrf desc
+    val byRk = out.sortBy(_.getInt(4))
+    assert(byRk.map(_.getInt(4)).toSeq == (1 to out.length))
+    assert(byRk.map(_.getDouble(3)).toSeq.reverse.sorted.reverse ==
+      byRk.map(_.getDouble(3)).toSeq)
+  }
+}
