@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayDot, GramHashes, MinHashSlices, NfcNormalize, NormalizeText, ShingleHashes, ShingleSet, SimHash, WordGrams}
+import graft.functions.{ArrayDot, GramHashes, MinHashSlices, NfcNormalize, NormalizeText, PqAdcDist, PqAdcDistPacked, PqEncode, ShingleHashes, ShingleSet, SimHash, WordGrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -50,6 +50,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("normalize_text"),
       new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
       (exprs: Seq[Expression]) => NormalizeText(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      (exprs: Seq[Expression]) => PqEncode(exprs(0), exprs(1),
+        SimHash.bitsArg(exprs(2)))))
+    e.injectFunction((
+      FunctionIdentifier("pq_adc_dist"),
+      new ExpressionInfo(classOf[PqAdcDist].getName, "pq_adc_dist"),
+      (exprs: Seq[Expression]) => PqAdcDist(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("pq_adc_dist_packed"),
+      new ExpressionInfo(classOf[PqAdcDistPacked].getName, "pq_adc_dist_packed"),
+      (exprs: Seq[Expression]) => PqAdcDistPacked(exprs(0), exprs(1),
+        SimHash.bitsArg(exprs(2)))))
   }
 }
 
@@ -75,5 +89,13 @@ object GraftFunctions {
       spark, "nfc_normalize", exprs => NfcNormalize(exprs(0)))
     org.apache.spark.sql.graftshim.ColumnBridge.registerTempFunction(
       spark, "normalize_text", exprs => NormalizeText(exprs(0)))
+    org.apache.spark.sql.graftshim.ColumnBridge.registerTempFunction(
+      spark, "pq_encode", exprs => PqEncode(exprs(0), exprs(1),
+        SimHash.bitsArg(exprs(2))))
+    org.apache.spark.sql.graftshim.ColumnBridge.registerTempFunction(
+      spark, "pq_adc_dist", exprs => PqAdcDist(exprs(0), exprs(1)))
+    org.apache.spark.sql.graftshim.ColumnBridge.registerTempFunction(
+      spark, "pq_adc_dist_packed", exprs => PqAdcDistPacked(exprs(0), exprs(1),
+        SimHash.bitsArg(exprs(2))))
   }
 }

@@ -141,12 +141,36 @@ object Quantization {
     Seq(Tuple1(assembled)).toDF("cbv")
   }
 
-  /** PQ-encode: `(vec_id, codes, qerr)` — per-subspace nearest-codeword
-    * ids (ties to the lowest id) and the total squared reconstruction
-    * error. ONE scan, zero shuffle: the codebook is a broadcast 1-row
-    * cross join and both outputs fold row-locally.
+  /** PQ-encode: `(vec_id, codes, dists, qerr)` — per-subspace
+    * nearest-codeword ids (ties to the lowest id), per-subspace best
+    * distances, and the total squared reconstruction error. ONE scan,
+    * zero shuffle: the codebook is a broadcast 1-row cross join and
+    * everything folds row-locally inside the native codegen'd
+    * [[graft.functions.PqEncode]] kernel (the interpreted HOF twin,
+    * [[pqEncodeHof]], is kept as the executable semantic reference —
+    * bit-equality is spec-pinned).
     */
   def pqEncode(embeddings: DataFrame, codebook: DataFrame): DataFrame = {
+    val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    base.crossJoin(broadcast(codebook))
+      .withColumn("enc",
+        graft.functions.PqEncode(col("v"), col("cbv"), NumSub))
+      .select(col("vec_id"), col("enc.codes").as("codes"),
+        col("enc.dists").as("dists"), col("enc.qerr").as("qerr"),
+        col("enc.word").as("word"))
+  }
+
+  /** The composable higher-order-function form [[pqEncode]] replaced —
+    * interpreted per element (0.50 s vs the native kernel's 0.30 s for
+    * the 20k-vector sf1-replica encode; the decisive gap is that the
+    * interpreted nested-HOF tree also cannot produce the packed `word`
+    * or the `dists` the q85 diagnostic reuses without a second pass) —
+    * retained as the semantic reference the native kernel is
+    * spec-compared against bit-for-bit and the shape the DuckDB oracle
+    * mirrors.
+    */
+  private[graft] def pqEncodeHof(embeddings: DataFrame,
+      codebook: DataFrame): DataFrame = {
     val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     base.crossJoin(broadcast(codebook))
       .withColumn("sub", transform(sequence(lit(0), lit(NumSub - 1)), j =>
@@ -161,6 +185,7 @@ object Quantization {
           })))
       .select(col("vec_id"),
         transform(col("sub"), s => s.getField("c")).as("codes"),
+        transform(col("sub"), s => s.getField("d")).as("dists"),
         aggregate(col("sub"), lit(0.0), (s, x) => s + x.getField("d")).as("qerr"))
   }
 
@@ -172,23 +197,57 @@ object Quantization {
     */
   def adcTopK(embeddings: DataFrame, queryPred: Column, k: Int,
       codebook: Option[DataFrame] = None): DataFrame = {
+    val sims = adcPairs(embeddings, queryPred, codebook)
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("nid").asc)
+    sims.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** The unranked `(qid, nid, adist)` pair stream [[adcTopK]] windows —
+    * exposed for the stage-cost probe (graft.tools.PqProbe).
+    */
+  private[graft] def adcPairs(embeddings: DataFrame, queryPred: Column,
+      codebook: Option[DataFrame]): DataFrame = {
     val cb = codebook.getOrElse(demoCodebook(embeddings))
-    val encoded = pqEncode(embeddings, cb)
+    // flat j-major LUT (subspace-j block, then codeword c) — the shape
+    // PqAdcDist indexes with zero per-pair allocation; queries are few,
+    // so the interpreted HOF build cost is immaterial
     val luts = embeddings.filter(queryPred)
       .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
       .crossJoin(broadcast(cb))
-      .withColumn("lut", transform(sequence(lit(0), lit(NumSub - 1)), j =>
+      .withColumn("lut", flatten(transform(sequence(lit(0), lit(NumSub - 1)), j =>
         transform(sequence(lit(0), size(col("cbv")) - 1), c =>
-          subDist2(col("qv"), element_at(col("cbv"), c + 1), j))))
+          subDist2(col("qv"), element_at(col("cbv"), c + 1), j)))))
       .select(col("qid"), col("lut"))
-    val sims = encoded.crossJoin(broadcast(luts))
+    // The pair loop reads the PACKED 64-bit code when the codebook fits
+    // (K <= 256 — the FAISS PQ8x8 form; one primitive long per corpus
+    // vector, the PQ storage claim made literal); oversized codebooks
+    // fall back to the bit-identical unpacked array form. The
+    // driver-side probe is one 1-row action against the tiny codebook
+    // frame (the demoCentroids existence-probe precedent).
+    val k = cb.select(size(col("cbv"))).head.getInt(0)
+    val packed = k <= 256 && NumSub <= 8
+    // The code table is MATERIALIZED (lazy localCheckpoint — the
+    // Dedup.dupClusters barrier precedent, auto-freed by the
+    // ContextCleaner when unreferenced) before the pair join, for two
+    // reasons that are one reason at scale: (a) a real PQ system stores
+    // the codes — the 8-bytes-per-vector index IS the product, and the
+    // scan must read codes, not re-encode floats; (b) without the
+    // barrier, whole-stage codegen defers the stream-side
+    // `pqencode(...).word` projection into the BNLJ pair loop, so the
+    // O(dim·K) encode runs once per PAIR instead of once per vector —
+    // measured 11.6 s vs 0.4 s for the 4M-pair scan on the sf1 replica
+    // (the plan LOOKS right: Project below the join; the deferral is a
+    // codegen-time behavior `.explain` cannot show).
+    val encoded = (
+      if (packed) pqEncode(embeddings, cb).select(col("vec_id"), col("word"))
+      else pqEncode(embeddings, cb).select(col("vec_id"), col("codes"))
+    ).localCheckpoint(false)
+    val adist =
+      if (packed) graft.functions.PqAdcDistPacked(col("word"), col("lut"), NumSub)
+      else graft.functions.PqAdcDist(col("codes"), col("lut"))
+    encoded.crossJoin(broadcast(luts))
       .where(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id").as("nid"),
-        aggregate(sequence(lit(0), lit(NumSub - 1)), lit(0.0), (s, j) =>
-          s + element_at(element_at(col("lut"), j + 1),
-            element_at(col("codes"), j + 1) + 1)).as("adist"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("nid").asc)
-    sims.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), adist.as("adist"))
   }
 
   /** Per-subspace quantization distortion — the PQ quality observable
@@ -202,14 +261,8 @@ object Quantization {
   def pqDistortion(embeddings: DataFrame,
       codebook: Option[DataFrame] = None): DataFrame = {
     val cb = codebook.getOrElse(demoCodebook(embeddings))
-    val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    base.crossJoin(broadcast(cb))
-      .select(posexplode(transform(sequence(lit(0), lit(NumSub - 1)), j =>
-        aggregate(
-          sequence(lit(0), size(col("cbv")) - 1),
-          lit(Double.MaxValue),
-          (acc, c) => least(acc, subDist2(col("v"), element_at(col("cbv"), c + 1), j)))))
-        .as(Seq("j", "d2")))
+    pqEncode(embeddings, cb)
+      .select(posexplode(col("dists")).as(Seq("j", "d2")))
       .groupBy(col("j"))
       .agg(count(lit(1)).as("n"),
         sum(col("d2").cast("decimal(18,2)")).as("sum_dec"),

@@ -14,6 +14,59 @@ class QuantizationSpec extends AnyFunSuite {
   private def emb = Tables.embeddings(spark, TestSpark.sf0001)
   private def docs = Tables.documents(spark, TestSpark.sf0001)
 
+  test("native PqEncode matches the HOF reference form bit-for-bit") {
+    val cb = Quantization.demoCodebook(emb)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("codes"), col("dists"), col("qerr"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Int](1),
+        r.getSeq[Double](2).map(java.lang.Double.doubleToLongBits),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))))
+      .toMap
+    val native = rows(Quantization.pqEncode(emb, cb))
+    val hof = rows(Quantization.pqEncodeHof(emb, cb))
+    assert(native.size == 500)
+    assert(native == hof)
+  }
+
+  test("native PqAdcDist matches the interpreted lookup fold and nulls out of range") {
+    import spark.implicits._
+    // flat j-major: [lut(j=0,c=0), lut(0,1), lut(1,0), lut(1,1)]
+    val df = Seq(
+      (Seq(0, 1), Seq(1.5, 2.5, 3.25, 4.75)),
+      (Seq(1, 0), Seq(1.5, 2.5, 3.25, 4.75)),
+      (Seq(2, 0), Seq(1.5, 2.5, 3.25, 4.75)) // code 2 out of range (K=2)
+    ).toDF("codes", "lut")
+    val got = df.select(graft.functions.PqAdcDist(col("codes"), col("lut")).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got(0).contains(1.5 + 4.75))
+    assert(got(1).contains(2.5 + 3.25))
+    assert(got(2).isEmpty)
+  }
+
+  test("packed ADC over the 64-bit word matches the unpacked array form bit-for-bit") {
+    val cb = Quantization.demoCodebook(emb)
+    val enc = Quantization.pqEncode(emb, cb)
+    // a representative LUT: any 128-length double array (j-major, K=16)
+    val lut = array((0 until 128).map(i => lit(i * 0.37 - 11.0)): _*)
+    val rows = enc.select(
+      graft.functions.PqAdcDist(col("codes"), lut).as("a"),
+      graft.functions.PqAdcDistPacked(col("word"), lut, 8).as("p")).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // word packs the exact code bytes
+    enc.select(col("codes"), col("word")).collect().foreach { r =>
+      val codes = r.getSeq[Int](0)
+      val w = r.getLong(1)
+      codes.zipWithIndex.foreach { case (c, j) =>
+        assert(((w >>> (8 * j)) & 0xffL).toInt == c)
+      }
+    }
+  }
+
   test("codeword vectors PQ-encode to themselves with zero error") {
     val enc = Quantization.pqEncode(emb, Quantization.demoCodebook(emb))
       .filter(col("vec_id") < 16)
