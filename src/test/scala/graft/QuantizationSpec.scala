@@ -164,6 +164,24 @@ class QuantizationSpec extends AnyFunSuite {
     }
   }
 
+  test("q84 pair stage consumes the MATERIALIZED code table (no encode above the barrier)") {
+    // The measured failure mode (SCALE.md round-10 PQ entry): without
+    // the localCheckpoint barrier, whole-stage codegen defers the
+    // stream-side pqencode projection into the BNLJ pair loop and the
+    // O(dim·K) encode runs once per PAIR (11.6s vs 0.4s on the sf1
+    // replica) — and the logical plan LOOKS correct either way. This
+    // pins the executed plan: the pair join must read the code table as
+    // a checkpointed ExistingRDD scan, with no PQ encode expression
+    // anywhere above it.
+    val pairs = Quantization.adcPairs(emb, col("vec_id") % 100 === 0, None)
+    pairs.count()
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("existingrdd"),
+      s"pair stage does not scan the materialized code table:\n$plan")
+    assert(!plan.toLowerCase.contains("pqencode"),
+      s"encode expression leaked above the materialization barrier:\n$plan")
+  }
+
   test("q87 RRF fuses exactly the union of the two top-k lists") {
     val out = TextAnalysis.hybridRrf(docs, emb,
       Seq("spark", "join", "window", "dup"), queryVecId = 0L, k = 10)
