@@ -985,6 +985,115 @@ object Dedup {
   private def q66(s: SparkSession, d: String): DataFrame =
     dupTokenCoverage(Tables.documents(s, d))
 
+  // ---- q88: longest shared verbatim span per candidate pair --------------
+  // The decision metric BETWEEN q25 (set-level Jaccard) and q63/q66
+  // (corpus-level span rules): for each LSH candidate pair, how LONG is
+  // the longest verbatim shared token run? Lee et al.'s ExactSubstr
+  // threshold (drop/trim at >= 50 shared tokens) needs exactly this
+  // number — a pair at Jaccard 0.4 could be a 50%-verbatim partial copy
+  // (trim the span) or diffuse template overlap (leave it); q25 cannot
+  // tell them apart.
+  //
+  // Method: first-occurrence 8-gram diagonal alignment. Each doc keeps
+  // ONE position per distinct gram (min pos — bounds the match join at
+  // |distinct grams| and makes the pair state <= min doc length);
+  // matched grams land on diagonals dg = pa - pb, and a verbatim shared
+  // run of length L appears as L-7 consecutive positions on one
+  // diagonal => span_tokens = max_run + 7. Exact when the span's grams
+  // are unique within each doc (the overwhelmingly common case for
+  // natural text); with internal repetition a run can split at the
+  // repeated gram, so the estimate is a LOWER bound — the conservative
+  // direction for a trim/drop decision. Pairs sharing no gram are
+  // absent (the q43 reporting contract).
+  //
+  // Scale shape: candidate pairs come from the capped LSH band join
+  // (never all-pairs); the gram frame is fixed-width (doc_id, gh,
+  // one long) — the q25 lesson, no string-array payloads cross an
+  // exchange; two doc_id-keyed join shuffles + one (a, b) aggregate
+  // exchange; the run-length scan is a row-local sorted fold (q66's
+  // interval-union pattern), never a per-pair window. The gram subtree
+  // is evaluated once per join side (the accepted q25-class second
+  // scan; a shared-pipeline variant could stage grams to parquet).
+
+  /** Longest shared verbatim token span per candidate pair:
+    * `(doc_a, doc_b, n_shared, max_run, span_tokens)` for pairs sharing
+    * >= 1 distinct 8-gram; `span_tokens = max_run + 7` estimates the
+    * longest shared substring in tokens (lower bound under intra-doc
+    * gram repetition).
+    */
+  def dupSpans(cands: DataFrame, docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.GramHashes(col("text"), 8, 16)))
+      .groupBy(col("doc_id"), col("col"))
+      .agg(min(col("pos")).cast("long").as("p"))
+    val ga = grams.select(col("doc_id").as("doc_a"), col("col").as("gh"),
+      col("p").as("pa"))
+    val gb = grams.select(col("doc_id").as("doc_b"), col("col").as("gh"),
+      col("p").as("pb"))
+    cands.join(ga, "doc_a").join(gb, Seq("doc_b", "gh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        collect_list(struct((col("pa") - col("pb")).as("dg"),
+          col("pa").as("pa"))).as("ms"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        expr("""aggregate(
+            array_sort(ms),
+            named_struct('best', CAST(0 AS BIGINT), 'run', CAST(0 AS BIGINT),
+                         'dg', CAST(-9223372036854775808 AS BIGINT),
+                         'pp', CAST(-2 AS BIGINT)),
+            (acc, m) -> named_struct(
+              'best', greatest(acc.best,
+                CASE WHEN m.dg = acc.dg AND m.pa = acc.pp + 1L
+                     THEN acc.run + 1L ELSE 1L END),
+              'run', CASE WHEN m.dg = acc.dg AND m.pa = acc.pp + 1L
+                          THEN acc.run + 1L ELSE 1L END,
+              'dg', m.dg, 'pp', m.pa),
+            acc -> acc.best)""").as("max_run"))
+      .withColumn("span_tokens", col("max_run") + lit(7L))
+  }
+
+  private def q88(s: SparkSession, d: String): DataFrame =
+    dupSpans(candidatePairs(s, d), Tables.documents(s, d))
+
+  // Oracle: same first-occurrence grams (md5-prefix hashes, the o66
+  // idiom), the shared capped-LSH candidate CTE, and gaps-and-islands
+  // for the diagonal runs (pa - row_number() per (pair, dg) is constant
+  // exactly on a consecutive run). DuckDB's 1-based positions cancel:
+  // dg and run lengths are invariant under a constant shift of both
+  // sides, and no raw position is emitted.
+  private val o88 =
+    s"""WITH $candidateCtes,
+      |w88 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |o88 AS (
+      |  SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i
+      |  FROM w88 WHERE len(ws) >= 8),
+      |g88 AS (
+      |  SELECT doc_id, gh, min(i) AS p FROM (
+      |    SELECT doc_id, i,
+      |           substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 16) AS gh
+      |    FROM o88)
+      |  GROUP BY doc_id, gh),
+      |m88 AS (
+      |  SELECT cand.doc_a, cand.doc_b, a.p AS pa, a.p - b.p AS dg
+      |  FROM cand
+      |  JOIN g88 a ON a.doc_id = cand.doc_a
+      |  JOIN g88 b ON b.doc_id = cand.doc_b AND b.gh = a.gh),
+      |r88 AS (
+      |  SELECT doc_a, doc_b, dg, pa,
+      |         pa - row_number() OVER (PARTITION BY doc_a, doc_b, dg
+      |                                 ORDER BY pa) AS grp
+      |  FROM m88),
+      |runs AS (
+      |  SELECT doc_a, doc_b, count(*) AS run
+      |  FROM r88 GROUP BY doc_a, doc_b, dg, grp)
+      |SELECT s.doc_a, s.doc_b, s.n_shared, x.max_run,
+      |       x.max_run + 7 AS span_tokens
+      |FROM (SELECT doc_a, doc_b, count(*) AS n_shared
+      |      FROM m88 GROUP BY doc_a, doc_b) s
+      |JOIN (SELECT doc_a, doc_b, max(run) AS max_run
+      |      FROM runs GROUP BY doc_a, doc_b) x USING (doc_a, doc_b)""".stripMargin
+
   private val o66 =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |o AS (
@@ -1020,5 +1129,6 @@ object Dedup {
     GraftQuery("q65_containment_pairs", "max-containment re-scoring of LSH candidates (asymmetric copying)", q65, Some(o65)),
     GraftQuery("q66_dup_token_coverage", "ExactSubstr-shaped duplicated-token coverage fraction", q66, Some(o66)),
     GraftQuery("q72_dup_profile", "per-source duplication profile over q44's clusters", q72, Some(o72)),
-    GraftQuery("q74_lsh_quality", "LSH candidate precision / threshold-curve diagnostic", q74, Some(o74)))
+    GraftQuery("q74_lsh_quality", "LSH candidate precision / threshold-curve diagnostic", q74, Some(o74)),
+    GraftQuery("q88_dup_spans", "longest shared verbatim token span per LSH candidate pair", q88, Some(o88)))
 }

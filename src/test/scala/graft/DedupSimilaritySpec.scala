@@ -514,6 +514,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rows("srcB") == ((3L, 1L, 2L, 1.0 / 3.0)))
   }
 
+  test("q88: span length is exact for a planted shared run and a lower bound under repetition") {
+    import spark.implicits._
+    // doc 1/2 share a verbatim 12-token run at different offsets (plus
+    // disjoint tails); doc 3/4 are unrelated. Expected: max_run =
+    // 12 - 8 + 1 = 5 diagonal positions => span_tokens = 12.
+    val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val d = Seq(
+      (1L, s"aa bb cc $shared xx yy zz"),
+      (2L, s"$shared pp qq rr ss tt uu"),
+      (3L, "unrelated words entirely different from everything here now"),
+      (4L, "another unrelated block of text with no overlap at all ok")
+    ).toDF("doc_id", "text")
+    val cands = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val out = Dedup.dupSpans(cands, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val (nShared, maxRun, span) = out((1L, 2L))
+    assert(maxRun == 5L && span == 12L, s"planted run: $maxRun/$span")
+    assert(nShared == 5L)
+    // no shared 8-gram => pair absent (the reporting contract)
+    assert(!out.contains((3L, 4L)))
+
+    // identical docs: span == token count (the whole doc is the run)
+    val twin = Seq((5L, shared + " tail words here"), (6L, shared + " tail words here"))
+      .toDF("doc_id", "text")
+    val full = Dedup.dupSpans(Seq((5L, 6L)).toDF("doc_a", "doc_b"), twin).collect().head
+    assert(full.getLong(4) == 15L, s"identical docs span ${full.getLong(4)}")
+
+    // intra-doc gram repetition: the first-occurrence estimate may only
+    // UNDERSHOOT the true shared span, never overshoot it
+    val rep = "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8 end"
+    val reps = Seq((7L, rep), (8L, rep)).toDF("doc_id", "text")
+    val est = Dedup.dupSpans(Seq((7L, 8L)).toDF("doc_a", "doc_b"), reps)
+      .collect().head.getLong(4)
+    assert(est <= 17L && est >= 8L, s"repetition estimate $est")
+  }
+
   test("q74: the threshold curve counts planted exact, near and band-noise pairs correctly") {
     // 1,2 identical (J=1.0); 3,4 near (J between gate and 0.9);
     // 5,6 disjoint (never candidates)
