@@ -41,7 +41,8 @@ object Registry {
       RiskExplain.queries ++
       ScaleVariants.queries ++
       Multimodal.queries ++
-      TrainingData.queries
+      TrainingData.queries ++
+      Integrity.queries
 
   lazy val byName: Map[String, GraftQuery] =
     all.map(q => q.name -> q).toMap

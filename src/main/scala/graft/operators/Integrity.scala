@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus integrity audit — the dataset-card checks every training-data
+  * release runs before shipping: key uniqueness, null/empty payloads,
+  * referential integrity between the text and embedding tables, and
+  * embedding-dimension conformance. The reference pipeline's
+  * schema-alignment stage (clean_data 1.txt: explicit column selection
+  * before load) trusts its inputs; at 100 TB with multi-team writers,
+  * the audit IS the trust.
+  *
+  * One-pass shape (the plan you'd want at any scale): each table
+  * collapses to a per-key aggregate in a single scan (duplicate and
+  * null counts ride the same groupBy), the two aggregates meet in ONE
+  * full-outer join on the key, and every check folds out of that join
+  * in a single final aggregate — no per-check scan, no union of five
+  * subqueries. `stack` unpivots the five counters into the
+  * `(check, n_bad)` report rows.
+  *
+  * Fixture data is clean by construction, so the query PLANTS
+  * deterministic violations on both engines (the q52/q81 planted-dirt
+  * pattern): a duplicated doc_id, a null-text doc, an orphan doc, an
+  * orphan embedding, and a wrong-dimension embedding — every counter is
+  * exercised and the driver hash-checks nonzero values, not five zeros.
+  */
+object Integrity {
+
+  private val Dim = 64
+
+  /** The audit over arbitrary `(doc_id, text)` docs and
+    * `(vec_id, embedding)` embeddings: 5 rows `(check, n_bad)`.
+    */
+  def integrityAudit(docs: DataFrame, embeddings: DataFrame,
+      dim: Int = Dim): DataFrame = {
+    val dAgg = docs
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("d_rows"),
+        sum(when(col("text").isNull ||
+          length(trim(col("text"))) === 0, 1L).otherwise(0L)).as("d_null"))
+    val eAgg = embeddings
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("e_rows"),
+        sum(when(size(col("embedding")) =!= dim, 1L).otherwise(0L))
+          .as("e_wrong"))
+    dAgg.join(eAgg, col("doc_id") === col("vec_id"), "full_outer")
+      .agg(
+        sum(when(col("d_rows") > 1, 1L).otherwise(0L)).as("dup_key"),
+        coalesce(sum(col("d_null")), lit(0L)).as("null_text"),
+        sum(when(col("d_rows").isNotNull && col("e_rows").isNull, 1L)
+          .otherwise(0L)).as("doc_no_emb"),
+        sum(when(col("e_rows").isNotNull && col("d_rows").isNull, 1L)
+          .otherwise(0L)).as("emb_no_doc"),
+        coalesce(sum(col("e_wrong")), lit(0L)).as("wrong_dim"))
+      .selectExpr(
+        """stack(5,
+          |  'duplicate_doc_id', dup_key,
+          |  'null_or_empty_text', null_text,
+          |  'docs_without_embedding', doc_no_emb,
+          |  'embeddings_without_doc', emb_no_doc,
+          |  'wrong_dim_embedding', wrong_dim) AS (check, n_bad)"""
+          .stripMargin)
+  }
+
+  /** Fixture docs plus the planted violations (both engines plant the
+    * identical rows): doc_id 0 duplicated, -1 with null text, -2 an
+    * orphan with no embedding.
+    */
+  private def plantedDocs(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    base.unionByName(
+      base.sparkSession.range(1).select(
+        lit(0L).as("doc_id"), lit("planted duplicate").as("text"))
+        .unionByName(base.sparkSession.range(1).select(
+          lit(-1L).as("doc_id"), lit(null).cast("string").as("text")))
+        .unionByName(base.sparkSession.range(1).select(
+          lit(-2L).as("doc_id"), lit("planted orphan doc").as("text"))))
+  }
+
+  /** Fixture embeddings plus planted violations: -3 an orphan with a
+    * valid 64-dim vector, -4 an orphan with a 3-dim vector (counts in
+    * BOTH the orphan and wrong-dim checks — the oracle agrees).
+    */
+  private def plantedEmbeddings(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    base.unionByName(
+      base.sparkSession.range(1).select(
+        lit(-3L).as("vec_id"),
+        array_repeat(lit(0.5f), Dim).as("embedding"))
+        .unionByName(base.sparkSession.range(1).select(
+          lit(-4L).as("vec_id"),
+          array_repeat(lit(0.5f), 3).as("embedding"))))
+  }
+
+  private def q89(s: SparkSession, d: String): DataFrame =
+    integrityAudit(plantedDocs(s, d), plantedEmbeddings(s, d))
+
+  private val o89 =
+    s"""WITH d AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT 0, 'planted duplicate'
+       |  UNION ALL SELECT -1, NULL
+       |  UNION ALL SELECT -2, 'planted orphan doc'),
+       |e AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL SELECT -3, list_transform(range(0, $Dim), x -> CAST(0.5 AS FLOAT))
+       |  UNION ALL SELECT -4, list_transform(range(0, 3), x -> CAST(0.5 AS FLOAT))),
+       |da AS (
+       |  SELECT doc_id, count(*) AS d_rows,
+       |         sum(CASE WHEN text IS NULL OR len(trim(text)) = 0
+       |                  THEN 1 ELSE 0 END) AS d_null
+       |  FROM d GROUP BY doc_id),
+       |ea AS (
+       |  SELECT vec_id, count(*) AS e_rows,
+       |         sum(CASE WHEN len(embedding) <> $Dim THEN 1 ELSE 0 END) AS e_wrong
+       |  FROM e GROUP BY vec_id),
+       |j AS (
+       |  SELECT d_rows, d_null, e_rows, e_wrong
+       |  FROM da FULL OUTER JOIN ea ON da.doc_id = ea.vec_id),
+       |agg AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN d_rows > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_key,
+       |    CAST(coalesce(sum(d_null), 0) AS BIGINT) AS null_text,
+       |    CAST(sum(CASE WHEN d_rows IS NOT NULL AND e_rows IS NULL
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS doc_no_emb,
+       |    CAST(sum(CASE WHEN e_rows IS NOT NULL AND d_rows IS NULL
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS emb_no_doc,
+       |    CAST(coalesce(sum(e_wrong), 0) AS BIGINT) AS wrong_dim
+       |  FROM j)
+       |SELECT 'duplicate_doc_id' AS "check", dup_key AS n_bad FROM agg
+       |UNION ALL SELECT 'null_or_empty_text', null_text FROM agg
+       |UNION ALL SELECT 'docs_without_embedding', doc_no_emb FROM agg
+       |UNION ALL SELECT 'embeddings_without_doc', emb_no_doc FROM agg
+       |UNION ALL SELECT 'wrong_dim_embedding', wrong_dim FROM agg""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q89_integrity_audit",
+      "one-pass corpus integrity audit (keys, nulls, referential, dims)",
+      q89, Some(o89)))
+}

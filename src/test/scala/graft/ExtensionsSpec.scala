@@ -520,4 +520,37 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(src.columns.forall(c => b.getAs[Any](c) == a.getAs[Any](c)),
       "every column must round-trip bit-exactly")
   }
+
+  test("q89 integrity audit: exact counts on constructed violations, all-zero on clean input") {
+    import spark.implicits._
+    import graft.operators.Integrity
+    def audit(d: org.apache.spark.sql.DataFrame, e: org.apache.spark.sql.DataFrame) =
+      Integrity.integrityAudit(d, e, dim = 2).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = Seq(
+      (1L, "ok one"), (1L, "dup of one"), (2L, "ok two"),
+      (3L, null.asInstanceOf[String]), (4L, "   "), (5L, "orphan")
+    ).toDF("doc_id", "text")
+    val embs = Seq(
+      (1L, Seq(0.1f, 0.2f)), (2L, Seq(0.3f, 0.4f)),
+      (3L, Seq(0.5f, 0.6f)), (4L, Seq(0.7f, 0.8f)),
+      (9L, Seq(0.9f, 1.0f)), (10L, Seq(1.1f))
+    ).toDF("vec_id", "embedding")
+    val bad = audit(docs, embs)
+    assert(bad("duplicate_doc_id") == 1L)     // key 1 twice counts once
+    assert(bad("null_or_empty_text") == 2L)   // null + whitespace-only
+    assert(bad("docs_without_embedding") == 1L) // doc 5
+    assert(bad("embeddings_without_doc") == 2L) // vecs 9, 10
+    assert(bad("wrong_dim_embedding") == 1L)  // vec 10 has 1 dim
+    // clean corpus: every check reports zero, 5 rows always present
+    val clean = audit(
+      Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text"),
+      Seq((1L, Seq(0.1f, 0.2f)), (2L, Seq(0.3f, 0.4f))).toDF("vec_id", "embedding"))
+    assert(clean.size == 5 && clean.values.forall(_ == 0L))
+    // one-pass shape: the whole audit runs exactly ONE join
+    val plan = Integrity.integrityAudit(docs, embs, dim = 2)
+      .queryExecution.executedPlan.toString
+    assert("(?i)sortmergejoin|shuffledhashjoin|broadcasthashjoin".r
+      .findAllIn(plan).size == 1, s"audit must be one join:\n$plan")
+  }
 }
