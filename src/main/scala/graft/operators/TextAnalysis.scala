@@ -583,6 +583,64 @@ object TextAnalysis {
       |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
       |FROM p GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin
 
+  // ---- q90: vocabulary coverage curve (tokenizer sizing) -----------------
+  // THE tokenizer-budget question: what fraction of corpus tokens does
+  // a top-N vocabulary cover? (The Zipf tail is what BPE merges exist
+  // to absorb — this curve says how much tail there is, and where
+  // diminishing returns start.) One corpus aggregation to the
+  // vocabulary (map-side combined, the q29/q83 shape), then the
+  // ranking is BOUNDED by construction: orderBy+limit plans as a
+  // distributed TakeOrdered of the top `VocabCap` words, and the
+  // rank/cumulative window runs over that ≤100k-row frame only (the
+  // q87 bounded-window discipline — never a global window over the
+  // Heaps-law vocabulary, which at 100 TB is ~10⁸ rows). The corpus
+  // token total rides in as a broadcast 1-row frame. Ties in frequency
+  // break on the word (both engines), so every cutoff is deterministic.
+  private val VocabCap = 100000
+  // log-spaced sweep from 1 so the curve has rows at ANY vocabulary
+  // size (the fixture corpus has a 31-word vocabulary; a web corpus
+  // fills the 10⁴–10⁵ decades)
+  private val CoverageNs = Seq(1, 3, 10, 30, 100, 1000, 10000, 100000)
+
+  /** Coverage of the top-N vocabulary over any `(doc_id, text)` frame:
+    * `(n_vocab, cum_tokens, coverage)` at N in [[CoverageNs]] (rows for
+    * N beyond the actual vocabulary size are absent).
+    */
+  def vocabCoverage(docs: DataFrame): DataFrame = {
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("w").asc)
+    vocab
+      .orderBy(col("cnt").desc, col("w").asc).limit(VocabCap)
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cum", sum(col("cnt")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .filter(col("rk").isInCollection(CoverageNs))
+      .crossJoin(broadcast(total))
+      .select(col("rk").as("n_vocab"), col("cum").as("cum_tokens"),
+        (col("cum").cast("double") / col("total").cast("double")).as("coverage"))
+  }
+
+  private def q90(s: SparkSession, d: String): DataFrame =
+    vocabCoverage(Tables.documents(s, d))
+
+  private val o90 =
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |v AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v),
+      |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w ASC) AS rk
+      |      FROM v),
+      |c AS (SELECT rk, CAST(sum(cnt) OVER (ORDER BY rk
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |      FROM r WHERE rk <= $VocabCap)
+      |SELECT rk AS n_vocab, cum AS cum_tokens,
+      |       CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+      |FROM c CROSS JOIN tot
+      |WHERE rk IN (${CoverageNs.mkString(", ")})""".stripMargin
+
   // ---- q50: corpus-frequency boilerplate signal --------------------------
   // The C4/Dolma-style cleaning rule "drop lines that repeat across the
   // corpus", re-expressed over 3-grams (the fixtures have no line
@@ -1566,6 +1624,7 @@ object TextAnalysis {
     GraftQuery("q81_normalize_text", "Unicode NFC + whitespace/control normalization (planted-dirt, byte-compared)", q81, Some(o81)),
     GraftQuery("q82_c4_line_filter", "C4 line/page cleaning rules (terminal-punct lines, javascript/brace/lorem drops)", q82, Some(o82)),
     GraftQuery("q83_bpe_pairs", "BPE first-merge char-pair counts (vocabulary-weighted, not corpus-exploded)", q83, Some(o83)),
+    GraftQuery("q90_vocab_coverage", "top-N vocabulary token-coverage curve (tokenizer sizing)", q90, Some(o90)),
     GraftQuery("q86_lm_buckets", "CCNet-style per-language LM tertile buckets (discrete integer ranks)", q86, Some(o86)),
     GraftQuery("q87_hybrid_rrf", "hybrid retrieval: reciprocal-rank fusion of BM25 + dense cosine top-k", q87, Some(o87)))
 }

@@ -182,6 +182,25 @@ class QuantizationSpec extends AnyFunSuite {
       s"encode expression leaked above the materialization barrier:\n$plan")
   }
 
+  test("q90 coverage curve is exact on a constructed Zipf corpus and takes, not sorts") {
+    import spark.implicits._
+    // word wN occurs (11-N) times => vocab = w1..w10 with counts 10..1,
+    // total 55; rank order w1(10), w2(9), ... ties impossible
+    val text = (1 to 10).flatMap(n => Seq.fill(11 - n)(s"w$n")).mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(d).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // sweep points within the 10-word vocab: N=1 (cum 10), N=3 (27), N=10 (55)
+    assert(out.keySet == Set(1, 3, 10))
+    assert(out(1) == ((10L, 10.0 / 55.0)))
+    assert(out(3) == ((27L, 27.0 / 55.0)))
+    assert(out(10) == ((55L, 1.0)))
+    // the cap plans as TakeOrdered — the full Heaps-law vocabulary is
+    // never globally sorted; only the <= 100k taken rows meet the window
+    val plan = TextAnalysis.vocabCoverage(d).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"cap must take, not sort:\n$plan")
+  }
+
   test("q87 RRF fuses exactly the union of the two top-k lists") {
     val out = TextAnalysis.hybridRrf(docs, emb,
       Seq("spark", "join", "window", "dup"), queryVecId = 0L, k = 10)
