@@ -135,8 +135,79 @@ object Integrity {
        |UNION ALL SELECT 'embeddings_without_doc', emb_no_doc FROM agg
        |UNION ALL SELECT 'wrong_dim_embedding', wrong_dim FROM agg""".stripMargin
 
+  // ---- q91: snapshot diff (crawl-to-crawl CDC) ---------------------------
+  // The exact complement of the incremental NEAR-dup family (q57/q59
+  // ask "is this new doc a near-copy of the index?"): between two
+  // corpus snapshots, which doc_ids were ADDED, REMOVED, or CHANGED
+  // (same id, different content)? Every recurring-crawl pipeline runs
+  // this to budget re-processing — unchanged docs skip the whole
+  // curation DAG. Shape: one full-outer join on the key comparing
+  // content hashes (md5 — the q22 exact-dedup fingerprint), verdicts
+  // fold row-locally. Both sides must reach the join (unchanged can
+  // only be decided after the hashes meet), but the shuffle carries
+  // (id, 16-byte hash), never the text — the fixed-width discipline;
+  // a bucketed layout on doc_id (operators/Bucketing) makes the join
+  // exchange-free across recurring runs.
+  //
+  // The fixture has ONE documents table, so the "new" snapshot is
+  // derived deterministically on both engines (the planted-dirt
+  // pattern): doc_id % 7 == 0 dropped (=> removed), doc_id % 11 == 3
+  // re-texted (=> changed), and clones shifted by +10⁹ for half the
+  // corpus (=> added).
+
+  /** Per-doc verdicts between two `(doc_id, text)` snapshots:
+    * `(doc_id, status)` with status in {added, removed, changed};
+    * unchanged docs are absent (the q43 reporting contract).
+    */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), md5(col("text")).as("oh"))
+    val n = newDocs.select(col("doc_id").as("nid"), md5(col("text")).as("nh"))
+    o.join(n, col("doc_id") === col("nid"), "full_outer")
+      .select(
+        coalesce(col("doc_id"), col("nid")).as("doc_id"),
+        when(col("oh").isNull, lit("added"))
+          .when(col("nh").isNull, lit("removed"))
+          .when(col("oh") =!= col("nh"), lit("changed")).as("status"))
+      .filter(col("status").isNotNull)
+  }
+
+  private def q91(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val newSnap = base
+      .filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 3, concat(lit("edited "), col("text")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(base.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+    snapshotDiff(base, newSnap)
+  }
+
+  private val o91 =
+    """WITH old AS (SELECT doc_id, md5(text) AS oh FROM documents),
+      |nw AS (
+      |  SELECT doc_id,
+      |         md5(CASE WHEN doc_id % 11 = 3 THEN 'edited ' || text
+      |                  ELSE text END) AS nh
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000, md5(text)
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |j AS (
+      |  SELECT coalesce(old.doc_id, nw.doc_id) AS doc_id, oh, nh
+      |  FROM old FULL OUTER JOIN nw ON old.doc_id = nw.doc_id)
+      |SELECT doc_id,
+      |       CASE WHEN oh IS NULL THEN 'added'
+      |            WHEN nh IS NULL THEN 'removed'
+      |            WHEN oh <> nh THEN 'changed' END AS status
+      |FROM j
+      |WHERE oh IS NULL OR nh IS NULL OR oh <> nh""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q89_integrity_audit",
       "one-pass corpus integrity audit (keys, nulls, referential, dims)",
-      q89, Some(o89)))
+      q89, Some(o89)),
+    GraftQuery("q91_snapshot_diff",
+      "crawl-to-crawl snapshot diff: added/removed/changed by content hash",
+      q91, Some(o91)))
 }

@@ -553,4 +553,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert("(?i)sortmergejoin|shuffledhashjoin|broadcasthashjoin".r
       .findAllIn(plan).size == 1, s"audit must be one join:\n$plan")
   }
+
+  test("q91 snapshot diff: exact verdicts, unchanged docs absent, text stays off the shuffle") {
+    import spark.implicits._
+    import graft.operators.Integrity
+    val old = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish"))
+      .toDF("doc_id", "text")
+    val neu = Seq((1L, "same"), (2L, "changed!"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val out = Integrity.snapshotDiff(old, neu).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+    // the join consumes (id, hash) projections — the text column never
+    // reaches an exchange (the fixed-width shuffle discipline)
+    val plan = Integrity.snapshotDiff(old, neu)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("text#") ||
+      !plan.linesIterator.exists(l => l.contains("Exchange") && l.contains("text#")),
+      s"text must be projected away before any exchange:\n$plan")
+  }
 }
