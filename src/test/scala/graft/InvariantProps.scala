@@ -340,4 +340,49 @@ object InvariantProps extends Properties("graft") {
           !n.contains("  ") && !n.startsWith(" ") && !n.endsWith(" ")
       }
     }
+
+  // q88: the diagonal span estimate vs a brute-force token-level
+  // longest-common-substring. Docs are built from a small alphabet so
+  // shared runs and intra-doc repetition both occur; the estimate must
+  // never exceed the true LCS, and must hit it exactly when every
+  // 8-gram of the pair is unique within its doc.
+  private val spanDocGen: Gen[Vector[String]] = for {
+    n <- Gen.choose(8, 40)
+    toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+  } yield toks.toVector
+
+  private def lcsTokens(a: Vector[String], b: Vector[String]): Int = {
+    // O(|a||b|) dynamic program over token equality
+    val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+    var best = 0
+    for (i <- 1 to a.length; j <- 1 to b.length) {
+      if (a(i - 1) == b(j - 1)) {
+        dp(i)(j) = dp(i - 1)(j - 1) + 1
+        if (dp(i)(j) > best) best = dp(i)(j)
+      }
+    }
+    best
+  }
+
+  property("dupSpans never exceeds the true LCS; exact when pair grams are doc-unique") =
+    Prop.forAllNoShrink(spanDocGen, spanDocGen, Gen.choose(0, 6)) { (a0, b0, shift) =>
+      // plant a shared run so the estimate has something to find
+      val planted = Vector("p1", "p2", "p3", "p4", "p5", "p6", "p7", "p8", "p9", "p10")
+      val a = a0.take(shift) ++ planted ++ a0.drop(shift)
+      val b = planted ++ b0
+      val docs = Seq((1L, a.mkString(" ")), (2L, b.mkString(" ")))
+        .toDF("doc_id", "text")
+      val cands = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+      val rows = graft.operators.Dedup.dupSpans(cands, docs).collect()
+      val truth = lcsTokens(a, b)
+      def gramsUnique(v: Vector[String]) = {
+        val gs = v.sliding(8).toList
+        gs.size == gs.distinct.size
+      }
+      rows.length == 1 && {
+        val est = rows.head.getLong(4)
+        est >= 10L && est <= truth &&
+          (!(gramsUnique(a) && gramsUnique(b)) || est == truth)
+      }
+    }
 }
