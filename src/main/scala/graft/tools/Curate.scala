@@ -9,6 +9,10 @@ import org.apache.spark.sql.functions._
   * composed the way a dataset build actually runs them, each stage a
   * reusable public kernel (no query re-implementation here):
   *
+  *   0. integrity gate (the q89 audit) — artifact always written;
+  *      duplicate doc_ids or null/empty text ABORT the run (they
+  *      silently poison dedup and every text signal downstream),
+  *      referential gaps are observability-only;
   *   1. near-dup clustering (capped LSH candidates → connected
   *      components) and CANONICALIZATION — keep each cluster's
   *      highest-quality member (canonicalDocs, the q53 kernel);
@@ -88,6 +92,25 @@ object Curate {
       mark = System.nanoTime()
       spark.read.parquet(s"$outDir/$name")
     }
+
+    // 0. integrity gate (the q89 audit): written as an artifact like
+    // every stage, and FAIL-FAST on the two corruption-class counters —
+    // a duplicated doc_id or null/empty text silently poisons the md5
+    // dedup and every text signal downstream, so they abort the run
+    // here, where the fix is cheap. The referential counters (docs
+    // without embeddings and vice versa) stay observability-only:
+    // stage 1b is explicitly built for partial embedding coverage.
+    val audit = stage(graft.operators.Integrity.integrityAudit(
+      docs.select(col("doc_id"), col("text")),
+      Tables.embeddings(spark, sfDir)), "audit")
+    val bad = audit
+      .filter(col("check").isin("duplicate_doc_id", "null_or_empty_text"))
+      .filter(col("n_bad") > 0)
+      .collect()
+    require(bad.isEmpty,
+      "corpus fails the integrity gate: " + bad
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", ") +
+        s" (full audit at $outDir/audit)")
 
     // 1. cluster near-dups over the capped LSH candidate pairs, then
     // keep each cluster's HIGHEST-QUALITY member (the q53 kernel) — not

@@ -218,7 +218,7 @@ class TrainingDataSpec extends AnyFunSuite {
       stageWalls = Some(walls))
     assert(c.input == 500) // sf0.001 documents
     // every stage reports a positive mark-based wall, in pipeline order
-    assert(walls.map(_._1).toSeq == Seq("deduped", "sem_deduped",
+    assert(walls.map(_._1).toSeq == Seq("audit", "deduped", "sem_deduped",
       "quality", "mixed", "mixture_report", "splits", "clean",
       "train_packed"))
     assert(walls.forall(_._2 > 0))
@@ -295,6 +295,31 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(uncovered.nonEmpty, "fixture must exercise uncovered docs")
     assert(uncovered.subsetOf(semDeduped),
       s"docs without embeddings must survive stage 1b; lost ${(uncovered -- semDeduped).take(5)}")
+  }
+
+  test("Curate stage 0 aborts on corruption-class audit failures, tolerates referential gaps") {
+    // the partial-coverage test above already proves a clean-but-
+    // incomplete corpus passes the gate (docs without embeddings are
+    // observability-only); this one plants a CORRUPTION — a duplicated
+    // doc_id — and the run must fail fast with the audit artifact on disk
+    val dir = java.nio.file.Files.createTempDirectory("curatebad").toString
+    val out = java.nio.file.Files.createTempDirectory("curatebadout").toString
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    docs.unionByName(docs.limit(1)) // doc_id 0 twice
+      .write.parquet(s"$dir/documents.parquet")
+    Tables.embeddings(spark, TestSpark.sf0001)
+      .write.parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      graft.tools.Curate.run(spark, dir, out)
+    }
+    assert(e.getMessage.contains("duplicate_doc_id=1"), e.getMessage)
+    // the audit artifact was written BEFORE the abort — the operator
+    // report is on disk for the person fixing the corpus
+    val audit = spark.read.parquet(s"$out/audit").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(audit("duplicate_doc_id") == 1L)
+    // and no later stage artifact exists (fail-fast, not fail-late)
+    assert(!new java.io.File(s"$out/deduped").exists())
   }
 
   test("q47: sampling is deterministic, per-stratum, and split-independent") {
