@@ -130,4 +130,55 @@ object StreamingIngest {
     sink(projectRaw(readEventStream(spark, dropDir, maxFilesPerTrigger, cleanSource)),
       "parquet", outDir, checkpointDir, Trigger.AvailableNow())
       .start()
+
+  /** JS4 hardening: feed messages with the parse VERDICT kept alongside
+    * the raw payload, via the corrupt-record-column idiom (PERMISSIVE
+    * `from_json` never nulls the struct — it nulls the FIELDS, which is
+    * indistinguishable from valid-but-unexpected JSON; the
+    * `columnNameOfCorruptRecord` capture is the only per-row parse
+    * verdict the parser exposes). Valid JSON that merely lacks the
+    * expected fields parses to a struct of nulls and is NOT malformed —
+    * that is the schema-projection contract ([[feedEventStream]]), not
+    * a transport error. The reference's ingest (my_websocket.py:31-45)
+    * crashes the consumer on the first bad payload; a 100 TB feed
+    * treats bad payloads as DATA.
+    */
+  def feedEventStreamAnnotated(spark: SparkSession, feed: String,
+      numPartitions: Int = 4,
+      maxMessagesPerTrigger: Option[Long] = None,
+      server: Option[(String, Int)] = None): DataFrame = {
+    val withCorrupt = Schemas.rawEvent
+      .add("_corrupt", org.apache.spark.sql.types.StringType)
+    readFeedStream(spark, feed, numPartitions, maxMessagesPerTrigger, server)
+      .select(col("value"), from_json(col("value"), withCorrupt,
+        Map("columnNameOfCorruptRecord" -> "_corrupt")).as("e"))
+      .withColumn("malformed", col("e._corrupt").isNotNull)
+  }
+
+  /** Dead-letter ingest: parsed rows append to `outDir`, malformed raw
+    * payloads to `quarantineDir` (payload + batch id — the forensic
+    * record), both from the SAME micro-batch via `foreachBatch` so the
+    * split is atomic per batch under the one checkpoint: a payload is
+    * either delivered or quarantined, never silently dropped (the
+    * all-null rows the plain path would emit). The batch is persisted
+    * across its two writes and unpersisted in a finally.
+    */
+  def runIngestWithQuarantine(spark: SparkSession, feed: String,
+      outDir: String, quarantineDir: String, checkpointDir: String,
+      server: Option[(String, Int)] = None): StreamingQuery =
+    feedEventStreamAnnotated(spark, feed, server = server)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cached = batch.persist()
+        try {
+          cached.filter(!col("malformed")).select(col("e.*")).drop("_corrupt")
+            .write.mode("append").parquet(outDir)
+          val bad = cached.filter(col("malformed"))
+            .select(col("value").as("payload"), lit(batchId).as("batch_id"))
+          if (!bad.isEmpty) bad.write.mode("append").parquet(quarantineDir)
+        } finally { cached.unpersist(); () }
+      }
+      .start()
 }

@@ -166,6 +166,31 @@ class StreamingSpec extends AnyFunSuite {
       .map(_.getString(0)).toSet == Set("D1", "D2", "D3", "D4"))
   }
 
+  test("dead-letter ingest: malformed payloads quarantine, valid rows deliver, nothing vanishes") {
+    graft.sources.FeedRegistry.clear("wsq")
+    graft.sources.FeedRegistry.post("wsq",
+      """{"mint":"Q1","txType":"create","solAmount":1.0,"name":"q1","symbol":"q1"}""",
+      """{nope""", // unparseable
+      """{"mint":"Q2","txType":"buy","solAmount":2.0,"name":"q2","symbol":"q2"}""",
+      """not json at all""", // unparseable
+      """{"unexpected":"fields"}""") // valid JSON, wrong shape => NOT quarantined
+    val out = Files.createTempDirectory("qout").toString
+    val quar = Files.createTempDirectory("qbad").toString
+    val ckpt = Files.createTempDirectory("qckpt").toString
+    val q = StreamingIngest.runIngestWithQuarantine(
+      spark, "wsq", out, quar, ckpt)
+    q.awaitTermination(60000)
+    val delivered = spark.read.parquet(out)
+    // 3 parseable payloads delivered: Q1, Q2, and the schema-projected
+    // all-null row (valid JSON is data, not a transport error)
+    assert(delivered.count() == 3)
+    assert(delivered.select("mint").collect().map(_.getString(0)).toSet
+      == Set("Q1", "Q2", null))
+    val bad = spark.read.parquet(quar).select("payload").collect()
+      .map(_.getString(0)).toSet
+    assert(bad == Set("{nope", "not json at all"))
+  }
+
   test("S1: DSv2 feed source streams posted messages with checkpointed offsets") {
     graft.sources.FeedRegistry.clear("ws1")
     graft.sources.FeedRegistry.post("ws1",
