@@ -802,7 +802,110 @@ object Similarity {
        |       CAST(n_vecs AS DOUBLE) * ${NumCells}.0 / CAST(total AS DOUBLE) AS load_factor
        |FROM cellsz CROSS JOIN tot""".stripMargin
 
+  // ---- q92: kNN label-noise detection ------------------------------------
+  // Confident-learning-lite (Northcutt et al. 2021's observable, without
+  // the calibration matrix): a labeled example whose nearest neighbors
+  // mostly carry a DIFFERENT label is a label-error candidate — the
+  // standard triage pass before training a classifier head on a labeled
+  // embedding set. The fixture's `embeddings.label` column (10 classes)
+  // is exactly this shape.
+  //
+  // Scale shape: kNN is confined to IVF cells (the q55 discipline —
+  // never corpus all-pairs; a cell caps at CellCap and the pair block
+  // at CellCap² per cell), neighbors rank per query with the fully
+  // deterministic (sim DESC, nid ASC) order — sims are bit-identical
+  // across engines because both evaluate the same IEEE fold (the
+  // o26/q34 precedent), so even planted identical twins tie-break
+  // identically. Labels ride a join on vec_id AFTER the top-k cut
+  // (k·|corpus| rows), not through the pair block. Vectors whose cell
+  // holds no other member have no verdict and are absent (the q43
+  // reporting contract).
+
+  private val NoiseK = 5
+
+  /** Per-vector neighborhood label agreement over a `(vec_id, embedding,
+    * label)` frame: `(vec_id, label, n_nbrs, n_agree, agree_frac)` with
+    * neighbors = up to `k` highest-cosine same-cell vectors.
+    */
+  def labelNoise(embeddings: DataFrame, k: Int = NoiseK,
+      numCells: Int = NumCells, cellCap: Int = CellCap,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val base = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cents = centroids.getOrElse(demoCentroids(base, numCells))
+    val assigned = assignToCells(base, cents)
+    val capped = assigned
+      .withColumn("csz", count(lit(1)).over(Window.partitionBy("cid")))
+      .filter(col("csz") <= cellCap)
+    val a = capped.select(col("cid"), col("vec_id").as("qid"),
+      col("v").as("av"), col("nrm").as("an"))
+    val b = capped.select(col("cid"), col("vec_id").as("nid"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    val topk = a.join(b, "cid").where(col("qid") =!= col("nid"))
+      .withColumn("sim", dot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("nid").asc)))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"))
+    val lbl = embeddings.select(col("vec_id"), col("label"))
+    topk
+      .join(lbl.select(col("vec_id").as("qid"), col("label").as("ql")), "qid")
+      .join(lbl.select(col("vec_id").as("nid"), col("label").as("nl")), "nid")
+      .groupBy(col("qid"), col("ql"))
+      .agg(count(lit(1)).as("n_nbrs"),
+        sum(when(col("nl") === col("ql"), 1L).otherwise(0L)).as("n_agree"))
+      .select(col("qid").as("vec_id"), col("ql").as("label"),
+        col("n_nbrs"), col("n_agree"),
+        (col("n_agree").cast("double") / col("n_nbrs").cast("double"))
+          .as("agree_frac"))
+  }
+
+  private def q92(s: SparkSession, d: String): DataFrame =
+    labelNoise(Tables.embeddings(s, d))
+
+  private val o92 =
+    s"""WITH v AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, label, v,
+       |         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+       |  FROM v),
+       |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < $NumCells),
+       |scored AS (
+       |  SELECT n.vec_id, n.v, n.nrm, c.cid,
+       |         list_reduce(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i]),
+       |                     (a, b) -> a + b) / (n.nrm * c.cn) AS csim
+       |  FROM n CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, cid, v, nrm FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS ark
+       |    FROM scored)
+       |  WHERE ark = 1),
+       |small AS (SELECT cid FROM assigned GROUP BY cid HAVING count(*) <= $CellCap),
+       |topk AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT a.vec_id AS qid, b.vec_id AS nid,
+       |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |             list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
+       |                         (x, y) -> x + y) / (a.nrm * b.nrm) DESC,
+       |             b.vec_id ASC) AS rk
+       |    FROM assigned a JOIN small USING (cid)
+       |         JOIN assigned b ON a.cid = b.cid AND a.vec_id <> b.vec_id)
+       |  WHERE rk <= $NoiseK)
+       |SELECT t.qid AS vec_id, q.label,
+       |       count(*) AS n_nbrs,
+       |       CAST(sum(CASE WHEN nb.label = q.label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       |       CAST(sum(CASE WHEN nb.label = q.label THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS agree_frac
+       |FROM topk t
+       |JOIN v q ON q.vec_id = t.qid
+       |JOIN v nb ON nb.vec_id = t.nid
+       |GROUP BY t.qid, q.label""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q92_label_noise", "kNN neighborhood label-agreement (label-error triage)", q92, Some(o92)),
     GraftQuery("q26_cosine_topk", "brute-force cosine top-k (broadcast queries)", q26, Some(o26)),
     GraftQuery("q34_ann_lsh", "hyperplane-LSH bucketed cosine near-dup", q34, Some(o34)),
     GraftQuery("q39_ivf_ann", "IVF cell-probed approximate cosine top-k", q39, Some(o39)),

@@ -514,6 +514,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rows("srcB") == ((3L, 1L, 2L, 1.0 / 3.0)))
   }
 
+  test("q92: a planted label error is the one low-agreement point in its neighborhood") {
+    import spark.implicits._
+    // two tight clusters in 2-D-ish 64-dim space: ids 0-5 near e1 with
+    // label 1 (except vec 3, the planted error: label 9), ids 6-11 near
+    // e2 with label 2. Centroids = vecs 0 and 6 (numCells = 2 demo seed
+    // needs vec_id < 2 — pass explicit centroids instead).
+    def vec(axis: Int, eps: Double, j: Int): Seq[Float] =
+      (0 until 64).map(i =>
+        (if (i == axis) 1.0 else 0.0) + (if (i == 63) eps * (j + 1) else 0.0))
+        .map(_.toFloat)
+    val rows = (0 to 5).map(j => (j.toLong, vec(0, 0.01, j), if (j == 3) 9 else 1)) ++
+      (6 to 11).map(j => (j.toLong, vec(1, 0.01, j), 2))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val cents = Similarity.asCentroids(
+      Seq((0L, vec(0, 0.0, 0)), (1L, vec(1, 0.0, 0))).toDF("vec_id", "embedding"))
+    val out = Similarity.labelNoise(emb, k = 5, centroids = Some(cents))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.size == 12)
+    // the planted error: 5 neighbors, zero agree
+    assert(out(3L) == ((9, 5L, 0L, 0.0)))
+    // its cluster-mates: 5 neighbors, 4 agree (the error is the 5th)
+    (0 to 5).filter(_ != 3).foreach { j =>
+      assert(out(j.toLong) == ((1, 5L, 4L, 0.8)), s"vec $j")
+    }
+    // the clean cluster: full agreement
+    (6 to 11).foreach { j =>
+      assert(out(j.toLong) == ((2, 5L, 5L, 1.0)), s"vec $j")
+    }
+  }
+
   test("q88: span length is exact for a planted shared run and a lower bound under repetition") {
     import spark.implicits._
     // doc 1/2 share a verbatim 12-token run at different offsets (plus
