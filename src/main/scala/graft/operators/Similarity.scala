@@ -802,6 +802,111 @@ object Similarity {
        |       CAST(n_vecs AS DOUBLE) * ${NumCells}.0 / CAST(total AS DOUBLE) AS load_factor
        |FROM cellsz CROSS JOIN tot""".stripMargin
 
+  // ---- q93: ANN recall/MRR evaluation (approx vs exact, as a query) ------
+  // The ANN quality observable PROMOTED to a driver-checked query: q39's
+  // IVF ranking scored against q26's exact ranking — per-query
+  // recall@k and the reciprocal rank at which the approximate list
+  // surfaces the TRUE nearest neighbor (rr = 0 when it misses
+  // entirely). The IvfProbeCurve tool measures the same thing as a
+  // sweep; this registers the single-operating-point number under the
+  // DuckDB gate, so a recall regression (a centroid change, a probe
+  // default change, a tie-break bug) fails CORRECTNESS, not just a CI
+  // spec. Cost is the two rankers' own audited shapes plus joins over
+  // their k·|queries|-row outputs — bounded at any corpus scale.
+
+  /** Per-query ANN quality of `approx` against `exact` (both
+    * `(qid, nid, rk)` rankings): `(qid, n_exact, n_hit, recall, rr)`.
+    */
+  def annRecall(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.select(col("qid"), col("nid"))
+    val a = approx.select(col("qid"), col("nid"), col("rk"))
+    val hits = e.join(a.select(col("qid"), col("nid")), Seq("qid", "nid"),
+        "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    val rr = exact.filter(col("rk") === 1).select(col("qid"), col("nid"))
+      .join(a, Seq("qid", "nid"))
+      .select(col("qid"), (lit(1.0) / col("rk").cast("double")).as("rr"))
+    e.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left")
+      .join(rr, Seq("qid"), "left")
+      .select(col("qid"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact").cast("double")).as("recall"),
+        coalesce(col("rr"), lit(0.0)).as("rr"))
+  }
+
+  private def q93(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    annRecall(
+      cosineTopK(emb, col("vec_id") % QueryStride === 0, TopK),
+      ivfTopK(emb, col("vec_id") % QueryStride === 0, TopK))
+  }
+
+  private val o93 =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+       |  FROM v),
+       |p AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |         list_reduce(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]),
+       |                     (a, b) -> a + b) / (q.nrm * c.nrm) AS sim
+       |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id % $QueryStride = 0),
+       |exact AS (
+       |  SELECT qid, nid, rk FROM (
+       |    SELECT qid, nid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk
+       |    FROM p)
+       |  WHERE rk <= $TopK),
+       |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < $NumCells),
+       |scored AS (
+       |  SELECT n.vec_id, n.v, n.nrm, c.cid,
+       |         list_reduce(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i]),
+       |                     (a, b) -> a + b) / (n.nrm * c.cn) AS csim
+       |  FROM n CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id AS nid, cid, v AS nv, nrm AS nn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS ark
+       |    FROM scored)
+       |  WHERE ark = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, cid, v AS qv, nrm AS qn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS prk
+       |    FROM scored WHERE vec_id % $QueryStride = 0)
+       |  WHERE prk <= $NProbe),
+       |asims AS (
+       |  SELECT p.qid, a.nid,
+       |         list_reduce(list_transform(range(1, len(p.qv) + 1), i -> p.qv[i] * a.nv[i]),
+       |                     (x, y) -> x + y) / (p.qn * a.nn) AS sim
+       |  FROM assigned a JOIN probes p USING (cid)
+       |  WHERE p.qid <> a.nid),
+       |approx AS (
+       |  SELECT qid, nid, rk FROM (
+       |    SELECT qid, nid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk
+       |    FROM asims)
+       |  WHERE rk <= $TopK),
+       |hits AS (
+       |  SELECT e.qid, count(*) AS n_hit
+       |  FROM exact e JOIN approx a ON e.qid = a.qid AND e.nid = a.nid
+       |  GROUP BY e.qid),
+       |rr AS (
+       |  SELECT e.qid, 1.0 / CAST(a.rk AS DOUBLE) AS rr
+       |  FROM exact e JOIN approx a ON e.qid = a.qid AND e.nid = a.nid
+       |  WHERE e.rk = 1)
+       |SELECT g.qid, g.n_exact,
+       |       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       |       CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(g.n_exact AS DOUBLE) AS recall,
+       |       coalesce(rr.rr, 0.0) AS rr
+       |FROM (SELECT qid, count(*) AS n_exact FROM exact GROUP BY qid) g
+       |LEFT JOIN hits h ON g.qid = h.qid
+       |LEFT JOIN rr ON g.qid = rr.qid""".stripMargin
+
   // ---- q92: kNN label-noise detection ------------------------------------
   // Confident-learning-lite (Northcutt et al. 2021's observable, without
   // the calibration matrix): a labeled example whose nearest neighbors
@@ -906,6 +1011,7 @@ object Similarity {
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q92_label_noise", "kNN neighborhood label-agreement (label-error triage)", q92, Some(o92)),
+    GraftQuery("q93_ann_recall", "per-query IVF recall@k + reciprocal rank vs exact top-k", q93, Some(o93)),
     GraftQuery("q26_cosine_topk", "brute-force cosine top-k (broadcast queries)", q26, Some(o26)),
     GraftQuery("q34_ann_lsh", "hyperplane-LSH bucketed cosine near-dup", q34, Some(o34)),
     GraftQuery("q39_ivf_ann", "IVF cell-probed approximate cosine top-k", q39, Some(o39)),

@@ -514,6 +514,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rows("srcB") == ((3L, 1L, 2L, 1.0 / 3.0)))
   }
 
+  test("q93: recall/rr are exact on constructed rankings, including the total-miss row") {
+    import spark.implicits._
+    val exact = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), // query 1
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3), // query 2
+      (3L, 30L, 1), (3L, 31L, 2), (3L, 32L, 3)  // query 3
+    ).toDF("qid", "nid", "rk")
+    val approx = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), // perfect
+      (2L, 99L, 1), (2L, 20L, 2), (2L, 22L, 3), // 2/3, true NN at rank 2
+      (3L, 98L, 1), (3L, 97L, 2), (3L, 96L, 3)  // total miss
+    ).toDF("qid", "nid", "rk")
+    val out = Similarity.annRecall(exact, approx).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((3L, 3L, 1.0, 1.0)))
+    assert(out(2L) == ((3L, 2L, 2.0 / 3.0, 0.5)))
+    assert(out(3L) == ((3L, 0L, 0.0, 0.0)))
+  }
+
   test("q92: a planted label error is the one low-agreement point in its neighborhood") {
     import spark.implicits._
     // two tight clusters in 2-D-ish 64-dim space: ids 0-5 near e1 with
