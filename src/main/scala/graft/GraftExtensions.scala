@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayDot, GramHashes, MinHashSlices, NfcNormalize, NormalizeText, PqAdcDist, PqAdcDistPacked, PqEncode, ShingleHashes, ShingleSet, SimHash, WordGrams}
+import graft.functions.{ArrayDot, GramHashes, MinHashSlices, NfcNormalize, NormalizeText, PqAdcDist, PqAdcDistPacked, PqEncode, ShingleHashes, ShingleSet, SimHash, SubL2Dist, WordGrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -64,6 +64,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PqAdcDistPacked].getName, "pq_adc_dist_packed"),
       (exprs: Seq[Expression]) => PqAdcDistPacked(exprs(0), exprs(1),
         SimHash.bitsArg(exprs(2)))))
+    e.injectFunction((
+      FunctionIdentifier("sub_l2_dist"),
+      new ExpressionInfo(classOf[SubL2Dist].getName, "sub_l2_dist"),
+      (exprs: Seq[Expression]) => SubL2Dist(exprs(0), exprs(1),
+        SimHash.bitsArg(exprs(2)))))
   }
 }
 
@@ -96,6 +101,9 @@ object GraftFunctions {
       spark, "pq_adc_dist", exprs => PqAdcDist(exprs(0), exprs(1)))
     org.apache.spark.sql.graftshim.ColumnBridge.registerTempFunction(
       spark, "pq_adc_dist_packed", exprs => PqAdcDistPacked(exprs(0), exprs(1),
+        SimHash.bitsArg(exprs(2))))
+    org.apache.spark.sql.graftshim.ColumnBridge.registerTempFunction(
+      spark, "sub_l2_dist", exprs => SubL2Dist(exprs(0), exprs(1),
         SimHash.bitsArg(exprs(2))))
   }
 }

@@ -273,6 +273,50 @@ object Quantization {
         col("max_d2"))
   }
 
+  /** Exact squared-L2 top-`k` with the SAME subspace-grouped fold shape
+    * ADC approximates (j-ascending outer fold over [[subDist2]]), so a
+    * full-corpus codebook makes ADC and this ranking coincide
+    * (spec-pinned) and q94's recall compares like against like. Output
+    * `(qid, nid, d2, rk)`.
+    */
+  def l2TopK(embeddings: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = base.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    // native kernel — the interpreted aggregate/element_at fold
+    // (kept as the spec reference via subDist2) cost 73 s at sf1 on
+    // |queries| × |corpus| pairs; SubL2Dist runs the identical nested
+    // fold inside whole-stage codegen at q26-class cost
+    val d2 = graft.functions.SubL2Dist(col("qv"), col("v"), SubDim)
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("nid").asc)
+    base.crossJoin(broadcast(q)).where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"), d2.as("d2"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Interpreted-HOF reference form of [[l2TopK]]'s distance — the
+    * executable spec [[graft.functions.SubL2Dist]] is pinned against
+    * (same nested fold the DuckDB oracle evaluates).
+    */
+  private[graft] def l2DistHof(qv: Column, v: Column): Column =
+    aggregate(sequence(lit(0), lit(NumSub - 1)), lit(0.0),
+      (s, j) => s + subDist2(qv, v, j))
+
+  // ---- q94: PQ recall/MRR vs exact L2 (the q93 symmetry) -----------------
+  // Every approximate ranker in the engine now carries a driver-checked
+  // quality number: q93 scores IVF, this scores ADC — per-query
+  // recall@k of the 4-bit-code ranking against the exact L2 ranking,
+  // plus the reciprocal rank of the true nearest neighbor. THE
+  // codebook-budget observable (it moves with NumCodes/SubDim exactly
+  // as q85's distortion curve predicts), and a regression in the
+  // encode, the LUT layout, or the packed-word path fails CORRECTNESS.
+  private def q94(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.annRecall(
+      l2TopK(emb, col("vec_id") % QueryStride === 0, TopK),
+      adcTopK(emb, col("vec_id") % QueryStride === 0, TopK))
+  }
+
   private def q84(s: SparkSession, d: String): DataFrame =
     adcTopK(Tables.embeddings(s, d), col("vec_id") % QueryStride === 0, TopK)
 
@@ -331,11 +375,66 @@ object Quantization {
        |       max(d2) AS max_d2
        |FROM enc GROUP BY j""".stripMargin
 
+  private val o94 =
+    s"""WITH $oCommon,
+       |lut AS (
+       |  SELECT vec_id AS qid, j, code, d2 FROM sd WHERE vec_id % $QueryStride = 0),
+       |apairs AS (
+       |  SELECT lut.qid, enc.vec_id AS nid, enc.j, lut.d2
+       |  FROM enc JOIN lut ON enc.j = lut.j AND enc.code = lut.code
+       |  WHERE lut.qid <> enc.vec_id),
+       |adist AS (
+       |  SELECT qid, nid,
+       |         list_reduce(list_transform(
+       |             list_sort(list(struct_pack(j := j, d := d2))), x -> x.d),
+       |           (a, b) -> a + b) AS adist
+       |  FROM apairs GROUP BY qid, nid),
+       |approx AS (
+       |  SELECT qid, nid, rk FROM (
+       |    SELECT qid, nid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY adist ASC, nid ASC) AS rk
+       |    FROM adist)
+       |  WHERE rk <= $TopK),
+       |ex AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |         list_reduce(list_transform(range(0, $NumSub), j ->
+       |           list_reduce(list_transform(range(1, ${SubDim + 1}),
+       |               i -> (q.v[j * $SubDim + i] - c.v[j * $SubDim + i]) *
+       |                    (q.v[j * $SubDim + i] - c.v[j * $SubDim + i])),
+       |             (a, b) -> a + b)),
+       |           (x, y) -> x + y) AS d2
+       |  FROM v q JOIN v c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id % $QueryStride = 0),
+       |exact AS (
+       |  SELECT qid, nid, rk FROM (
+       |    SELECT qid, nid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, nid ASC) AS rk
+       |    FROM ex)
+       |  WHERE rk <= $TopK),
+       |hits AS (
+       |  SELECT e.qid, count(*) AS n_hit
+       |  FROM exact e JOIN approx a ON e.qid = a.qid AND e.nid = a.nid
+       |  GROUP BY e.qid),
+       |rr AS (
+       |  SELECT e.qid, 1.0 / CAST(a.rk AS DOUBLE) AS rr
+       |  FROM exact e JOIN approx a ON e.qid = a.qid AND e.nid = a.nid
+       |  WHERE e.rk = 1)
+       |SELECT g.qid, g.n_exact,
+       |       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       |       CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(g.n_exact AS DOUBLE) AS recall,
+       |       coalesce(rr.rr, 0.0) AS rr
+       |FROM (SELECT qid, count(*) AS n_exact FROM exact GROUP BY qid) g
+       |LEFT JOIN hits h ON g.qid = h.qid
+       |LEFT JOIN rr ON g.qid = rr.qid""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q84_pq_adc_topk",
       "product-quantization ADC top-k (4-bit codes, broadcast LUTs)",
       q84, Some(o84)),
     GraftQuery("q85_pq_distortion",
       "per-subspace PQ reconstruction-error diagnostic",
-      q85, Some(o85)))
+      q85, Some(o85)),
+    GraftQuery("q94_pq_recall",
+      "per-query PQ-ADC recall@k + reciprocal rank vs exact L2",
+      q94, Some(o94)))
 }

@@ -110,6 +110,42 @@ class QuantizationSpec extends AnyFunSuite {
     assert(pq.nonEmpty && pq == exact)
   }
 
+  test("native SubL2Dist matches the interpreted nested fold bit-for-bit") {
+    // the nested grouping matters: sum-per-subspace then outer sum is
+    // NOT IEEE-equal to one flat left-to-right sum, and the DuckDB
+    // oracle computes the nested form — the kernel must match the HOF
+    // reference exactly on every pair, not approximately
+    val base = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val pairs = base.crossJoin(broadcast(q)).where(col("qid") =!= col("vec_id"))
+    val rows = pairs.select(
+      graft.functions.SubL2Dist(col("qv"), col("v"), 8).as("native"),
+      Quantization.l2DistHof(col("qv"), col("v")).as("hof")).collect()
+    assert(rows.length == 5 * 499)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("q94 recall is exactly 1.0 everywhere under a full-corpus codebook") {
+    // every vector its own codeword => ADC == the subspace-grouped L2
+    // fold l2TopK uses, so approx and exact rankings coincide and the
+    // recall query must report a perfect score for every query
+    val full = Quantization.demoCodebook(emb, numCodes = 1000000)
+    val rows = Similarity.annRecall(
+      Quantization.l2TopK(emb, col("vec_id") % 100 === 0, 5),
+      Quantization.adcTopK(emb, col("vec_id") % 100 === 0, 5,
+        codebook = Some(full))).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 5L && r.getLong(2) == 5L)
+      assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0)
+    }
+  }
+
   test("distortion is pointwise monotone in codebook size (prefix codebooks)") {
     val d16 = Quantization.pqDistortion(emb,
       Some(Quantization.demoCodebook(emb, 16)))
