@@ -600,6 +600,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val est = Dedup.dupSpans(Seq((7L, 8L)).toDF("doc_a", "doc_b"), reps)
       .collect().head.getLong(4)
     assert(est <= 17L && est >= 8L, s"repetition estimate $est")
+
+    // plan pin: every join is an equi-join — a silent fall-back to a
+    // nested-loop join over the pair x gram block would be corpus-fatal
+    val plan = Dedup.dupSpans(cands, d).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q88 joins must stay equi-joins:\n$plan")
   }
 
   test("q74: the threshold curve counts planted exact, near and band-noise pairs correctly") {
