@@ -641,6 +641,70 @@ object TextAnalysis {
       |FROM c CROSS JOIN tot
       |WHERE rk IN (${CoverageNs.mkString(", ")})""".stripMargin
 
+  // ---- q95: feature-hashed text embeddings (the hashing trick) -----------
+  // Weinberger et al. 2009 / the fastText input layer: a deterministic,
+  // dependency-free embedding of text into a fixed-dim vector — token t
+  // adds sign(t) ∈ {+1, −1} to bucket(t) ∈ [0, HashDim). The engine's
+  // whole semantic stack (cosine top-k, SemDeDup, IVF, label noise)
+  // runs on model embeddings when the corpus has them; this operator is
+  // the bridge for corpora that DON'T — hash embeddings preserve enough
+  // lexical similarity for dedup-grade cosine (identical docs ⇒
+  // identical vectors; disjoint vocabularies ⇒ near-orthogonal), at
+  // zero model cost and perfect reproducibility. Bucket and sign come
+  // from md5 hex digits (the SimHash discipline), so the weights are
+  // INTEGER-exact across engines; the query emits the sparse
+  // `(doc_id, bucket, weight)` form (zero-cancelled buckets absent) —
+  // the dense-array form for feeding Similarity ops is
+  // [[hashEmbedDense]], spec-tied to this one. One explode + one
+  // map-side-combined aggregate; dim is a constant, never a shuffle
+  // axis.
+  private val HashDim = 64
+
+  /** Sparse feature-hashed embedding of a `(doc_id, text)` frame:
+    * `(doc_id, bucket, weight)`, weight = Σ sign over tokens hashing to
+    * the bucket, zero weights dropped.
+    */
+  def hashEmbed(docs: DataFrame, dim: Int = HashDim): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("w")), 1, 2), 16, 10).cast("long") % dim)
+          .as("bucket"),
+        when(substring(md5(col("w")), 3, 1) >= "8", 1L).otherwise(-1L)
+          .as("sgn"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("sgn")).as("weight"))
+      .filter(col("weight") =!= 0)
+
+  /** Dense `(vec_id, embedding)` form of [[hashEmbed]] — drop-in input
+    * for the Similarity operators (cosineTopK, semanticDedup, ...).
+    */
+  def hashEmbedDense(docs: DataFrame, dim: Int = HashDim): DataFrame = {
+    val m = hashEmbed(docs, dim)
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(
+        struct(col("bucket"), col("weight")))).as("m"))
+    m.select(col("doc_id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        j => coalesce(element_at(col("m"), j.cast("long")), lit(0L))
+          .cast("float")).as("embedding"))
+  }
+
+  private def q95(s: SparkSession, d: String): DataFrame =
+    hashEmbed(Tables.documents(s, d))
+
+  private val o95 =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |         CAST(('0x' || substr(md5(w), 1, 2)) AS BIGINT) % $HashDim AS bucket,
+       |         CASE WHEN substr(md5(w), 3, 1) >= '8' THEN 1 ELSE -1 END AS sgn
+       |  FROM toks)
+       |SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS weight
+       |FROM h GROUP BY doc_id, bucket
+       |HAVING sum(sgn) <> 0""".stripMargin
+
   // ---- q50: corpus-frequency boilerplate signal --------------------------
   // The C4/Dolma-style cleaning rule "drop lines that repeat across the
   // corpus", re-expressed over 3-grams (the fixtures have no line
@@ -1625,6 +1689,7 @@ object TextAnalysis {
     GraftQuery("q82_c4_line_filter", "C4 line/page cleaning rules (terminal-punct lines, javascript/brace/lorem drops)", q82, Some(o82)),
     GraftQuery("q83_bpe_pairs", "BPE first-merge char-pair counts (vocabulary-weighted, not corpus-exploded)", q83, Some(o83)),
     GraftQuery("q90_vocab_coverage", "top-N vocabulary token-coverage curve (tokenizer sizing)", q90, Some(o90)),
+    GraftQuery("q95_hash_embed", "feature-hashed text embedding (sparse, integer-exact)", q95, Some(o95)),
     GraftQuery("q86_lm_buckets", "CCNet-style per-language LM tertile buckets (discrete integer ranks)", q86, Some(o86)),
     GraftQuery("q87_hybrid_rrf", "hybrid retrieval: reciprocal-rank fusion of BM25 + dense cosine top-k", q87, Some(o87)))
 }

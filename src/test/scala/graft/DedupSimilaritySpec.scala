@@ -514,6 +514,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rows("srcB") == ((3L, 1L, 2L, 1.0 / 3.0)))
   }
 
+  test("q95: hash embeddings are lossless vs sparse, cosine-1.0 on twins, near-orthogonal on disjoint vocab") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // twin of 1
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    // dense form is exactly the sparse form scattered into 64 slots
+    val sparse = TextAnalysis.hashEmbed(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val dense = TextAnalysis.hashEmbedDense(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(dense.values.forall(_.length == 64))
+    dense.foreach { case (id, v) =>
+      v.zipWithIndex.foreach { case (x, j) =>
+        assert(x == sparse.getOrElse((id, j.toLong), 0L).toFloat, s"doc $id slot $j")
+      }
+    }
+    // and it feeds the semantic stack: twins at cosine exactly 1.0,
+    // disjoint vocabulary well below the dedup bar
+    val topk = Similarity.cosineTopK(
+      TextAnalysis.hashEmbedDense(d), col("vec_id") === 1L, 2)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    // dot/(nrm*nrm) of identical vectors lands within 2 ulps of 1.0
+    // (sqrt-then-multiply rounding), not exactly on it
+    assert(topk(2L) > 1.0 - 1e-12, s"twin cosine ${topk(2L)}")
+    assert(math.abs(topk(3L)) < 0.5, s"disjoint cosine ${topk(3L)}")
+  }
+
   test("q93: recall/rr are exact on constructed rankings, including the total-miss row") {
     import spark.implicits._
     val exact = Seq(
