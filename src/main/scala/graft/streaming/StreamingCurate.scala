@@ -196,11 +196,36 @@ object StreamingCurate {
       centroids: DataFrame, indexTable: String, outPath: String,
       checkpoint: String, threshold: Double,
       buckets: Int = 32): org.apache.spark.sql.streaming.StreamingQuery =
+    semanticVerdictStreamWith(docs,
+      batch => embeddings.join(
+        batch.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
+      centroids, indexTable, outPath, checkpoint, threshold, buckets)
+
+  /** Model-free variant of [[semanticVerdictStream]]: each batch's
+    * embeddings are computed IN-FLIGHT from its text via the q95
+    * hashing trick ([[TextAnalysis.hashEmbedDense]]) — streaming
+    * semantic dedup for corpora with NO model-embedding table at all.
+    * Centroids and the seeded index must live in the same hash space
+    * (build both from `hashEmbedDense` of the historical corpus).
+    */
+  def hashedSemanticVerdictStream(docs: DataFrame, centroids: DataFrame,
+      indexTable: String, outPath: String, checkpoint: String,
+      threshold: Double, buckets: Int = 32,
+      dim: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+    semanticVerdictStreamWith(docs,
+      batch => TextAnalysis.hashEmbedDense(
+        batch.select(col("doc_id"), col("text")), dim),
+      centroids, indexTable, outPath, checkpoint, threshold, buckets)
+
+  private def semanticVerdictStreamWith(docs: DataFrame,
+      batchEmbOf: DataFrame => DataFrame, centroids: DataFrame,
+      indexTable: String, outPath: String, checkpoint: String,
+      threshold: Double,
+      buckets: Int): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val spark = batch.sparkSession
-        val batchEmb = embeddings.join(
-          batch.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+        val batchEmb = batchEmbOf(batch)
         val assigned = Similarity.cellAssignments(batchEmb, centroids)
         // resolve the table INSIDE the batch so each micro-batch sees
         // the survivors every earlier batch appended; cache the

@@ -504,6 +504,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(idx == Set(1L, 2L, 21L, 31L))
   }
 
+  test("hashed semantic leg dedups a re-arriving text with no embedding table at all") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    // historical corpus: two docs with disjoint vocabularies; centroids
+    // = their own hash embeddings (each doc anchors a cell), index
+    // seeded from the same frame — everything lives in the q95 space
+    val hist = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val histEmb = TextAnalysis.hashEmbedDense(hist)
+    val centroids = Similarity.asCentroids(histEmb)
+    Similarity.writeCellIndex(histEmb, centroids, "hash_cell_idx", 4)
+    val mem = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("hsemout").toString
+    val q = graft.streaming.StreamingCurate.hashedSemanticVerdictStream(
+      mem.toDF().toDF("doc_id", "text"), centroids, "hash_cell_idx", out,
+      Files.createTempDirectory("hsemck").toString,
+      threshold = 0.95, buckets = 4)
+    // batch 1: doc 10 is doc 1's text verbatim (cosine ~1 in hash
+    // space); doc 11 is novel vocabulary and survives into the index
+    mem.addData((10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "red orange yellow green blue indigo violet amber"))
+    q.processAllAvailable()
+    // batch 2: doc 20 re-sends batch-1 survivor 11's text — the index
+    // remembered it, still with zero model embeddings anywhere
+    mem.addData((20L, "red orange yellow green blue indigo violet amber"))
+    q.processAllAvailable()
+    q.stop()
+    val r = spark.read.parquet(out).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("dup_of")).toMap
+    assert(r.get(10L).contains(1L), s"verbatim re-arrival must dup: $r")
+    assert(r.get(20L).contains(11L), s"batch-2 vs batch-1 survivor: $r")
+    assert(!r.contains(11L))
+  }
+
   test("stream-static decontamination verdicts test arrivals against a growing train-gram index") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
