@@ -554,6 +554,26 @@ class ExtensionsSpec extends AnyFunSuite {
       .findAllIn(plan).size == 1, s"audit must be one join:\n$plan")
   }
 
+  test("Compact: many small files become few, rows survive as an exact multiset") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    // 32 tiny files (one per partition) of distinct rows
+    (1 to 256).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+      .repartition(32).write.parquet(dir)
+    val before = graft.sources.FileCatalog.list(spark, dir, ".parquet")
+    assert(before.size == 32)
+    val totalBytes = before.map(_.bytes).sum
+    // target ~half the data per file => exactly 2 output files
+    val (b, a, rows) = graft.tools.Compact.run(spark, dir,
+      targetBytes = totalBytes / 2 + 1)
+    assert(b == 32 && a == 2 && rows == 256L, s"($b, $a, $rows)")
+    val back = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(back.toSeq == (1 to 256).map(i => (i.toLong, s"row$i")))
+    // and no tmp directory is left behind
+    assert(!new java.io.File(dir + ".compact.tmp").exists())
+  }
+
   test("q91 snapshot diff: exact verdicts, unchanged docs absent, text stays off the shuffle") {
     import spark.implicits._
     import graft.operators.Integrity
