@@ -690,6 +690,55 @@ object TextAnalysis {
           .cast("float")).as("embedding"))
   }
 
+  /** IDF-weighted [[hashEmbed]] — the practical upgrade for dedup-grade
+    * cosine: the unweighted form lets corpus-universal tokens dominate
+    * every bucket, so two docs sharing only stopwords look similar;
+    * idf-weighting pushes the signal onto rare terms (the TF-IDF
+    * argument, hashed). The weight stays INTEGER-exact (the q56/q64
+    * libm-avoidance discipline): idf = (IdfScale·n_docs) div df in
+    * pure integer arithmetic, weight = sign · idf, bucket sums are
+    * order-independent integer sums — bit-stable across engines and
+    * shuffles. One extra aggregation (the df table, q54's shape) and
+    * one token-stream join vs the unweighted form.
+    */
+  private val IdfScale = 1000L
+
+  def idfHashEmbed(docs: DataFrame, dim: Int = HashDim): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val df = toks.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    toks.join(df, "w").crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("w")), 1, 2), 16, 10).cast("long") % dim)
+          .as("bucket"),
+        (when(substring(md5(col("w")), 3, 1) >= "8", 1L).otherwise(-1L) *
+          expr(s"($IdfScale * n_docs) div df")).as("wt"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("wt")).as("weight"))
+      .filter(col("weight") =!= 0)
+  }
+
+  private def q96(s: SparkSession, d: String): DataFrame =
+    idfHashEmbed(Tables.documents(s, d))
+
+  private val o96 =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |dfreq AS (
+       |  SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+       |tot AS (SELECT count(*) AS n_docs FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |         CAST(('0x' || substr(md5(w), 1, 2)) AS BIGINT) % $HashDim AS bucket,
+       |         (CASE WHEN substr(md5(w), 3, 1) >= '8' THEN 1 ELSE -1 END) *
+       |           (($IdfScale * n_docs) // df) AS wt
+       |  FROM toks JOIN dfreq USING (w) CROSS JOIN tot)
+       |SELECT doc_id, bucket, CAST(sum(wt) AS BIGINT) AS weight
+       |FROM h GROUP BY doc_id, bucket
+       |HAVING sum(wt) <> 0""".stripMargin
+
   private def q95(s: SparkSession, d: String): DataFrame =
     hashEmbed(Tables.documents(s, d))
 
@@ -1690,6 +1739,7 @@ object TextAnalysis {
     GraftQuery("q83_bpe_pairs", "BPE first-merge char-pair counts (vocabulary-weighted, not corpus-exploded)", q83, Some(o83)),
     GraftQuery("q90_vocab_coverage", "top-N vocabulary token-coverage curve (tokenizer sizing)", q90, Some(o90)),
     GraftQuery("q95_hash_embed", "feature-hashed text embedding (sparse, integer-exact)", q95, Some(o95)),
+    GraftQuery("q96_idf_hash_embed", "idf-weighted feature-hashed embedding (integer-exact idf)", q96, Some(o96)),
     GraftQuery("q86_lm_buckets", "CCNet-style per-language LM tertile buckets (discrete integer ranks)", q86, Some(o86)),
     GraftQuery("q87_hybrid_rrf", "hybrid retrieval: reciprocal-rank fusion of BM25 + dense cosine top-k", q87, Some(o87)))
 }

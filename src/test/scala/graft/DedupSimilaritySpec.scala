@@ -542,6 +542,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // (sqrt-then-multiply rounding), not exactly on it
     assert(topk(2L) > 1.0 - 1e-12, s"twin cosine ${topk(2L)}")
     assert(math.abs(topk(3L)) < 0.5, s"disjoint cosine ${topk(3L)}")
+
+    // idf weighting: a token in every doc carries the minimum weight
+    // (IdfScale), a doc-unique token the maximum (IdfScale * n_docs) —
+    // and weights are pure-integer so the sparse rows are engine-exact
+    val idf = TextAnalysis.idfHashEmbed(Seq(
+      (1L, "common rare1"), (2L, "common rare2"), (3L, "common rare3")
+    ).toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def bucketOf(w: String) = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(h.substring(0, 2), 16) % 64,
+        if (h.charAt(2) >= '8') 1L else -1L)
+    }
+    val (cb, cs) = bucketOf("common")
+    val (rb, rs) = bucketOf("rare1")
+    assert(idf((1L, cb)) == cs * 1000L || rb == cb, s"common-token weight")
+    if (rb != cb) assert(idf((1L, rb)) == rs * 3000L, s"rare-token weight")
   }
 
   test("q93: recall/rr are exact on constructed rankings, including the total-miss row") {
