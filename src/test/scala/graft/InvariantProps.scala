@@ -364,6 +364,66 @@ object InvariantProps extends Properties("graft") {
     best
   }
 
+  // q91: the engine diff vs a driver-side reference diff on random
+  // snapshot pairs (adds, drops, edits all generated)
+  private val snapGen: Gen[(Map[Long, String], Map[Long, String])] = for {
+    n <- Gen.choose(1, 30)
+    texts <- Gen.listOfN(n, Gen.identifier.map(_.take(10)))
+    old = texts.zipWithIndex.map { case (t, i) => i.toLong -> t }.toMap
+    dropped <- Gen.someOf(old.keys.toSeq)
+    edited <- Gen.someOf(old.keys.toSeq)
+    added <- Gen.choose(0, 5)
+  } yield {
+    val neu = (old -- dropped).map { case (k, v) =>
+      k -> (if (edited.contains(k)) v + "!" else v)
+    } ++ (1 to added).map(i => (1000L + i) -> s"new$i")
+    (old, neu)
+  }
+
+  property("snapshotDiff equals the reference diff on random snapshot pairs") =
+    Prop.forAllNoShrink(snapGen) { case (old, neu) =>
+      val expected =
+        (neu.keySet -- old.keySet).map(_ -> "added").toMap ++
+          (old.keySet -- neu.keySet).map(_ -> "removed").toMap ++
+          (old.keySet & neu.keySet).filter(k => old(k) != neu(k))
+            .map(_ -> "changed").toMap
+      val got = graft.operators.Integrity.snapshotDiff(
+          old.toSeq.toDF("doc_id", "text"), neu.toSeq.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      got == expected
+    }
+
+  // q89: audit counters vs reference counts on random corpora with
+  // injected violations of every class
+  private val auditGen: Gen[(Seq[(Long, String)], Seq[(Long, Seq[Float])])] =
+    for {
+      nd <- Gen.choose(1, 20)
+      ne <- Gen.choose(1, 20)
+      docs <- Gen.listOfN(nd, Gen.zip(Gen.choose(0L, 14L),
+        Gen.oneOf(Gen.identifier.map(_.take(6)), Gen.const(""),
+          Gen.const(null: String), Gen.const("  "))))
+      embs <- Gen.listOfN(ne, Gen.zip(Gen.choose(0L, 14L),
+        Gen.oneOf(Gen.const(Seq(0.1f, 0.2f)), Gen.const(Seq(0.3f)))))
+    } yield (docs, embs.distinctBy(_._1)) // emb keys unique; doc keys may dup
+
+  property("integrityAudit counters equal reference counts on random dirty corpora") =
+    Prop.forAllNoShrink(auditGen) { case (docs, embs) =>
+      val got = graft.operators.Integrity.integrityAudit(
+          docs.toDF("doc_id", "text"), embs.toDF("vec_id", "embedding"),
+          dim = 2)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val docKeys = docs.map(_._1).toSet
+      val embKeys = embs.map(_._1).toSet
+      val expected = Map(
+        "duplicate_doc_id" -> docs.groupBy(_._1).count(_._2.size > 1).toLong,
+        "null_or_empty_text" ->
+          docs.count(d => d._2 == null || d._2.trim.isEmpty).toLong,
+        "docs_without_embedding" -> (docKeys -- embKeys).size.toLong,
+        "embeddings_without_doc" -> (embKeys -- docKeys).size.toLong,
+        "wrong_dim_embedding" -> embs.count(_._2.length != 2).toLong)
+      got == expected
+    }
+
   property("dupSpans never exceeds the true LCS; exact when pair grams are doc-unique") =
     Prop.forAllNoShrink(spanDocGen, spanDocGen, Gen.choose(0, 6)) { (a0, b0, shift) =>
       // plant a shared run so the estimate has something to find
