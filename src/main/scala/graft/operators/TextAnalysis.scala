@@ -627,6 +627,50 @@ object TextAnalysis {
   private def q90(s: SparkSession, d: String): DataFrame =
     vocabCoverage(Tables.documents(s, d))
 
+  // ---- q97: vocabulary growth curve (the Heaps-law observable) -----------
+  // q90 asks "how much does a top-N vocab cover?"; this asks the dual
+  // sizing question: HOW FAST does the vocabulary grow as the corpus
+  // grows? (Heaps' law V ∝ n^β — the β estimate is what says whether
+  // doubling the crawl doubles the merge table.) Deterministic nested
+  // corpus samples come from the q40 hash-split discipline (md5(doc_id)
+  // prefix thresholds ≈ 10% / 50% / 100%, stable across runs and
+  // engines), and all six statistics fold in ONE aggregate over ONE
+  // token scan — conditional countDistincts, no per-sample pass. The
+  // conditional distincts expand to a single shared (w, flags)
+  // pre-aggregate at any scale.
+  /** One row: `(n_10, v_10, n_50, v_50, n_100, v_100)` — token count
+    * and distinct-vocabulary size at the ~10%/~50%/100% nested
+    * hash-samples of any `(doc_id, text)` frame.
+    */
+  def vocabGrowth(docs: DataFrame): DataFrame = {
+    val h2 = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    docs
+      .select(h2.as("h2"), explode(split(col("text"), " ")).as("w"))
+      .agg(
+        sum(when(col("h2") < "1a", 1L).otherwise(0L)).as("n_10"),
+        countDistinct(when(col("h2") < "1a", col("w"))).as("v_10"),
+        sum(when(col("h2") < "80", 1L).otherwise(0L)).as("n_50"),
+        countDistinct(when(col("h2") < "80", col("w"))).as("v_50"),
+        count(lit(1)).as("n_100"),
+        countDistinct(col("w")).as("v_100"))
+  }
+
+  private def q97(s: SparkSession, d: String): DataFrame =
+    vocabGrowth(Tables.documents(s, d))
+
+  private val o97 =
+    """WITH toks AS (
+      |  SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2,
+      |         unnest(string_split(text, ' ')) AS w
+      |  FROM documents)
+      |SELECT CAST(sum(CASE WHEN h2 < '1a' THEN 1 ELSE 0 END) AS BIGINT) AS n_10,
+      |       CAST(count(DISTINCT CASE WHEN h2 < '1a' THEN w END) AS BIGINT) AS v_10,
+      |       CAST(sum(CASE WHEN h2 < '80' THEN 1 ELSE 0 END) AS BIGINT) AS n_50,
+      |       CAST(count(DISTINCT CASE WHEN h2 < '80' THEN w END) AS BIGINT) AS v_50,
+      |       CAST(count(*) AS BIGINT) AS n_100,
+      |       CAST(count(DISTINCT w) AS BIGINT) AS v_100
+      |FROM toks""".stripMargin
+
   private val o90 =
     s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
       |v AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w),
@@ -1740,6 +1784,7 @@ object TextAnalysis {
     GraftQuery("q90_vocab_coverage", "top-N vocabulary token-coverage curve (tokenizer sizing)", q90, Some(o90)),
     GraftQuery("q95_hash_embed", "feature-hashed text embedding (sparse, integer-exact)", q95, Some(o95)),
     GraftQuery("q96_idf_hash_embed", "idf-weighted feature-hashed embedding (integer-exact idf)", q96, Some(o96)),
+    GraftQuery("q97_vocab_growth", "Heaps-law vocabulary growth at nested hash-samples", q97, Some(o97)),
     GraftQuery("q86_lm_buckets", "CCNet-style per-language LM tertile buckets (discrete integer ranks)", q86, Some(o86)),
     GraftQuery("q87_hybrid_rrf", "hybrid retrieval: reciprocal-rank fusion of BM25 + dense cosine top-k", q87, Some(o87)))
 }

@@ -218,6 +218,24 @@ class QuantizationSpec extends AnyFunSuite {
       s"encode expression leaked above the materialization barrier:\n$plan")
   }
 
+  test("q97 growth curve counts nested samples exactly (monotone tokens AND vocab)") {
+    import spark.implicits._
+    // md5 prefixes: doc 6 -> "16" (10% sample), docs 9/11 -> "45"/"65"
+    // (50% sample), docs 0/1 -> "cf"/"c4" (100% only); each doc brings
+    // one shared and one doc-unique token
+    val d = Seq(
+      (6L, "shared only6"), (9L, "shared only9"), (11L, "shared only11"),
+      (0L, "shared only0"), (1L, "shared only1")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.vocabGrowth(d).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))   // doc 6: 2 toks, 2 words
+    assert((r.getLong(2), r.getLong(3)) == ((6L, 4L)))   // +9, 11: shared collapses
+    assert((r.getLong(4), r.getLong(5)) == ((10L, 6L)))  // whole corpus
+    // nesting invariant: n and v are monotone across the sample chain
+    assert(r.getLong(0) <= r.getLong(2) && r.getLong(2) <= r.getLong(4))
+    assert(r.getLong(1) <= r.getLong(3) && r.getLong(3) <= r.getLong(5))
+  }
+
   test("q90 coverage curve is exact on a constructed Zipf corpus and takes, not sorts") {
     import spark.implicits._
     // word wN occurs (11-N) times => vocab = w1..w10 with counts 10..1,
