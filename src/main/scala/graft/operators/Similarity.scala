@@ -922,9 +922,20 @@ object Similarity {
   // across engines because both evaluate the same IEEE fold (the
   // o26/q34 precedent), so even planted identical twins tie-break
   // identically. Labels ride a join on vec_id AFTER the top-k cut
-  // (k·|corpus| rows), not through the pair block. Vectors whose cell
-  // holds no other member have no verdict and are absent (the q43
-  // reporting contract).
+  // (k·|corpus| rows), not through the pair block.
+  //
+  // Reporting contract (which vectors get NO verdict and are absent):
+  //   - a vector alone in its cell — no neighbors exist to vote;
+  //   - a vector in an over-cap cell that falls outside the cell's
+  //     deterministic cellCap-member sample. Over-cap cells are NOT
+  //     discarded wholesale (that would silently deny every member of
+  //     a hot class a verdict under skewed embeddings): each cell
+  //     keeps its first cellCap members ranked by (md5(vec_id),
+  //     vec_id) — a label-blind, engine-reproducible sample — and
+  //     both query and neighbor sides draw from that sample, keeping
+  //     the CellCap² pair bound. The oracle applies the identical
+  //     ranked sample, so coverage loss beyond this contract fails
+  //     the hash gate.
 
   private val NoiseK = 5
 
@@ -941,8 +952,11 @@ object Similarity {
     val cents = centroids.getOrElse(demoCentroids(base, numCells))
     val assigned = assignToCells(base, cents)
     val capped = assigned
-      .withColumn("csz", count(lit(1)).over(Window.partitionBy("cid")))
-      .filter(col("csz") <= cellCap)
+      .withColumn("srk", row_number().over(Window.partitionBy("cid")
+        .orderBy(md5(col("vec_id").cast("string").cast("binary")).asc,
+          col("vec_id").asc)))
+      .filter(col("srk") <= cellCap)
+      .drop("srk")
     val a = capped.select(col("cid"), col("vec_id").as("qid"),
       col("v").as("av"), col("nrm").as("an"))
     val b = capped.select(col("cid"), col("vec_id").as("nid"),
@@ -988,7 +1002,12 @@ object Similarity {
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS ark
        |    FROM scored)
        |  WHERE ark = 1),
-       |small AS (SELECT cid FROM assigned GROUP BY cid HAVING count(*) <= $CellCap),
+       |samp AS (
+       |  SELECT vec_id, cid, v, nrm FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY cid
+       |             ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) AS srk
+       |    FROM assigned)
+       |  WHERE srk <= $CellCap),
        |topk AS (
        |  SELECT qid, nid FROM (
        |    SELECT a.vec_id AS qid, b.vec_id AS nid,
@@ -996,8 +1015,7 @@ object Similarity {
        |             list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
        |                         (x, y) -> x + y) / (a.nrm * b.nrm) DESC,
        |             b.vec_id ASC) AS rk
-       |    FROM assigned a JOIN small USING (cid)
-       |         JOIN assigned b ON a.cid = b.cid AND a.vec_id <> b.vec_id)
+       |    FROM samp a JOIN samp b ON a.cid = b.cid AND a.vec_id <> b.vec_id)
        |  WHERE rk <= $NoiseK)
        |SELECT t.qid AS vec_id, q.label,
        |       count(*) AS n_nbrs,

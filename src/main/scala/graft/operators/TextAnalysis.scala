@@ -722,16 +722,26 @@ object TextAnalysis {
 
   /** Dense `(vec_id, embedding)` form of [[hashEmbed]] — drop-in input
     * for the Similarity operators (cosineTopK, semanticDedup, ...).
+    * Total over the input: every distinct `doc_id` in `docs` gets a
+    * row, including docs whose text is empty or whose bucket weights
+    * all cancel — those emit the all-zero vector (left join against
+    * the sparse frame; a null map element coalesces to 0). Building
+    * the dense frame from the sparse rows alone would silently drop
+    * such docs, and a downstream consumer like
+    * `hashedSemanticVerdictStream` would then never issue them a
+    * verdict.
     */
   def hashEmbedDense(docs: DataFrame, dim: Int = HashDim): DataFrame = {
     val m = hashEmbed(docs, dim)
       .groupBy(col("doc_id"))
       .agg(map_from_entries(collect_list(
         struct(col("bucket"), col("weight")))).as("m"))
-    m.select(col("doc_id").as("vec_id"),
-      transform(sequence(lit(0), lit(dim - 1)),
-        j => coalesce(element_at(col("m"), j.cast("long")), lit(0L))
-          .cast("float")).as("embedding"))
+    docs.select(col("doc_id")).distinct()
+      .join(m, Seq("doc_id"), "left")
+      .select(col("doc_id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          j => coalesce(element_at(col("m"), j.cast("long")), lit(0L))
+            .cast("float")).as("embedding"))
   }
 
   /** IDF-weighted [[hashEmbed]] — the practical upgrade for dedup-grade

@@ -155,13 +155,42 @@ object StreamingIngest {
       .withColumn("malformed", col("e._corrupt").isNotNull)
   }
 
-  /** Dead-letter ingest: parsed rows append to `outDir`, malformed raw
+  /** One micro-batch of the dead-letter split, written IDEMPOTENTLY:
+    * both sinks are `batch_id`-partitioned and written with
+    * dynamic-partition overwrite, so a replay of the same batch
+    * (foreachBatch is at-least-once — a crash between the delivered
+    * write and the checkpoint commit re-runs the batch) rewrites its
+    * own `batch_id=N` partition in place instead of appending a second
+    * copy. `mode("append")` here would double-deliver on replay.
+    * Public so the spec can replay a batch directly and assert
+    * exactly-once counts.
+    */
+  def writeQuarantineBatch(batch: DataFrame, batchId: Long,
+      outDir: String, quarantineDir: String): Unit = {
+    val cached = batch.persist()
+    try {
+      cached.filter(!col("malformed")).select(col("e.*")).drop("_corrupt")
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(outDir)
+      val bad = cached.filter(col("malformed"))
+        .select(col("value").as("payload"), lit(batchId).as("batch_id"))
+      if (!bad.isEmpty) bad.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(quarantineDir)
+    } finally { cached.unpersist(); () }
+  }
+
+  /** Dead-letter ingest: parsed rows deliver to `outDir`, malformed raw
     * payloads to `quarantineDir` (payload + batch id — the forensic
     * record), both from the SAME micro-batch via `foreachBatch` so the
     * split is atomic per batch under the one checkpoint: a payload is
     * either delivered or quarantined, never silently dropped (the
-    * all-null rows the plain path would emit). The batch is persisted
-    * across its two writes and unpersisted in a finally.
+    * all-null rows the plain path would emit) — and never delivered
+    * twice: each write is `batch_id`-partitioned dynamic overwrite
+    * ([[writeQuarantineBatch]]), so at-least-once batch replay is
+    * absorbed as an in-place partition rewrite.
     */
   def runIngestWithQuarantine(spark: SparkSession, feed: String,
       outDir: String, quarantineDir: String, checkpointDir: String,
@@ -171,14 +200,7 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val cached = batch.persist()
-        try {
-          cached.filter(!col("malformed")).select(col("e.*")).drop("_corrupt")
-            .write.mode("append").parquet(outDir)
-          val bad = cached.filter(col("malformed"))
-            .select(col("value").as("payload"), lit(batchId).as("batch_id"))
-          if (!bad.isEmpty) bad.write.mode("append").parquet(quarantineDir)
-        } finally { cached.unpersist(); () }
+        writeQuarantineBatch(batch, batchId, outDir, quarantineDir)
       }
       .start()
 }

@@ -13,12 +13,17 @@ import org.apache.spark.sql.SparkSession
   *
   * Semantics and safety:
   *   - content-preserving: the rewrite is a plain read→repartition→
-  *     write of the same rows (verified by the spec via a full
-  *     row-multiset comparison);
-  *   - the rewrite goes to `<dir>.compact.tmp` first and swaps in only
-  *     after a successful write + row-count check, so a crashed
-  *     compaction never leaves a half-written directory in place of
-  *     live data (the staged-parquet restartability contract);
+  *     write of the same rows, checked before the swap by row count
+  *     AND an order-independent row-multiset hash (sum of xxhash64
+  *     over the full row struct), so a rewrite that drops one row and
+  *     duplicates another cannot pass;
+  *   - the rewrite goes to `<dir>.compact.tmp` first; the swap is
+  *     rename-aside, never delete-then-rename: `dir` → `dir.compact.old`,
+  *     `tmp` → `dir`, then delete `.old`. A crash at any point leaves
+  *     either the original directory live, or the verified rewrite
+  *     live with the original parked at `.compact.old` — there is no
+  *     window where `dir` is missing and readers fail, and recovery
+  *     from any interruption is a single mechanical rename;
   *   - `repartition(n)` (round-robin), not `coalesce(n)`: coalesce
   *     chains upstream partitioning into as-few-tasks-as-files and
   *     produces skewed files when input files are skewed — compaction
@@ -35,20 +40,43 @@ object Compact {
     val totalBytes = files.map(_.bytes).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(dir)
-    val rows = df.count()
+    // one pass for both integrity facts: row count + an
+    // order-independent multiset hash (sum of xxhash64 over the full
+    // row, widened to decimal(38,0) so the sum cannot overflow under
+    // ANSI mode at any realistic row count)
+    def digest(d: org.apache.spark.sql.DataFrame): (Long, java.math.BigDecimal) = {
+      import org.apache.spark.sql.functions.{count, lit, struct, sum, xxhash64, coalesce}
+      val r = d.agg(count(lit(1)).as("n"),
+        coalesce(sum(xxhash64(struct(d.columns.map(d.col): _*))
+          .cast("decimal(38,0)")), lit(java.math.BigDecimal.ZERO)).as("h"))
+        .head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    val (rows, hash) = digest(df)
     val tmp = dir.stripSuffix("/") + ".compact.tmp"
     df.repartition(n).write.mode("overwrite").parquet(tmp)
-    val rewritten = spark.read.parquet(tmp).count()
-    require(rewritten == rows,
-      s"compaction row mismatch: $rows read, $rewritten rewritten — " +
+    val (rewritten, rewrittenHash) = digest(spark.read.parquet(tmp))
+    require(rewritten == rows && rewrittenHash.compareTo(hash) == 0,
+      s"compaction content mismatch: ($rows, $hash) read, " +
+        s"($rewritten, $rewrittenHash) rewritten — " +
         s"original left untouched at $dir, rewrite at $tmp")
-    // swap: remove originals, move the rewrite into place
+    // rename-aside swap: park the original, promote the verified
+    // rewrite, then drop the parked copy. `dir` is never absent.
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
-    fs.delete(dirPath, true)
-    require(fs.rename(tmpPath, dirPath), s"rename $tmp -> $dir failed")
+    val oldPath = new org.apache.hadoop.fs.Path(
+      dir.stripSuffix("/") + ".compact.old")
+    if (fs.exists(oldPath)) fs.delete(oldPath, true) // stale prior run
+    require(fs.rename(dirPath, oldPath),
+      s"rename $dir -> $oldPath failed — original untouched")
+    if (!fs.rename(tmpPath, dirPath)) {
+      // restore the original so readers never see a missing dir
+      fs.rename(oldPath, dirPath)
+      sys.error(s"rename $tmp -> $dir failed — original restored")
+    }
+    fs.delete(oldPath, true)
     val after = FileCatalog.list(spark, dir, suffix = ".parquet").size
     (files.size, after, rows)
   }

@@ -613,6 +613,57 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q92: an over-cap (hot-class) cell keeps a deterministic cellCap sample, not nothing") {
+    import spark.implicits._
+    // one tight 8-member cluster, cellCap = 4: the pre-fix semantics
+    // (drop any cell larger than cellCap) issued ZERO verdicts for the
+    // whole hot class; the contract now keeps the first cellCap members
+    // ranked by (md5(vec_id), vec_id) and verdicts exactly those.
+    def vec(eps: Double, j: Int): Seq[Float] =
+      (0 until 64).map(i =>
+        (if (i == 0) 1.0 else 0.0) + (if (i == 63) eps * (j + 1) else 0.0))
+        .map(_.toFloat)
+    val emb = (0 to 7).map(j => (j.toLong, vec(0.01, j), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Similarity.asCentroids(
+      Seq((0L, vec(0.0, 0))).toDF("vec_id", "embedding"))
+    val out = Similarity.labelNoise(emb, k = 2, cellCap = 4,
+      centroids = Some(cents)).collect().map(_.getLong(0)).toSet
+    def h(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = (0L to 7L).sortBy(id => (h(id), id)).take(4).toSet
+    assert(out == expected, s"got $out, expected md5-ranked sample $expected")
+  }
+
+  test("q95: hashEmbedDense is total — empty and weight-cancelled docs get the zero vector") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // find two tokens that land in the same bucket with opposite signs,
+    // so their weights cancel and the doc has NO sparse rows at all
+    def bs(w: String) = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(h.substring(0, 2), 16) % 64,
+        if (h.charAt(2) >= '8') 1L else -1L)
+    }
+    val toks = (0 until 2000).map(i => s"t$i")
+    val (w1, w2) = toks.flatMap { a =>
+      toks.collectFirst {
+        case b if bs(a)._1 == bs(b)._1 && bs(a)._2 == -bs(b)._2 => (a, b)
+      }
+    }.head
+    val d = Seq((1L, "alpha beta"), (42L, s"$w1 $w2"), (43L, "")).toDF("doc_id", "text")
+    assert(TextAnalysis.hashEmbed(d).filter(col("doc_id") === 42L).isEmpty,
+      "fixture must cancel to zero sparse rows")
+    val dense = TextAnalysis.hashEmbedDense(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // every input doc_id present; the cancelled and empty docs are all-zero
+    assert(dense.keySet == Set(1L, 42L, 43L))
+    assert(dense(42L).forall(_ == 0f) && dense(42L).length == 64)
+    assert(dense(43L).length == 64)
+    assert(dense(1L).exists(_ != 0f))
+  }
+
   test("q88: span length is exact for a planted shared run and a lower bound under repetition") {
     import spark.implicits._
     // doc 1/2 share a verbatim 12-token run at different offsets (plus

@@ -570,8 +570,23 @@ class ExtensionsSpec extends AnyFunSuite {
     val back = spark.read.parquet(dir).collect()
       .map(r => (r.getLong(0), r.getString(1))).sorted
     assert(back.toSeq == (1 to 256).map(i => (i.toLong, s"row$i")))
-    // and no tmp directory is left behind
+    // and neither swap scaffold dir is left behind (rename-aside swap:
+    // dir -> .compact.old, tmp -> dir, delete .compact.old)
     assert(!new java.io.File(dir + ".compact.tmp").exists())
+    assert(!new java.io.File(dir + ".compact.old").exists())
+  }
+
+  test("Compact: a stale parked .compact.old from a prior interrupted run does not block the swap") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact2").toString + "/t"
+    (1 to 64).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+      .repartition(8).write.parquet(dir)
+    // simulate a prior run that crashed after parking the original
+    Seq((999L, "stale")).toDF("id", "s").write.parquet(dir + ".compact.old")
+    val (b, a, rows) = graft.tools.Compact.run(spark, dir)
+    assert(b == 8 && a == 1 && rows == 64L, s"($b, $a, $rows)")
+    assert(spark.read.parquet(dir).count() == 64L)
+    assert(!new java.io.File(dir + ".compact.old").exists())
   }
 
   test("q91 snapshot diff: exact verdicts, unchanged docs absent, text stays off the shuffle") {

@@ -191,6 +191,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(bad == Set("{nope", "not json at all"))
   }
 
+  test("dead-letter ingest is idempotent: replaying a micro-batch never double-delivers") {
+    // foreachBatch is at-least-once — a crash between the delivered
+    // write and the checkpoint commit replays the batch. The sinks are
+    // batch_id-partitioned dynamic overwrite, so the replay rewrites
+    // its own partition in place. Drive the batch writer directly with
+    // the same (batch, batchId) twice and assert exactly-once counts.
+    val withCorrupt = graft.sources.Schemas.rawEvent
+      .add("_corrupt", org.apache.spark.sql.types.StringType)
+    import spark.implicits._
+    val batch = Seq(
+      """{"mint":"R1","txType":"create","solAmount":1.0,"name":"r1","symbol":"r1"}""",
+      """{broken""").toDF("value")
+      .select(col("value"), from_json(col("value"), withCorrupt,
+        Map("columnNameOfCorruptRecord" -> "_corrupt")).as("e"))
+      .withColumn("malformed", col("e._corrupt").isNotNull)
+    val out = Files.createTempDirectory("idemout").toString
+    val quar = Files.createTempDirectory("idemquar").toString
+    StreamingIngest.writeQuarantineBatch(batch, 7L, out, quar)
+    StreamingIngest.writeQuarantineBatch(batch, 7L, out, quar) // the replay
+    assert(spark.read.parquet(out).count() == 1L, "delivered row duplicated on replay")
+    assert(spark.read.parquet(quar).count() == 1L, "quarantined row duplicated on replay")
+    // a DIFFERENT batch appends alongside, untouched by the first
+    val batch2 = Seq(
+      """{"mint":"R2","txType":"buy","solAmount":2.0,"name":"r2","symbol":"r2"}""")
+      .toDF("value")
+      .select(col("value"), from_json(col("value"), withCorrupt,
+        Map("columnNameOfCorruptRecord" -> "_corrupt")).as("e"))
+      .withColumn("malformed", col("e._corrupt").isNotNull)
+    StreamingIngest.writeQuarantineBatch(batch2, 8L, out, quar)
+    assert(spark.read.parquet(out).select("mint").collect()
+      .map(_.getString(0)).toSet == Set("R1", "R2"))
+  }
+
   test("S1: DSv2 feed source streams posted messages with checkpointed offsets") {
     graft.sources.FeedRegistry.clear("ws1")
     graft.sources.FeedRegistry.post("ws1",
