@@ -317,6 +317,47 @@ object Dedup {
   // re-planned the shingle subtree).
   private val JaccardThreshold = 0.6
 
+  // ---- shared verify frames: the staging experiment (round 11) -----------
+  // q25/q65/q74 all verify candidate pairs over the SAME pre-hashed
+  // shingle-set frame, and q88 aligns over the same first-occurrence
+  // gram-position frame — each recomputes its frame from text per
+  // query. The obvious q61-style fix — persist the shared frame once
+  // per session and let CacheManager dedup consumers — was BUILT AND
+  // MEASURED at sf1, and REJECTED on the numbers (SCALE.md round-11
+  // entry): cache-warm q25 ran 30.0 s vs 5.6 s recompute, q88 21.5 s
+  // vs 16.4 s. Why recompute wins here and loses for q61's frames:
+  // these frames are token-volume-sized (one array<long> of ~all
+  // shingles per doc; one row per distinct gram), so the columnar
+  // in-memory cache holds tens of GB at sf1 — the ColumnarToRow walk
+  // over fat array columns plus disk-spilled batches costs more than
+  // re-running a codegen'd native hash kernel over the compressed
+  // parquet text it came from. q61's cached pre-aggregates are
+  // doc-volume-sized (counts per doc) — orders of magnitude smaller —
+  // which is the actual boundary: STAGE AGGREGATES, RECOMPUTE
+  // EXPANSIONS. The staged forms below remain as the opt-in artifact
+  // API for pipelines that want to WRITE these frames to parquet
+  // between stages (the Curate pattern, where the read-back is a
+  // columnar parquet scan, not the row-materializing cache).
+
+  /** Pre-hashed shingle sets `(doc_id, wh: array<long>)` — the q25/q65/
+    * q74 verify-side frame, as a frame a pipeline can stage to parquet.
+    * NOT persisted in the query paths (measured slower; see above).
+    */
+  def shingleSetsFrame(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.ShingleHashes(col("text")).as("wh"))
+
+  /** First-occurrence 8-gram positions `(doc_id, col: gh, p)` — the q88
+    * alignment frame, as a stageable artifact. NOT persisted in the
+    * query paths (measured slower; see above).
+    */
+  def gramPositionsFrame(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.GramHashes(col("text"), 8, 16)))
+      .groupBy(col("doc_id"), col("col"))
+      .agg(min(col("pos")).cast("long").as("p"))
+
   /** Exact (pre-hashed) Jaccard for EVERY candidate pair, unfiltered —
     * the shared sims kernel [[jaccardVerify]] thresholds and the q74
     * candidate-quality diagnostic aggregates.
@@ -329,8 +370,9 @@ object Dedup {
     // strings — ~10× smaller exchange rows, no per-element objects, and
     // the one measured GC-fragile shuffle in the engine goes away
     // (SCALE.md: the string form spread 11–75s at sf1 with GC pressure).
-    val sets = docs.select(col("doc_id"),
-      graft.functions.ShingleHashes(col("text")).as("wh"))
+    // Recomputed per query BY MEASUREMENT — see the staging-experiment
+    // note above shingleSetsFrame.
+    val sets = shingleSetsFrame(docs)
     // One join, not two: exploding each pair into its two member rows
     // lets a single pass over `sets` serve both sides (joining sets
     // per-side would re-evaluate the shingle subtree per branch). The
@@ -890,8 +932,9 @@ object Dedup {
 
   /** Max-containment (|A∩B| / min(|A|,|B|)) over candidate pairs. */
   def containmentVerify(cands: DataFrame, docs: DataFrame): DataFrame = {
-    val sets = docs.select(col("doc_id"),
-      graft.functions.ShingleHashes(col("text")).as("wh"))
+    // the same frame shape q25/q74 verify over (recomputed, not
+    // cached — the measured staging verdict at shingleSetsFrame)
+    val sets = shingleSetsFrame(docs)
     cands
       .select(col("doc_a"), col("doc_b"),
         explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
@@ -1012,8 +1055,11 @@ object Dedup {
   // exchange; two doc_id-keyed join shuffles + one (a, b) aggregate
   // exchange; the run-length scan is a row-local sorted fold (q66's
   // interval-union pattern), never a per-pair window. The gram subtree
-  // is evaluated once per join side (the accepted q25-class second
-  // scan; a shared-pipeline variant could stage grams to parquet).
+  // is evaluated once per join side — the round-11 staging experiment
+  // (persist [[gramPositionsFrame]] once, read twice) measured SLOWER
+  // at sf1 (21.5 s vs 16.4 s) and was reverted; see the note at
+  // [[shingleSetsFrame]]. A multi-stage pipeline stages the frame to
+  // PARQUET instead (columnar scan on read-back, no cache overhead).
 
   /** Longest shared verbatim token span per candidate pair:
     * `(doc_a, doc_b, n_shared, max_run, span_tokens)` for pairs sharing
@@ -1022,11 +1068,10 @@ object Dedup {
     * gram repetition).
     */
   def dupSpans(cands: DataFrame, docs: DataFrame): DataFrame = {
-    val grams = docs
-      .select(col("doc_id"),
-        posexplode(graft.functions.GramHashes(col("text"), 8, 16)))
-      .groupBy(col("doc_id"), col("col"))
-      .agg(min(col("pos")).cast("long").as("p"))
+    // recomputed, not cached — the measured staging verdict at
+    // shingleSetsFrame applies to this frame too (21.5 s cached vs
+    // 16.4 s recomputed at sf1)
+    val grams = gramPositionsFrame(docs)
     val ga = grams.select(col("doc_id").as("doc_a"), col("col").as("gh"),
       col("p").as("pa"))
     val gb = grams.select(col("doc_id").as("doc_b"), col("col").as("gh"),

@@ -2,14 +2,16 @@ package graft.operators
 
 /** Real, dependency-free image codec for the multimodal path: 24-bit
   * uncompressed BMP (BITMAPINFOHEADER) decode / encode / nearest-
-  * neighbor resize, pure JVM. This de-stubs the image leg of the
-  * multimodal pipeline (the reference environment ships no codec
-  * libraries); audio/video feature extraction stays on the declared
-  * [[Multimodal.StubCodec]].
+  * neighbor resize, pure JVM — plus REAL JPEG decode/encode through the
+  * JDK's built-in `javax.imageio` plugin (ships in every JRE, zero
+  * added dependencies), which also powers [[VideoCodec]]'s
+  * MJPEG-in-AVI frame decode. This de-stubs the image leg of the
+  * multimodal pipeline for both the uncompressed and the one
+  * JDK-native compressed format.
   *
   * Executor-local by construction — byte array in, byte array out, no
   * driver involvement, so it runs unchanged inside `mapPartitions` at
-  * any scale.
+  * any scale. ImageIO decode needs no display (headless-safe).
   */
 object ImageCodec {
 
@@ -129,6 +131,72 @@ object ImageCodec {
   def resizeBmp(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] =
     encode(resize(decode(bytes), targetW, targetH))
 
+  // ---- JPEG via the JDK's ImageIO plugin ---------------------------------
+
+  /** Cheap sniff: JPEG SOI marker (FF D8 FF). */
+  def isJpeg(b: Array[Byte]): Boolean =
+    b.length > 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+      (b(2) & 0xff) == 0xff
+
+  /** Decodes a JPEG payload to the same top-down BGR raster [[decode]]
+    * produces, via the JDK's baseline-JPEG reader. Deterministic for a
+    * given payload (one fixed decoder, integer IDCT path); throws on
+    * undecodable bytes so the Spark stages can fall back to the stub
+    * instead of failing the task.
+    */
+  def decodeJpeg(b: Array[Byte]): Image = {
+    val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    require(bi != null, "ImageIO could not decode JPEG payload")
+    val w = bi.getWidth
+    val h = bi.getHeight
+    require(w > 0 && h > 0, s"bad JPEG dimensions ${w}x$h")
+    val out = new Array[Byte](w * h * 3)
+    // one bulk ARGB pull, not per-pixel getRGB calls
+    val argb = bi.getRGB(0, 0, w, h, null, 0, w)
+    var i = 0
+    while (i < w * h) {
+      val p = argb(i)
+      out(i * 3) = (p & 0xff).toByte            // B
+      out(i * 3 + 1) = ((p >> 8) & 0xff).toByte // G
+      out(i * 3 + 2) = ((p >> 16) & 0xff).toByte // R
+      i += 1
+    }
+    Image(w, h, out)
+  }
+
+  /** Encodes the raster as a JPEG via the JDK writer (default quality). */
+  def encodeJpeg(img: Image): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(img.width, img.height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val argb = new Array[Int](img.width * img.height)
+    var i = 0
+    while (i < argb.length) {
+      argb(i) = ((img.pixels(i * 3 + 2) & 0xff) << 16) |
+        ((img.pixels(i * 3 + 1) & 0xff) << 8) | (img.pixels(i * 3) & 0xff)
+      i += 1
+    }
+    bi.setRGB(0, 0, img.width, img.height, argb, 0, img.width)
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(bi, "jpg", bos),
+      "JDK has no JPEG writer registered")
+    bos.toByteArray
+  }
+
+  /** decode → resize → re-encode for JPEG payloads — the compressed
+    * twin of [[resizeBmp]], same bytes-to-bytes contract.
+    */
+  def resizeJpeg(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] =
+    encodeJpeg(resize(decodeJpeg(bytes), targetW, targetH))
+
+  /** Format-sniffing decode: BMP through the native parser, JPEG
+    * through ImageIO; anything else throws (callers fall back to the
+    * declared stub).
+    */
+  def decodeAny(bytes: Array[Byte]): Image =
+    if (isBmp(bytes)) decode(bytes)
+    else if (isJpeg(bytes)) decodeJpeg(bytes)
+    else sys.error("payload is neither BMP nor JPEG")
+
   /** Average-hash (aHash) perceptual fingerprint: decode, nearest-
     * neighbor resample to 8×8, integer grayscale (b+g+r per pixel —
     * no float weights), then bit i set iff pixel i is strictly
@@ -141,7 +209,9 @@ object ImageCodec {
     * ([[Dedup.bandedHammingPairs]]).
     */
   def aHash(bytes: Array[Byte]): Long = {
-    val img = resize(decode(bytes), 8, 8)
+    // format-sniffing: BMP payloads keep their exact historical hash
+    // (native parser path unchanged); JPEG payloads now hash for real
+    val img = resize(decodeAny(bytes), 8, 8)
     val gray = new Array[Long](64)
     var total = 0L
     var i = 0

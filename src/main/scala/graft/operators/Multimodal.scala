@@ -59,10 +59,13 @@ object Multimodal {
               sample_rate_hz = a.sampleRate, n_frames = a.nFrames,
               frame_digest = f"$xor%02x"))
         else if (r.media_type == "video" && VideoCodec.isAvi(r.content))
-          // header-true frame count and rate; digest = byte-xor of the
-          // middle frame (a sampled-keyframe fingerprint, not the
-          // container's — re-muxing the same frames keeps the digest)
-          scala.util.Try(VideoCodec.decode(r.content)).toOption.map { v =>
+          // header-true frame count and rate for BOTH AVI flavors
+          // (uncompressed DIB and MJPEG — decodeAuto sniffs the
+          // fourcc); digest = byte-xor of the DECODED middle frame (a
+          // sampled-keyframe fingerprint, not the container's —
+          // re-muxing the same frames keeps the digest, and for MJPEG
+          // it fingerprints pixels, not entropy-coded bytes)
+          scala.util.Try(VideoCodec.decodeAuto(r.content)).toOption.map { v =>
             val mid = v.frames(v.nFrames / 2)
             val fxor = mid.foldLeft(0)((a, b) => (a ^ b) & 0xff)
             MediaFeatures(r.media_id, r.media_type, len,
@@ -71,8 +74,11 @@ object Multimodal {
           }
         else None
       real.getOrElse {
-        // ??? real COMPRESSED video codec goes here — fake "frames" =
-        // 1KiB chunks, fake digest = hex of a rolling byte xor.
+        // Declared stub boundary: video codecs beyond BI_RGB/MJPEG
+        // (H.264 etc.) need native decoder libraries this environment
+        // does not ship — fake "frames" = 1KiB chunks, fake digest =
+        // hex of a rolling byte xor, so unsupported payloads still
+        // flow with the right SHAPE.
         val frames = math.max(1, len / 1024)
         MediaFeatures(r.media_id, r.media_type, len,
           sample_rate_hz = if (r.media_type == "audio") 16000 else 0,
@@ -81,9 +87,11 @@ object Multimodal {
       }
     }
 
-    /** ??? real image resize goes here — the stub "resizes" by keeping
-      * every stride-th byte, preserving the (id, smaller-binary) shape a
-      * real thumbnailer produces. Deterministic.
+    /** Byte-stride fallback "resize" for payloads no real codec path
+      * handles (BMP and JPEG go through [[ImageCodec]] in
+      * [[resizeImages]]): keeps every stride-th byte, preserving the
+      * (id, smaller-binary) shape a real thumbnailer produces.
+      * Deterministic.
       */
     def resize(r: MediaRecord, targetBytes: Int): MediaRecord = {
       val n = r.content.length
@@ -96,15 +104,16 @@ object Multimodal {
       }
     }
 
-    /** Frame sampling: REAL for uncompressed AVI — `k` evenly-spaced
-      * decoded DIB frames ([[VideoCodec.sampleFrames]]) — and the
-      * declared stub (evenly-spaced 1KiB chunks) for everything else
-      * (??? real compressed-video sampler goes here).
+    /** Frame sampling: REAL for both AVI flavors — `k` evenly-spaced
+      * DECODED DIB frames ([[VideoCodec.sampleFrames]] over
+      * `decodeAuto`, which handles BI_RGB and MJPEG) — and the
+      * declared stub (evenly-spaced 1KiB chunks) for codecs the bare
+      * JVM cannot decode (H.264 etc., the documented boundary).
       */
     def sampleFrames(r: MediaRecord, k: Int): Seq[Array[Byte]] = {
       if (r.media_type == "video" && VideoCodec.isAvi(r.content)) {
         val real = scala.util.Try(
-          VideoCodec.sampleFrames(VideoCodec.decode(r.content), k)).toOption
+          VideoCodec.sampleFrames(VideoCodec.decodeAuto(r.content), k)).toOption
         real match {
           case Some(fs) => return fs
           case None => () // malformed AVI: fall through to the stub
@@ -125,20 +134,24 @@ object Multimodal {
     records.mapPartitions(_.map(StubCodec.resize(_, targetBytes)))
   }
 
-  /** Image thumbnailing with the REAL codec: BMP payloads are decoded,
-    * nearest-neighbor resampled to targetW x targetH and re-encoded
-    * ([[ImageCodec]]); non-BMP payloads fall back to the declared
-    * byte-stride stub so mixed media batches still flow. Map-side only —
-    * payload bytes never shuffle.
+  /** Image thumbnailing with the REAL codecs: BMP payloads decode /
+    * resample / re-encode through the native parser, JPEG payloads
+    * through the JDK's ImageIO ([[ImageCodec.resizeJpeg]]) — each
+    * format re-encodes as itself. Unsupported payloads fall back to
+    * the declared byte-stride stub so mixed media batches still flow.
+    * Map-side only — payload bytes never shuffle.
     */
   def resizeImages(records: Dataset[MediaRecord], targetW: Int,
       targetH: Int): Dataset[MediaRecord] = {
     import records.sparkSession.implicits._
     records.mapPartitions(_.map { r =>
+      // unsupported flavor (compressed BMP, non-24bpp, truncated,
+      // undecodable JPEG): fall back to the stub, never fail the task
       if (r.media_type == "image" && ImageCodec.isBmp(r.content))
-        // unsupported BMP flavor (compressed, non-24bpp, truncated):
-        // fall back to the stub instead of failing the task
         scala.util.Try(r.copy(content = ImageCodec.resizeBmp(r.content, targetW, targetH)))
+          .getOrElse(StubCodec.resize(r, targetW * targetH * 3))
+      else if (r.media_type == "image" && ImageCodec.isJpeg(r.content))
+        scala.util.Try(r.copy(content = ImageCodec.resizeJpeg(r.content, targetW, targetH)))
           .getOrElse(StubCodec.resize(r, targetW * targetH * 3))
       else StubCodec.resize(r, targetW * targetH * 3)
     })

@@ -1,14 +1,21 @@
 package graft.operators
 
 /** Real, dependency-free video codec for the multimodal path:
-  * uncompressed RIFF/AVI — the video sibling of [[AudioCodec]]'s
-  * RIFF/WAVE, same container family — carrying 24bpp DIB frames
-  * ('00db' chunks inside the 'movi' LIST). Decode / encode /
-  * nearest-neighbor frame sampling, pure JVM. This de-stubs the video
-  * leg of [[Multimodal.StubCodec]] for the one flavor that needs no
-  * codec library; compressed streams (H.264 etc.) require native
-  * decoders that do not ship in this environment and stay on the
-  * declared stub by design.
+  * RIFF/AVI — the video sibling of [[AudioCodec]]'s RIFF/WAVE, same
+  * container family — in two flavors, both decoded for real:
+  *
+  *   - uncompressed 24bpp DIB frames ('00db' chunks, BI_RGB), the
+  *     zero-codec baseline;
+  *   - MJPEG ('MJPG' fourcc, one JPEG per '00dc' chunk), the one
+  *     COMPRESSED video format the bare JDK can decode — each frame
+  *     goes through [[ImageCodec.decodeJpeg]] (javax.imageio, ships in
+  *     every JRE) and lands in the same DIB frame layout, so frame
+  *     sampling and fingerprinting downstream are format-blind.
+  *
+  * Decode / encode / mux / nearest-neighbor frame sampling, pure JVM.
+  * Codecs beyond MJPEG (H.264 etc.) require native decoder libraries
+  * that do not ship in this environment and remain on the declared
+  * [[Multimodal.StubCodec]] fallback by design.
   *
   * Executor-local by construction — byte array in, byte array out, no
   * driver involvement, so it runs unchanged inside `mapPartitions` at
@@ -58,16 +65,19 @@ object VideoCodec {
   private def putTag(b: Array[Byte], off: Int, t: String): Unit =
     t.getBytes("US-ASCII").copyToArray(b, off)
 
-  /** Decodes an uncompressed 24bpp AVI. Walks the RIFF chunk tree (so
-    * extra chunks — JUNK, idx1, vedt — are fine): requires an 'avih'
-    * main header inside LIST 'hdrl', a 'strf' BITMAPINFOHEADER
-    * declaring BI_RGB at 24 bits, and collects every '00db'/'00dc'
-    * frame chunk inside LIST 'movi', each of which must be exactly one
-    * stride x height DIB. Anything else — compressed fourcc, planar
-    * formats, truncated chunks — fails with a message, and the Spark
-    * stage falls back to the declared stub instead of failing the task.
+  /** 'MJPG' fourcc as BITMAPINFOHEADER.biCompression reads it (LE). */
+  val MjpgFourcc: Int = 0x47504a4d
+
+  private final case class Parsed(width: Int, height: Int, usPerFrame: Int,
+      declaredFrames: Int, bitCount: Int, compression: Int,
+      frames: Vector[Array[Byte]])
+
+  /** One bounds-checked RIFF walk shared by both AVI flavors: gathers
+    * the 'avih' main header, the first 'strf' BITMAPINFOHEADER, and
+    * every '00db'/'00dc' frame chunk inside LIST 'movi'. Extra chunks
+    * (JUNK, idx1, vedt, odml) are skipped.
     */
-  def decode(b: Array[Byte]): Video = {
+  private def parse(b: Array[Byte]): Parsed = {
     require(isAvi(b), "not an AVI payload (missing RIFF/AVI magic)")
     var width = -1
     var height = -1
@@ -77,8 +87,6 @@ object VideoCodec {
     var compression = -1
     val frames = Vector.newBuilder[Array[Byte]]
 
-    // one bounds-checked walk shared by every nesting level; LIST chunks
-    // recurse into their contents, leaf handlers fire on id
     def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
       var off = start
       while (off + 8 <= end) {
@@ -114,21 +122,70 @@ object VideoCodec {
       }
     }
     walk(12, b.length, inMovi = false)
-
     require(width > 0, "AVI has no avih main header")
-    require(compression == 0,
-      s"only uncompressed (BI_RGB) AVI supported, got compression $compression")
-    require(bitCount == 24, s"only 24bpp AVI supported, got $bitCount")
     val fs = frames.result()
     require(fs.nonEmpty, "AVI has no movi frame chunks")
-    val expect = stride(width) * height
-    fs.zipWithIndex.foreach { case (f, i) =>
-      require(f.length == expect,
-        s"frame $i is ${f.length} bytes, expected $expect (${width}x$height DIB)")
-    }
     require(declaredFrames < 0 || declaredFrames == fs.length,
       s"avih declares $declaredFrames frames but movi carries ${fs.length}")
-    Video(width, height, usPerFrame, fs)
+    Parsed(width, height, usPerFrame, declaredFrames, bitCount, compression, fs)
+  }
+
+  /** Decodes an uncompressed 24bpp AVI: requires a 'strf'
+    * BITMAPINFOHEADER declaring BI_RGB at 24 bits, each movi chunk
+    * exactly one stride x height DIB. Anything else — unknown fourcc,
+    * planar formats, truncated chunks — fails with a message, and the
+    * Spark stage falls back to the declared stub instead of failing
+    * the task.
+    */
+  def decode(b: Array[Byte]): Video = {
+    val p = parse(b)
+    require(p.compression == 0,
+      s"only uncompressed (BI_RGB) AVI supported, got compression ${p.compression}")
+    require(p.bitCount == 24, s"only 24bpp AVI supported, got ${p.bitCount}")
+    val expect = stride(p.width) * p.height
+    p.frames.zipWithIndex.foreach { case (f, i) =>
+      require(f.length == expect,
+        s"frame $i is ${f.length} bytes, expected $expect (${p.width}x${p.height} DIB)")
+    }
+    Video(p.width, p.height, p.usPerFrame, p.frames)
+  }
+
+  /** Decodes an MJPEG AVI ('MJPG' fourcc, one JPEG per movi chunk):
+    * every frame runs through the JDK JPEG decoder and lands in the
+    * same bottom-up padded DIB layout [[decode]] produces, so the
+    * returned [[Video]] is indistinguishable downstream from an
+    * uncompressed clip. Frame dimensions must match the avih header
+    * (an MJPEG stream that changes size mid-clip is malformed).
+    */
+  def decodeMjpeg(b: Array[Byte]): Video = {
+    val p = parse(b)
+    require(p.compression == MjpgFourcc,
+      f"not an MJPEG AVI: compression 0x${p.compression}%08x")
+    val st = stride(p.width)
+    val frames = p.frames.zipWithIndex.map { case (jpeg, i) =>
+      val img = ImageCodec.decodeJpeg(jpeg)
+      require(img.width == p.width && img.height == p.height,
+        s"frame $i is ${img.width}x${img.height}, avih says ${p.width}x${p.height}")
+      // top-down packed BGR -> bottom-up stride-padded DIB
+      val out = new Array[Byte](st * p.height)
+      var y = 0
+      while (y < p.height) {
+        System.arraycopy(img.pixels, y * p.width * 3,
+          out, (p.height - 1 - y) * st, p.width * 3)
+        y += 1
+      }
+      out
+    }
+    Video(p.width, p.height, p.usPerFrame, frames)
+  }
+
+  /** Format-sniffing decode: BI_RGB through the DIB path, MJPG through
+    * the JPEG path; other fourccs throw (callers fall back to the
+    * declared stub).
+    */
+  def decodeAuto(b: Array[Byte]): Video = {
+    val p = parse(b)
+    if (p.compression == MjpgFourcc) decodeMjpeg(b) else decode(b)
   }
 
   /** Encodes to a canonical single-stream uncompressed AVI:
@@ -187,6 +244,62 @@ object VideoCodec {
       putTag(b, off, "00db"); writeI32(b, off + 4, frameSize)
       f.copyToArray(b, off + 8)
       off += 8 + frameSize + (frameSize & 1)
+    }
+    b
+  }
+
+  /** Muxes pre-encoded JPEG frames into an MJPEG AVI: hdrl(avih +
+    * strl(strh'vids'/'MJPG' + strf BITMAPINFOHEADER biCompression
+    * 'MJPG')) then movi with one '00dc' per JPEG. The inverse of
+    * [[decodeMjpeg]] up to JPEG re-encoding loss.
+    */
+  def encodeMjpeg(jpegFrames: Seq[Array[Byte]], width: Int, height: Int,
+      microSecPerFrame: Int): Array[Byte] = {
+    require(jpegFrames.nonEmpty, "no frames to mux")
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    val moviContent = jpegFrames.map(f => 8 + f.length + (f.length & 1)).sum
+    val maxFrame = jpegFrames.map(_.length).max
+    val hdrlSize = 4 + (8 + 56) + (8 + (4 + (8 + 56) + (8 + 40)))
+    val total = 12 + (8 + hdrlSize) + (8 + 4 + moviContent)
+    val b = new Array[Byte](total)
+    putTag(b, 0, "RIFF"); writeI32(b, 4, total - 8); putTag(b, 8, "AVI ")
+    var off = 12
+    putTag(b, off, "LIST"); writeI32(b, off + 4, hdrlSize); putTag(b, off + 8, "hdrl")
+    off += 12
+    putTag(b, off, "avih"); writeI32(b, off + 4, 56)
+    writeI32(b, off + 8, microSecPerFrame)
+    writeI32(b, off + 24, jpegFrames.length)
+    writeI32(b, off + 32, 1)            // dwStreams
+    writeI32(b, off + 36, maxFrame)     // dwSuggestedBufferSize
+    writeI32(b, off + 40, width)
+    writeI32(b, off + 44, height)
+    off += 8 + 56
+    val strlSize = 4 + (8 + 56) + (8 + 40)
+    putTag(b, off, "LIST"); writeI32(b, off + 4, strlSize); putTag(b, off + 8, "strl")
+    off += 12
+    putTag(b, off, "strh"); writeI32(b, off + 4, 56)
+    putTag(b, off + 8, "vids"); putTag(b, off + 12, "MJPG")
+    writeI32(b, off + 28, math.max(1, microSecPerFrame)) // dwScale
+    writeI32(b, off + 32, 1000000)                       // dwRate
+    writeI32(b, off + 40, jpegFrames.length)             // dwLength
+    writeI32(b, off + 44, maxFrame)                      // dwSuggestedBufferSize
+    writeI16(b, off + 60, width); writeI16(b, off + 62, height) // rcFrame
+    off += 8 + 56
+    putTag(b, off, "strf"); writeI32(b, off + 4, 40)
+    writeI32(b, off + 8, 40)            // biSize
+    writeI32(b, off + 12, width)
+    writeI32(b, off + 16, height)
+    writeI16(b, off + 20, 1)            // biPlanes
+    writeI16(b, off + 22, 24)           // biBitCount
+    writeI32(b, off + 24, MjpgFourcc)   // biCompression = 'MJPG'
+    off += 8 + 40
+    putTag(b, off, "LIST"); writeI32(b, off + 4, 4 + moviContent)
+    putTag(b, off + 8, "movi")
+    off += 12
+    jpegFrames.foreach { f =>
+      putTag(b, off, "00dc"); writeI32(b, off + 4, f.length)
+      f.copyToArray(b, off + 8)
+      off += 8 + f.length + (f.length & 1)
     }
     b
   }

@@ -366,10 +366,87 @@ class ExtensionsSpec extends AnyFunSuite {
         Multimodal.MediaRecord(9L, corrupt, "video", "s"))))
       .collect().head
     assert(fb.n_frames == math.max(1, corrupt.length / 1024)) // stub, not a crash
-    // compressed fourcc (non-BI_RGB strf) is out of scope by design
+    // unsupported compressed fourcc (non-BI_RGB, non-MJPG strf) stays
+    // out of scope by design on BOTH decode paths
     val compressed = bytes.clone()
     compressed(100 + 8 + 56 + 8 + 16) = 1 // strf biCompression: BI_RLE8
     intercept[IllegalArgumentException] { VideoCodec.decode(compressed) }
+    intercept[RuntimeException] { VideoCodec.decodeAuto(compressed) }
+  }
+
+  test("multimodal: real JPEG codec (JDK ImageIO) decodes, thumbnails, and hashes") {
+    import graft.operators.ImageCodec
+    // 16x12 two-tone raster, left half dark / right half bright —
+    // strong structure that survives JPEG quantization loss
+    val w = 16; val h = 12
+    val px = Array.tabulate(w * h * 3) { i =>
+      if ((i / 3) % w < w / 2) 16.toByte else 240.toByte
+    }
+    val img = ImageCodec.Image(w, h, px)
+    val jpeg = ImageCodec.encodeJpeg(img)
+    assert(ImageCodec.isJpeg(jpeg) && !ImageCodec.isBmp(jpeg))
+    val back = ImageCodec.decodeJpeg(jpeg)
+    assert(back.width == w && back.height == h)
+    // lossy but close on a flat two-tone: every byte within 32 levels
+    (0 until w * h * 3).foreach { i =>
+      assert(math.abs((back.pixels(i) & 0xff) - (px(i) & 0xff)) <= 32,
+        s"byte $i drifted: ${back.pixels(i) & 0xff} vs ${px(i) & 0xff}")
+    }
+    // decode is deterministic: same payload, same raster
+    assert(ImageCodec.decodeJpeg(jpeg).pixels.toSeq == back.pixels.toSeq)
+    // the perceptual hash sees through the compression: BMP and JPEG of
+    // the same raster agree within a few boundary bits, so the q60
+    // banded-hamming dedup treats a re-encode as the near-dup it is
+    val hb = ImageCodec.aHash(ImageCodec.encode(img))
+    val hj = ImageCodec.aHash(jpeg)
+    assert(java.lang.Long.bitCount(hb ^ hj) <= 8,
+      f"aHash drifted ${java.lang.Long.bitCount(hb ^ hj)} bits: $hb%016x vs $hj%016x")
+    // resizeJpeg emits a smaller decodable JPEG at the target size
+    val thumb = ImageCodec.resizeJpeg(jpeg, 8, 6)
+    assert(ImageCodec.isJpeg(thumb))
+    val t = ImageCodec.decodeJpeg(thumb)
+    assert(t.width == 8 && t.height == 6)
+    // and the Spark resize stage routes JPEG through the real codec:
+    // output is a decodable JPEG, not the byte-stride stub
+    val out = Multimodal.resizeImages(spark.createDataset(Seq(
+        Multimodal.MediaRecord(1L, jpeg, "image", "s"))), 8, 6)
+      .collect().head
+    assert(ImageCodec.isJpeg(out.content))
+    assert(ImageCodec.decodeJpeg(out.content).width == 8)
+  }
+
+  test("multimodal: MJPEG AVI decodes per-frame JPEG and drives sampling + features") {
+    import graft.operators.{ImageCodec, VideoCodec}
+    // 6 frames of a brightening left-to-right wipe: frame f has the
+    // first (f+1)*2 columns bright — decoded means must strictly grow,
+    // provable only by actually decoding the JPEG pixels
+    val w = 16; val h = 8; val n = 6
+    def raster(f: Int) = ImageCodec.Image(w, h, Array.tabulate(w * h * 3) { i =>
+      if ((i / 3) % w < (f + 1) * 2) 230.toByte else 20.toByte
+    })
+    val jpegs = (0 until n).map(f => ImageCodec.encodeJpeg(raster(f)))
+    val avi = VideoCodec.encodeMjpeg(jpegs, w, h, microSecPerFrame = 100000)
+    assert(VideoCodec.isAvi(avi))
+    // the strict BI_RGB path refuses it; the sniffing path decodes it
+    intercept[IllegalArgumentException] { VideoCodec.decode(avi) }
+    val v = VideoCodec.decodeAuto(avi)
+    assert(v.width == w && v.height == h && v.nFrames == n && v.fps == 10)
+    val frameSize = VideoCodec.stride(w) * h
+    assert(v.frames.forall(_.length == frameSize))
+    def mean(f: Array[Byte]) = f.map(_ & 0xff).sum.toDouble / f.length
+    val means = v.frames.map(mean)
+    assert(means.zip(means.tail).forall { case (a, b) => a < b },
+      s"decoded frame brightness must track the wipe: $means")
+    // the Spark feature stage reports header-true count and rate for
+    // MJPEG too (the stub would say len/1024 frames, rate 0)
+    val feats = Multimodal.extractFeatures(spark.createDataset(Seq(
+        Multimodal.MediaRecord(5L, avi, "video", "s"))))
+      .collect().head
+    assert(feats.n_frames == n && feats.sample_rate_hz == 10)
+    // record-level frame sampling returns decoded DIB frames
+    val sampled = Multimodal.StubCodec.sampleFrames(
+      Multimodal.MediaRecord(5L, avi, "video", "s"), 3)
+    assert(sampled.size == 3 && sampled.forall(_.length == frameSize))
   }
 
   test("multimodal: real WAV codec decodes, resamples, and drives the audio stage") {

@@ -87,6 +87,28 @@ object InvariantProps extends Properties("graft") {
         id.pixels.toSeq == img.pixels.toSeq
     }
 
+  property("JPEG encode/decode preserves dimensions; decode is deterministic") =
+    Prop.forAllNoShrink(imageGen) { img =>
+      val j = ImageCodec.encodeJpeg(img)
+      val a = ImageCodec.decodeJpeg(j)
+      ImageCodec.isJpeg(j) && a.width == img.width && a.height == img.height &&
+        a.pixels.toSeq == ImageCodec.decodeJpeg(j).pixels.toSeq
+    }
+
+  property("MJPEG AVI mux/demux preserves frame count, dims and rate for any clip") =
+    Prop.forAllNoShrink(for {
+      img <- imageGen
+      n <- Gen.choose(1, 6)
+    } yield (img, n)) { case (img, n) =>
+      import graft.operators.VideoCodec
+      val jpegs = Vector.fill(n)(ImageCodec.encodeJpeg(img))
+      val avi = VideoCodec.encodeMjpeg(jpegs, img.width, img.height, 50000)
+      val v = VideoCodec.decodeAuto(avi)
+      v.nFrames == n && v.width == img.width && v.height == img.height &&
+        v.fps == 20 &&
+        v.frames.forall(_.length == VideoCodec.stride(img.width) * img.height)
+    }
+
   // ---- AudioCodec (pure kernel, no Spark) --------------------------------
   import graft.operators.AudioCodec
 
