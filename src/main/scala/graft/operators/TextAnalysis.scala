@@ -1499,9 +1499,9 @@ object TextAnalysis {
   // the rank window shuffles on lang, and the per-lang aggregate that
   // follows reuses that partitioning (no second exchange — CI-pinned).
   // Scale caveat (q45's, shared): a per-language window puts each
-  // language on one partition; at 100 TB profile per (lang, shard)
-  // and merge, or accept approx_percentile's sketch when exactness
-  // isn't contractual — exact selection is the oracle semantic here.
+  // language on one partition; the at-100 TB substitution is SHIPPED
+  // as [[lengthQuantilesApprox]] (sketch aggregate, no window,
+  // rank-error-bounded) — exact selection is the oracle semantic here.
 
   /** Per-language exact discrete length quantiles over any frame with
     * `doc_id`, `lang`, `n_chars`: `(lang, n_docs, p25, p50, p75, p95)`.
@@ -1519,6 +1519,33 @@ object TextAnalysis {
       max(col("n")).as("n_docs"),
       at(1, 4, "p25"), at(1, 2, "p50"), at(3, 4, "p75"), at(19, 20, "p95"))
   }
+
+  /** Scale-safe variant of [[lengthQuantiles]] — the q45
+    * `qualityFilterApprox` pattern applied to the q68 caveat, AS CODE
+    * instead of prose. The exact form's per-language rank window puts
+    * each language on one partition (a mega-language straggles at
+    * 100 TB); this form is a pure sketch AGGREGATE —
+    * `approx_percentile` merges map-side, so nothing bigger than one
+    * sketch per language ever reaches a reducer, and there is no
+    * window anywhere (plan-pinned in spec). Error bound: the sketch
+    * guarantees a value within `n/accuracy` ranks of the target, so
+    * for any language with `n_docs <= accuracy` the discrete quantile
+    * is RANK-EXACT (CI-asserted against [[lengthQuantiles]] at fixture
+    * scale); at 100 TB with the default accuracy the p50 of a
+    * 50-billion-doc language is within 5M ranks ≈ 0.01% of mass.
+    * The exact form remains the q68 oracle semantic.
+    */
+  def lengthQuantilesApprox(docs: DataFrame,
+      accuracy: Int = 10000): DataFrame =
+    docs
+      .select(col("lang"), col("n_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr(s"approx_percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.95D), $accuracy)")
+          .as("p"))
+      .select(col("lang"), col("n_docs"),
+        col("p")(0).as("p25"), col("p")(1).as("p50"),
+        col("p")(2).as("p75"), col("p")(3).as("p95"))
 
   private def q68(s: SparkSession, d: String): DataFrame =
     lengthQuantiles(Tables.documents(s, d))
@@ -1612,10 +1639,11 @@ object TextAnalysis {
   // (mean_prob DESC, doc_id ASC), head = rank <= ceil(n/3), middle =
   // rank <= ceil(2n/3), tail = rest, with the ceilings in pure integer
   // arithmetic. One exchange for the per-language window (the q68
-  // scale caveat shared: per-language sort — at 100 TB rank per
-  // (lang, shard) and merge, or take approx_percentile cutpoints when
-  // exactness isn't contractual; exact selection is the oracle
-  // semantic here). The LM side inherits q56's shapes unchanged.
+  // scale caveat shared: per-language sort — the at-100 TB
+  // substitution is SHIPPED as [[lmBucketsApprox]], approx cutpoints
+  // broadcast back, ≥95% agreement CI-asserted; exact selection is
+  // the oracle semantic here). The LM side inherits q56's shapes
+  // unchanged.
   /** Per-doc CCNet-style LM bucket over any `(doc_id, text, lang)`
     * frame: `(doc_id, lang, mean_prob, bucket)` with bucket in
     * {head, middle, tail} by per-language tertile of mean_prob.
@@ -1631,6 +1659,33 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("mean_prob"),
         when(col("rk") <= expr("(n + 2) div 3"), lit("head"))
           .when(col("rk") <= expr("(2 * n + 2) div 3"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /** Scale-safe variant of [[lmBuckets]] — the at-scale substitution
+    * the exact form's comment promises, AS CODE (the q45/q68 approx
+    * pattern): per-language tertile CUTPOINTS from one
+    * `approx_percentile` sketch aggregate (map-side mergeable, no
+    * per-language window, no single-partition language sort),
+    * broadcast back, bucket assigned row-locally by threshold
+    * compare. Differences vs exact: ties at a cutpoint all land in the
+    * higher bucket (the rank form splits them by doc_id), and sketch
+    * error can shift boundary docs — agreement is CI-asserted ≥95% at
+    * fixture scale (the q45 convention). Head = mean_prob ≥ p(1/3
+    * from top); exact selection remains the q86 oracle semantic.
+    */
+  def lmBucketsApprox(docs: DataFrame, accuracy: Int = 10000): DataFrame = {
+    val lm = unigramLm(docs).select(col("doc_id"), col("mean_prob"))
+    val base = docs.select(col("doc_id"), col("lang")).join(lm, "doc_id")
+    val cuts = base.groupBy(col("lang"))
+      .agg(expr(
+        s"approx_percentile(mean_prob, array(${2.0 / 3}D, ${1.0 / 3}D), $accuracy)")
+        .as("c"))
+      .select(col("lang"), col("c")(0).as("head_min"), col("c")(1).as("mid_min"))
+    base.join(broadcast(cuts), "lang")
+      .select(col("doc_id"), col("lang"), col("mean_prob"),
+        when(col("mean_prob") >= col("head_min"), lit("head"))
+          .when(col("mean_prob") >= col("mid_min"), lit("middle"))
           .otherwise(lit("tail")).as("bucket"))
   }
 

@@ -261,6 +261,116 @@ object StreamingCurate {
     * deliberately deferred one batch (today's train grams join the
     * index at the next micro-batch — the q57 discipline).
     */
+  /** Per-leg output counts + the ONLY state store's size (the near-dup
+    * leg — every other leg is stream-static or row-local by design,
+    * asserted in StreamingSpec) + wall seconds for the drain.
+    */
+  final case class AllLegsReport(counts: Map[String, Long],
+      dedupStateRows: Long, dedupStateBytes: Long, wallSec: Double)
+
+  /** The COMPOSITION soak: every streaming leg running CONCURRENTLY
+    * over one feed in one session/workDir — the configuration a real
+    * ingest deployment runs, vs the per-leg isolation of the unit
+    * tests. Legs (each with its own checkpoint under `workDir`, as
+    * Structured Streaming requires per query):
+    *
+    *   1. row-local curation (quality + repetition gates, PII) →
+    *      `curated_raw`;
+    *   2. watermarked near-dup verdicts (the one STATEFUL leg) →
+    *      `verdicts`;
+    *   3. windowed ingest statistics → `stats`;
+    *   4. hashed semantic dedup (stream-static cell index, model-free)
+    *      → `sem_verdicts`;
+    *   5. decontamination (stream-static gram index) → `dc_verdicts`;
+    *   6. dead-letter split (idempotent batch_id-partitioned writes) →
+    *      `delivered` / `quarantine`.
+    *
+    * All legs parse the same feed independently (the feed is a
+    * replayable offset log, so N readers cost N scans of the arriving
+    * micro-batch, not N copies of state); malformed payloads carry
+    * null doc_ids and are filtered from the document legs — the
+    * dead-letter leg is where they are accounted for. After the drain,
+    * the curated output assembles exactly as [[runFromFeed]] does
+    * (anti-join the near-dup verdicts).
+    *
+    * `cellIndexTable` must be seeded via `Similarity.writeCellIndex`
+    * over `hashEmbedDense` of the historical corpus (same space as
+    * `centroids`), `gramIndexTable` via `TrainingData.writeGramIndex`.
+    */
+  def runAllLegs(spark: SparkSession, feed: String, workDir: String,
+      minQuality: Double, centroids: DataFrame, cellIndexTable: String,
+      gramIndexTable: String, semThreshold: Double = 0.95,
+      retentionMs: Long = 3600L * 1000, buckets: Int = 4,
+      maxDupFrac: Double = 1.0,
+      maxMessagesPerTrigger: Option[Long] = None): AllLegsReport = {
+    val t0 = System.nanoTime()
+    def docs: DataFrame = StreamingIngest.readFeedStream(spark, feed,
+        maxMessagesPerTrigger = maxMessagesPerTrigger)
+      .select(col("offset"), from_json(col("value"), Schemas.document).as("d"))
+      .select(col("offset"), col("d.doc_id"), col("d.text"), col("d.lang"),
+        col("d.source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .filter(col("doc_id").isNotNull)
+    def ts = timestamp_seconds(col("offset") + lit(86400))
+
+    val qCur = curate(docs, minQuality, maxDupFrac)
+      .writeStream.format("parquet")
+      .option("path", s"$workDir/curated_raw")
+      .option("checkpointLocation", s"$workDir/ckpt_curate").start()
+    val qDup = StreamingDedup.nearDupVerdicts(
+        docs.select(col("doc_id"), col("text"), ts.as("ts")), "ts", retentionMs)
+      .writeStream.format("parquet")
+      .option("path", s"$workDir/verdicts")
+      .option("checkpointLocation", s"$workDir/ckpt_verdicts").start()
+    val qStats = statsStream(docs.withColumn("ts", ts), "ts", "60 seconds",
+        minQuality)
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", s"$workDir/stats")
+      .option("checkpointLocation", s"$workDir/ckpt_stats").start()
+    val qSem = hashedSemanticVerdictStream(
+      docs.select(col("doc_id"), col("text")), centroids, cellIndexTable,
+      s"$workDir/sem_verdicts", s"$workDir/ckpt_sem", semThreshold, buckets)
+    val qDc = decontamVerdictStream(
+      docs.select(col("doc_id"), col("text")), gramIndexTable,
+      s"$workDir/dc_verdicts", s"$workDir/ckpt_dc", buckets)
+    val withCorrupt = Schemas.document
+      .add("_corrupt", org.apache.spark.sql.types.StringType)
+    val qDl = StreamingIngest.readFeedStream(spark, feed,
+        maxMessagesPerTrigger = maxMessagesPerTrigger)
+      .select(col("value"), from_json(col("value"), withCorrupt,
+        Map("columnNameOfCorruptRecord" -> "_corrupt")).as("e"))
+      .withColumn("malformed", col("e._corrupt").isNotNull)
+      .writeStream
+      .option("checkpointLocation", s"$workDir/ckpt_dl")
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        StreamingIngest.writeQuarantineBatch(b, id,
+          s"$workDir/delivered", s"$workDir/quarantine")
+      }
+      .start()
+
+    val legs = Seq(qCur, qDup, qStats, qSem, qDc, qDl)
+    legs.foreach(_.processAllAvailable())
+    val stateRows = Option(qDup.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    val stateBytes = Option(qDup.lastProgress)
+      .map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)
+    legs.foreach(_.stop())
+
+    val dups = spark.read.parquet(s"$workDir/verdicts")
+      .filter(col("dup_of") =!= col("doc_id")).select("doc_id")
+    spark.read.parquet(s"$workDir/curated_raw")
+      .join(dups, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$workDir/curated")
+    def cnt(p: String): Long =
+      scala.util.Try(spark.read.parquet(s"$workDir/$p").count()).getOrElse(0L)
+    AllLegsReport(
+      Map("curated" -> cnt("curated"), "dup_verdicts" -> cnt("verdicts"),
+        "sem_verdicts" -> cnt("sem_verdicts"),
+        "dc_verdicts" -> cnt("dc_verdicts"), "stats_rows" -> cnt("stats"),
+        "delivered" -> cnt("delivered"), "quarantined" -> cnt("quarantine")),
+      stateRows, stateBytes, (System.nanoTime() - t0) / 1e9)
+  }
+
   def decontamVerdictStream(docs: DataFrame, indexTable: String,
       outPath: String, checkpoint: String,
       buckets: Int = 32): org.apache.spark.sql.streaming.StreamingQuery =

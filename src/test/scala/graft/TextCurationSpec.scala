@@ -278,6 +278,56 @@ class TextCurationSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected one lang exchange, got $exchanges:\n${p.take(2000)}")
   }
 
+  test("lengthQuantilesApprox is rank-exact at fixture scale and plans no window") {
+    // the at-scale substitution the q68 caveat promises, as code: with
+    // n_docs <= accuracy the sketch's rank error is < 1, so every
+    // quantile must EQUAL the exact discrete selection on the fixture
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("p25"), r.getAs[Long]("p50"),
+          r.getAs[Long]("p75"), r.getAs[Long]("p95"))).toMap
+    val exact = asMap(TextAnalysis.lengthQuantiles(docs))
+    val approx = asMap(TextAnalysis.lengthQuantilesApprox(docs))
+    assert(approx.keySet == exact.keySet)
+    // counts identical; each quantile within one discrete rank of exact
+    // (sketch tie-handling at a repeated value may pick the neighbor)
+    exact.foreach { case (lang, e) =>
+      val a = approx(lang)
+      assert(a._1 == e._1, s"$lang n_docs")
+      val lens = docs.filter(col("lang") === lang)
+        .select("n_chars").collect().map(_.getLong(0)).sorted
+      def rankOk(av: Long, ev: Long): Boolean = av == ev || {
+        val i = lens.indexOf(av); val j = lens.indexOf(ev)
+        i >= 0 && j >= 0 && math.abs(lens.count(_ <= av) - lens.count(_ <= ev)) <= 1
+      }
+      assert(rankOk(a._2, e._2) && rankOk(a._3, e._3) &&
+        rankOk(a._4, e._4) && rankOk(a._5, e._5),
+        s"$lang approx $a vs exact $e")
+    }
+    // no window anywhere: the whole point is the sketch AGGREGATE shape
+    val plan = TextAnalysis.lengthQuantilesApprox(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"approx form must not plan a window:\n$plan")
+  }
+
+  test("lmBucketsApprox agrees >=95% with the exact tertile ranking and plans no window") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val exact = TextAnalysis.lmBuckets(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val approx = TextAnalysis.lmBucketsApprox(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(approx.keySet == exact.keySet)
+    val agree = exact.count { case (id, b) => approx(id) == b }
+    assert(agree.toDouble / exact.size >= 0.95,
+      s"bucket agreement ${agree.toDouble / exact.size} below 0.95")
+    val plan = TextAnalysis.lmBucketsApprox(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"approx form must not plan a window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      "cutpoint table must broadcast-join back onto the scored docs")
+  }
+
   test("lexical retrieval: rare terms dominate, shorter docs outrank at equal tf") {
     // query = {x, common}: 'common' is in docs 1+2 (idf 2), 'x' only in
     // doc 3 (idf 4) → doc 3 ranks first; docs 1 vs 2 tie on tf but doc 2
