@@ -302,7 +302,8 @@ object StreamingCurate {
       gramIndexTable: String, semThreshold: Double = 0.95,
       retentionMs: Long = 3600L * 1000, buckets: Int = 4,
       maxDupFrac: Double = 1.0,
-      maxMessagesPerTrigger: Option[Long] = None): AllLegsReport = {
+      maxMessagesPerTrigger: Option[Long] = None,
+      statsWatermark: String = "1 hour"): AllLegsReport = {
     val t0 = System.nanoTime()
     def docs: DataFrame = StreamingIngest.readFeedStream(spark, feed,
         maxMessagesPerTrigger = maxMessagesPerTrigger)
@@ -323,7 +324,7 @@ object StreamingCurate {
       .option("path", s"$workDir/verdicts")
       .option("checkpointLocation", s"$workDir/ckpt_verdicts").start()
     val qStats = statsStream(docs.withColumn("ts", ts), "ts", "60 seconds",
-        minQuality)
+        minQuality, statsWatermark)
       .writeStream.format("parquet").outputMode("append")
       .option("path", s"$workDir/stats")
       .option("checkpointLocation", s"$workDir/ckpt_stats").start()

@@ -59,7 +59,11 @@ object StreamSoak {
     val rep = graft.streaming.StreamingCurate.runAllLegs(
       spark, "soak", work, minQuality = 50.0,
       centroids, "soak_cell_idx", "soak_gram_idx", buckets = 32,
-      maxMessagesPerTrigger = Some(batchSize))
+      maxMessagesPerTrigger = Some(batchSize),
+      // replay offsets span ~n_docs seconds of event time; a short
+      // watermark lets the stats leg FINALIZE most windows inside the
+      // soak, so the emitted row count is part of the evidence
+      statsWatermark = "2 minutes")
     val counts = rep.counts.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     println(s"""{"metric":"stream_soak","sf":"$sfDir","n_replayed":${msgs.length},""" +
