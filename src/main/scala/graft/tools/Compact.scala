@@ -33,6 +33,23 @@ import org.apache.spark.sql.SparkSession
   */
 object Compact {
 
+  /** Both integrity facts in one pass: row count + an order-independent
+    * multiset hash (sum of xxhash64 over the full row struct, widened
+    * to decimal(38,0) so the sum cannot overflow under ANSI mode at
+    * any realistic row count). Order-independent by construction (sum
+    * commutes), content-sensitive per row (xxhash64 of every column) —
+    * a rewrite that drops one row and duplicates another keeps the
+    * count but changes the sum. Property-tested in ExtensionsSpec.
+    */
+  def digest(d: org.apache.spark.sql.DataFrame): (Long, java.math.BigDecimal) = {
+    import org.apache.spark.sql.functions.{coalesce, count, lit, struct, sum, xxhash64}
+    val r = d.agg(count(lit(1)).as("n"),
+      coalesce(sum(xxhash64(struct(d.columns.map(d.col): _*))
+        .cast("decimal(38,0)")), lit(java.math.BigDecimal.ZERO)).as("h"))
+      .head()
+    (r.getLong(0), r.getDecimal(1))
+  }
+
   def run(spark: SparkSession, dir: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int, Long) = {
     val files = FileCatalog.list(spark, dir, suffix = ".parquet")
@@ -40,18 +57,6 @@ object Compact {
     val totalBytes = files.map(_.bytes).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(dir)
-    // one pass for both integrity facts: row count + an
-    // order-independent multiset hash (sum of xxhash64 over the full
-    // row, widened to decimal(38,0) so the sum cannot overflow under
-    // ANSI mode at any realistic row count)
-    def digest(d: org.apache.spark.sql.DataFrame): (Long, java.math.BigDecimal) = {
-      import org.apache.spark.sql.functions.{count, lit, struct, sum, xxhash64, coalesce}
-      val r = d.agg(count(lit(1)).as("n"),
-        coalesce(sum(xxhash64(struct(d.columns.map(d.col): _*))
-          .cast("decimal(38,0)")), lit(java.math.BigDecimal.ZERO)).as("h"))
-        .head()
-      (r.getLong(0), r.getDecimal(1))
-    }
     val (rows, hash) = digest(df)
     val tmp = dir.stripSuffix("/") + ".compact.tmp"
     df.repartition(n).write.mode("overwrite").parquet(tmp)

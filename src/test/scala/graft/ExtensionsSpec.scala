@@ -653,6 +653,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!new java.io.File(dir + ".compact.old").exists())
   }
 
+  test("Compact.digest: order-blind, content-sensitive, catches a drop+duplicate swap") {
+    import spark.implicits._
+    import graft.tools.Compact.digest
+    val rows = (1 to 100).map(i => (i.toLong, s"row$i"))
+    val base = digest(rows.toDF("id", "s"))
+    // any reordering/partitioning: identical digest
+    assert(digest(scala.util.Random.shuffle(rows).toDF("id", "s").repartition(7)) == base)
+    // same COUNT but one row dropped and another duplicated — the
+    // count-only check this replaced would pass; the digest must not
+    val swapped = (rows.tail :+ rows.head.copy(_1 = 2L, _2 = "row2"))
+    assert(swapped.size == rows.size)
+    assert(digest(swapped.toDF("id", "s"))._2 != base._2)
+    // single-byte content change: different digest
+    assert(digest(rows.updated(50, (51L, "rox51")).toDF("id", "s"))._2 != base._2)
+  }
+
   test("Compact: a stale parked .compact.old from a prior interrupted run does not block the swap") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("compact2").toString + "/t"
