@@ -164,8 +164,14 @@ object ImageCodec {
     Image(w, h, out)
   }
 
-  /** Encodes the raster as a JPEG via the JDK writer (default quality). */
-  def encodeJpeg(img: Image): Array[Byte] = {
+  /** Encodes the raster as a JPEG via the JDK writer. `quality` in
+    * (0, 1]; the 0.9 default keeps enough high-frequency content that
+    * perceptual hashes of small rasters stay discriminative (the
+    * writer's own default quantizes an 8×8 block down to little more
+    * than its DC term).
+    */
+  def encodeJpeg(img: Image, quality: Float = 0.9f): Array[Byte] = {
+    require(quality > 0f && quality <= 1f, s"bad JPEG quality $quality")
     val bi = new java.awt.image.BufferedImage(img.width, img.height,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     val argb = new Array[Int](img.width * img.height)
@@ -176,9 +182,18 @@ object ImageCodec {
       i += 1
     }
     bi.setRGB(0, 0, img.width, img.height, argb, 0, img.width)
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("jpg")
+    require(writers.hasNext, "JDK has no JPEG writer registered")
+    val writer = writers.next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
     val bos = new java.io.ByteArrayOutputStream()
-    require(javax.imageio.ImageIO.write(bi, "jpg", bos),
-      "JDK has no JPEG writer registered")
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+    } finally { writer.dispose(); ios.close() }
     bos.toByteArray
   }
 
@@ -208,10 +223,17 @@ object ImageCodec {
     * distance, and the same banded index dedups them at scale
     * ([[Dedup.bandedHammingPairs]]).
     */
-  def aHash(bytes: Array[Byte]): Long = {
+  def aHash(bytes: Array[Byte]): Long =
     // format-sniffing: BMP payloads keep their exact historical hash
     // (native parser path unchanged); JPEG payloads now hash for real
-    val img = resize(decodeAny(bytes), 8, 8)
+    aHashImage(decodeAny(bytes))
+
+  /** [[aHash]] over an already-decoded raster — the entry point for
+    * callers that hold pixels rather than encoded bytes (video
+    * keyframes from [[VideoCodec.frameImage]]).
+    */
+  def aHashImage(raster: Image): Long = {
+    val img = resize(raster, 8, 8)
     val gray = new Array[Long](64)
     var total = 0L
     var i = 0

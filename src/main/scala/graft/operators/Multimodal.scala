@@ -297,6 +297,84 @@ object Multimodal {
       })
   }
 
+  /** `(media_id, sh)` KEYFRAME perceptual fingerprints of the decodable
+    * video payloads in a media frame — the third modality composed
+    * with the dedup stack, shaped exactly like [[imageAHashes]]:
+    * payload bytes are consumed MAP-SIDE (container demux + per-frame
+    * JPEG decode for MJPEG, straight DIB read for BI_RGB — decodeAuto
+    * sniffs the fourcc), the MIDDLE frame's raster goes through the
+    * same integer aHash as still images, and only the 8-byte print
+    * crosses the wire. Undecodable clips are skipped, not failed —
+    * and so are clips whose keyframe is UNIFORM (aHash 0: no pixel
+    * strictly above the mean — a blank/solid frame carries no
+    * perceptual signal, and "blank matches blank" is not a near-dup
+    * verdict; measured, the fixture's short docs would otherwise
+    * contribute C(128,2) ≈ 8k spurious hamming-0 pairs at sf0.001).
+    */
+  def videoAHashes(records: Dataset[MediaRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.flatMap { r =>
+      if (r.media_type == "video" && VideoCodec.isAvi(r.content))
+        scala.util.Try {
+          val v = VideoCodec.decodeAuto(r.content)
+          ImageCodec.aHashImage(VideoCodec.frameImage(v, v.nFrames / 2))
+        }.toOption.filter(_ != 0L).map(h => (r.media_id, h))
+      else None
+    }).toDF("doc_id", "sh")
+  }
+
+  /** Fixture video corpus: each payload muxed as a REAL 3-frame 8×8
+    * MJPEG AVI — frame f's raster is content bytes [f·192, f·192+192),
+    * JPEG-encoded ([[ImageCodec.encodeJpeg]]) and containerized
+    * ([[VideoCodec.encodeMjpeg]]). Deterministic (one JDK, one
+    * encoder), and the fixture's near-dup document families render to
+    * near-identical keyframes, so the video-dedup pipeline has true
+    * positives to find — the q60/q80 fixture discipline, third
+    * modality.
+    */
+  def mjpegMediaTable(s: SparkSession, d: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    mediaTable(s, d).as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        // 8×8 frames over bytes [f·192, f·192+192) — the q60 BMP
+        // geometry, so the hashed MIDDLE frame sits at bytes 192..384
+        // (inside every fixture doc, like q80's 384-byte WAV window).
+        // Two measured fixture traps anchor the encode settings:
+        // default-quality JPEG quantizes the single 8×8 block to ~its
+        // DC term, collapsing unrelated docs to hamming ≤ 3 (9k pairs
+        // at sf0.001 vs q60's 235) — quality 0.9 keeps the block's
+        // structure; and frames past a doc's length decode all-zero,
+        // which sent every short doc into ONE capped mega-bucket and
+        // zeroed recall. The ×37 byte spread (odd ⇒ bijective) keeps
+        // dup families rendering near-identical rasters.
+        val frames = (0 until 3).map { f =>
+          val px = new Array[Byte](192)
+          val off = math.min(f * 192, r.content.length)
+          var i = 0
+          val n = math.min(r.content.length - off, 192)
+          while (i < n) {
+            px(i) = (r.content(off + i) * 37).toByte
+            i += 1
+          }
+          ImageCodec.encodeJpeg(ImageCodec.Image(8, 8, px), quality = 0.9f)
+        }
+        r.copy(media_type = "video",
+          content = VideoCodec.encodeMjpeg(frames, 8, 8,
+            microSecPerFrame = 100000))
+      })
+  }
+
+  // ---- q98: video near-dup pairs (keyframe aHash + banded hamming) -------
+  // The THIRD modality composed with the dedup stack, through the
+  // round-11 MJPEG codec: demux + JPEG-decode the middle keyframe
+  // map-side, then the identical banded index as q49/q60/q80. Rows-only
+  // like q60/q80 (no JPEG decode in DuckDB); q98b stages the hashes and
+  // DuckDB-checks the pairing, so everything downstream of decode is
+  // driver-hash-checked.
+  private def q98(s: SparkSession, d: String): DataFrame =
+    Dedup.bandedHammingPairs(videoAHashes(mjpegMediaTable(s, d)),
+      AHashBits, AHashBands, AHashHammingMax, AHashBandCap)
+
   // ---- q80: audio near-dup pairs (energy aHash + banded hamming) ---------
   // The second modality composed with the dedup stack: q60 proved the
   // pattern on images; this runs the SAME banded index (64 bits, 4×16
@@ -360,6 +438,11 @@ object Multimodal {
       stageHashes(s, d, "q80_ahash", audioAHashes(wavMediaTable(s, d))),
       AHashBits, AHashBands, AHashHammingMax, AHashBandCap)
 
+  private def q98b(s: SparkSession, d: String): DataFrame =
+    Dedup.bandedHammingPairs(
+      stageHashes(s, d, "q98_ahash", videoAHashes(mjpegMediaTable(s, d))),
+      AHashBits, AHashBands, AHashHammingMax, AHashBandCap)
+
   private def bandedPairsSql(stageSub: String): String = {
     val sliceWidth = AHashBits / AHashBands
     val mask = (1L << sliceWidth) - 1
@@ -381,6 +464,7 @@ object Multimodal {
 
   private val o60b = bandedPairsSql("q60_ahash")
   private val o80b = bandedPairsSql("q80_ahash")
+  private val o98b = bandedPairsSql("q98_ahash")
 
   // ---- q33: metadata extraction over opaque payloads (pure columns) ------
   // byte length, full-content digest, head-window digest ("thumbnail"),
@@ -424,5 +508,11 @@ object Multimodal {
       q80, None),
     GraftQuery("q80b_audio_pairs_sql",
       "q80's banded-hamming pairing over STAGED aHashes — DuckDB-checked; decode stays CI-only",
-      q80b, Some(o80b)))
+      q80b, Some(o80b)),
+    GraftQuery("q98_video_near_dups",
+      "MJPEG keyframe-aHash video dedup via the banded-hamming index (rows-only: no JPEG decode in DuckDB)",
+      q98, None),
+    GraftQuery("q98b_video_pairs_sql",
+      "q98's banded-hamming pairing over STAGED keyframe aHashes — DuckDB-checked; decode stays CI-only",
+      q98b, Some(o98b)))
 }

@@ -137,8 +137,9 @@ object VideoCodec {
     * Spark stage falls back to the declared stub instead of failing
     * the task.
     */
-  def decode(b: Array[Byte]): Video = {
-    val p = parse(b)
+  def decode(b: Array[Byte]): Video = decodeDib(parse(b))
+
+  private def decodeDib(p: Parsed): Video = {
     require(p.compression == 0,
       s"only uncompressed (BI_RGB) AVI supported, got compression ${p.compression}")
     require(p.bitCount == 24, s"only 24bpp AVI supported, got ${p.bitCount}")
@@ -157,8 +158,9 @@ object VideoCodec {
     * uncompressed clip. Frame dimensions must match the avih header
     * (an MJPEG stream that changes size mid-clip is malformed).
     */
-  def decodeMjpeg(b: Array[Byte]): Video = {
-    val p = parse(b)
+  def decodeMjpeg(b: Array[Byte]): Video = decodeMjpegParsed(parse(b))
+
+  private def decodeMjpegParsed(p: Parsed): Video = {
     require(p.compression == MjpgFourcc,
       f"not an MJPEG AVI: compression 0x${p.compression}%08x")
     val st = stride(p.width)
@@ -181,11 +183,12 @@ object VideoCodec {
 
   /** Format-sniffing decode: BI_RGB through the DIB path, MJPG through
     * the JPEG path; other fourccs throw (callers fall back to the
-    * declared stub).
+    * declared stub). One container walk — the sniff and the decode
+    * share the same parse.
     */
   def decodeAuto(b: Array[Byte]): Video = {
     val p = parse(b)
-    if (p.compression == MjpgFourcc) decodeMjpeg(b) else decode(b)
+    if (p.compression == MjpgFourcc) decodeMjpegParsed(p) else decodeDib(p)
   }
 
   /** Encodes to a canonical single-stream uncompressed AVI:
@@ -302,6 +305,24 @@ object VideoCodec {
       off += 8 + f.length + (f.length & 1)
     }
     b
+  }
+
+  /** Frame `idx` as an [[ImageCodec.Image]] (top-down packed BGR) —
+    * the bridge from the DIB frame layout to the image kernels
+    * (resize, aHash), so video keyframes flow into the same
+    * perceptual-dedup stack as still images.
+    */
+  def frameImage(v: Video, idx: Int): ImageCodec.Image = {
+    val f = v.frames(idx)
+    val st = stride(v.width)
+    val out = new Array[Byte](v.width * v.height * 3)
+    var y = 0
+    while (y < v.height) {
+      System.arraycopy(f, (v.height - 1 - y) * st, out, y * v.width * 3,
+        v.width * 3)
+      y += 1
+    }
+    ImageCodec.Image(v.width, v.height, out)
   }
 
   /** `k` evenly-spaced frames (nearest-neighbor over the timeline — the

@@ -415,6 +415,38 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(ImageCodec.decodeJpeg(out.content).width == 8)
   }
 
+  test("q98: planted near-dup clips pair on keyframe aHash; blank keyframes emit no print") {
+    import spark.implicits._
+    import graft.operators.{Dedup, ImageCodec, Multimodal, VideoCodec}
+    // keyframe rasters: A and A' differ in one margin-safe cell, B is
+    // structurally different, blank is uniform (no perceptual signal)
+    def cells(bits: Long): Array[Byte] = Array.tabulate(192) { i =>
+      if (((bits >>> (i / 3)) & 1L) == 1L) 220.toByte else 30.toByte
+    }
+    val pattern = 0x0f0f0f0f0f0f0f0fL
+    def clip(key: Array[Byte]): Array[Byte] =
+      VideoCodec.encodeMjpeg(
+        Seq(ImageCodec.encodeJpeg(ImageCodec.Image(8, 8, cells(0L))),
+          ImageCodec.encodeJpeg(ImageCodec.Image(8, 8, key), quality = 0.9f),
+          ImageCodec.encodeJpeg(ImageCodec.Image(8, 8, cells(0L)))),
+        8, 8, 100000)
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, clip(cells(pattern)), "video", "s"),
+      Multimodal.MediaRecord(2L, clip(cells(pattern ^ (1L << 27))), "video", "s"),
+      Multimodal.MediaRecord(3L, clip(cells(~pattern)), "video", "s"),
+      Multimodal.MediaRecord(4L, clip(Array.fill[Byte](192)(30)), "video", "s"))
+    val hashes = Multimodal.videoAHashes(spark.createDataset(recs))
+    val byId = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the blank-keyframe clip emits NO fingerprint (uniform raster)
+    assert(byId.keySet == Set(1L, 2L, 3L), s"got ${byId.keySet}")
+    // near-dup keyframes land within the banded index's hamming gate
+    assert(java.lang.Long.bitCount(byId(1L) ^ byId(2L)) <= 3,
+      f"near-dup keyframes drifted: ${byId(1L)}%016x vs ${byId(2L)}%016x")
+    val pairs = Dedup.bandedHammingPairs(hashes, 64, 4, 3, 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"pairs=$pairs")
+  }
+
   test("multimodal: MJPEG AVI decodes per-frame JPEG and drives sampling + features") {
     import graft.operators.{ImageCodec, VideoCodec}
     // 6 frames of a brightening left-to-right wipe: frame f has the

@@ -9,14 +9,16 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  // the three declared rows-only queries: q32's HLL sketch has no DuckDB
+  // the four declared rows-only queries: q32's HLL sketch has no DuckDB
   // twin (accuracy CI-asserted in ExtensionsSpec, error-bounded at
-  // sf0.01) and q60/q80's media decodes (BMP / WAV) are not expressible
-  // in SQL (recall brute-force-asserted in ExtensionsSpec; their banded
-  // PAIRING halves ARE driver-checked via the q60b/q80b staged-hash
-  // companions); everything else must carry an oracle
+  // sf0.01) and q60/q80/q98's media decodes (BMP / WAV / MJPEG) are not
+  // expressible in SQL (recall brute-force-asserted in ExtensionsSpec;
+  // their banded PAIRING halves ARE driver-checked via the
+  // q60b/q80b/q98b staged-hash companions); everything else must carry
+  // an oracle
   private val declaredRowsOnly =
-    Set("q32_approx_distinct", "q60_image_near_dups", "q80_audio_near_dups")
+    Set("q32_approx_distinct", "q60_image_near_dups",
+      "q80_audio_near_dups", "q98_video_near_dups")
 
   test("registry names are unique; only declared rows-only ops lack oracles") {
     val names = Registry.all.map(_.name)
