@@ -145,7 +145,17 @@ object ImageCodec {
     * instead of failing the task.
     */
   def decodeJpeg(b: Array[Byte]): Image = {
-    val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    // per-THREAD reader reuse + no disk-backed stream cache (ImageIO's
+    // default spools every stream through a temp FILE — a syscall tax
+    // per payload that dwarfs decoding a small raster)
+    javax.imageio.ImageIO.setUseCache(false)
+    val reader = jpegReader.get()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    val bi = try {
+      reader.setInput(iis)
+      reader.read(0)
+    } finally iis.close()
     require(bi != null, "ImageIO could not decode JPEG payload")
     val w = bi.getWidth
     val h = bi.getHeight
@@ -182,9 +192,11 @@ object ImageCodec {
       i += 1
     }
     bi.setRGB(0, 0, img.width, img.height, argb, 0, img.width)
-    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("jpg")
-    require(writers.hasNext, "JDK has no JPEG writer registered")
-    val writer = writers.next()
+    // per-THREAD writer reuse: ImageWriter lookup + dispose per call
+    // costs more than encoding a small raster, and a 100 TB media batch
+    // is millions of calls per executor; ImageWriter instances are not
+    // shared across threads, so a ThreadLocal is the safe reuse scope
+    val writer = jpegWriter.get()
     val param = writer.getDefaultWriteParam
     param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     param.setCompressionQuality(quality)
@@ -193,9 +205,28 @@ object ImageCodec {
     try {
       writer.setOutput(ios)
       writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
-    } finally { writer.dispose(); ios.close() }
+    } finally { ios.close() }
     bos.toByteArray
   }
+
+  private val jpegWriter =
+    new ThreadLocal[javax.imageio.ImageWriter] {
+      override def initialValue(): javax.imageio.ImageWriter = {
+        javax.imageio.ImageIO.setUseCache(false)
+        val ws = javax.imageio.ImageIO.getImageWritersByFormatName("jpg")
+        require(ws.hasNext, "JDK has no JPEG writer registered")
+        ws.next()
+      }
+    }
+
+  private val jpegReader =
+    new ThreadLocal[javax.imageio.ImageReader] {
+      override def initialValue(): javax.imageio.ImageReader = {
+        val rs = javax.imageio.ImageIO.getImageReadersByFormatName("jpg")
+        require(rs.hasNext, "JDK has no JPEG reader registered")
+        rs.next()
+      }
+    }
 
   /** decode → resize → re-encode for JPEG payloads — the compressed
     * twin of [[resizeBmp]], same bytes-to-bytes contract.

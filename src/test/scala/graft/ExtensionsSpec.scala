@@ -442,8 +442,15 @@ class ExtensionsSpec extends AnyFunSuite {
     // near-dup keyframes land within the banded index's hamming gate
     assert(java.lang.Long.bitCount(byId(1L) ^ byId(2L)) <= 3,
       f"near-dup keyframes drifted: ${byId(1L)}%016x vs ${byId(2L)}%016x")
-    val pairs = Dedup.bandedHammingPairs(hashes, 64, 4, 3, 200)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairsDf = Dedup.bandedHammingPairs(hashes, 64, 4, 3, 200)
+    // pin: the demux + JPEG-decode MapPartitions sits BELOW every
+    // Exchange — only (doc_id, sh) rows ever shuffle, never clip bytes
+    // (the q60/q80 payload discipline, third modality)
+    val plan = pairsDf.queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions") && plan.contains("Exchange"))
+    assert(plan.indexOf("MapPartitions") > plan.lastIndexOf("Exchange"),
+      s"video payload must be consumed map-side, below all exchanges:\n$plan")
+    val pairs = pairsDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)), s"pairs=$pairs")
   }
 
