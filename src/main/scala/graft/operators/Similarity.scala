@@ -37,6 +37,19 @@ object Similarity {
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
+  /** Cosine with a zero-norm guard: `try_divide` absorbs the ANSI
+    * DIVIDE_BY_ZERO that a zero-norm vector's 0/0 raises (Spark 4
+    * defaults ANSI on — the failure mode is a dead job, not a NaN),
+    * and the NULL it returns instead coalesces to -1 so a no-signal
+    * pair loses every `>= threshold` test and every argmax; `nanvl`
+    * covers the ANSI-off deployment where the same pair yields NaN
+    * (ordered above every double — it would otherwise WIN both).
+    * Identity for every real cosine, so guarded call sites hash
+    * identically on real vectors.
+    */
+  private def guardedCosine(a: Column, b: Column, normProd: Column): Column =
+    nanvl(coalesce(try_divide(dot(a, b), normProd), lit(-1.0)), lit(-1.0))
+
   /** Exact top-k cosine neighbors for each query vector. */
   def cosineTopK(embeddings: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val base = embeddings
@@ -271,10 +284,23 @@ object Similarity {
     * ties to the lowest cid; the vector payload rides the aggregate
     * without tipping the order ((csim, -cid) is unique per vector).
     * Shared by [[semanticDedup]] and the persisted cell-index path.
+    *
+    * Zero-norm guard: a zero-norm vector (hashEmbedDense emits one for
+    * empty / weight-cancelled text) or a zero-norm centroid makes the
+    * cosine 0/0 — under ANSI mode (the Spark 4 default) that is a
+    * DIVIDE_BY_ZERO task failure that kills the whole job (and with
+    * ANSI off it is a NaN, which Spark orders above every double, so
+    * an all-NaN argmax would still "win" a cell and a zero-norm
+    * centroid would capture every vector). [[guardedCosine]] pins such
+    * pairs to cosine -1 (identity for every real cosine), so zero-norm
+    * vectors neither crash the job nor poison the argmax — they lose
+    * every comparison and land deterministically in the lowest cid
+    * with csim = -1.
     */
   private def assignToCells(base: DataFrame, cents: DataFrame): DataFrame =
     base.crossJoin(broadcast(cents))
-      .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("csim",
+        guardedCosine(col("v"), col("cv"), col("nrm") * col("cn")))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("csim").as("s"), (-col("cid")).as("nc"),
         struct(col("v").as("v"), col("nrm").as("n")).as("pay"))).as("m"))
@@ -302,11 +328,18 @@ object Similarity {
       indexRowsOf(cellAssignments(embeddings, centroids)), table, "cid", buckets)
 
   /** Shape `(vec_id, cid, v, nrm)` assignments as index rows
-    * `(cid, idx_id, iv, inrm)`.
+    * `(cid, idx_id, iv, inrm)`. Zero-norm rows are dropped: a zero-norm
+    * survivor in the index would make every later same-cell arrival's
+    * cosine against it NaN (0/0) and — without [[cellIndexVerdicts]]'s
+    * nanvl guard — falsely verdict them all duplicates (cell
+    * poisoning). A zero-norm vector carries no similarity signal, so it
+    * can never legitimately be anyone's `dup_of`; it simply never
+    * enters the index.
     */
   def indexRowsOf(assigned: DataFrame): DataFrame =
-    assigned.select(col("cid"), col("vec_id").as("idx_id"),
-      col("v").as("iv"), col("nrm").as("inrm"))
+    assigned.filter(col("nrm") > 0)
+      .select(col("cid"), col("vec_id").as("idx_id"),
+        col("v").as("iv"), col("nrm").as("inrm"))
 
   /** Verdicts of pre-assigned batch vectors against a persisted cell
     * index: `dup_of` = the highest-cosine (ties: smallest-id) indexed
@@ -314,11 +347,21 @@ object Similarity {
     * qualifying survivor are absent — they are the batch's new
     * survivors. Cost ∝ batch × cell-occupancy; the index side never
     * shuffles (bucketed on cid).
+    *
+    * Zero-norm guard (twin of [[assignToCells]]'s): a zero-norm batch
+    * vector's cosine is 0/0 — a DIVIDE_BY_ZERO job failure under ANSI
+    * mode, and with ANSI off a NaN that Spark orders above every
+    * double, so `sim >= threshold` would be TRUE and the arrival would
+    * receive an arbitrary `dup_of`. [[guardedCosine]] (identity for
+    * every real cosine) makes zero-norm arrivals match nothing — they
+    * get no verdict here, and [[indexRowsOf]] keeps them out of the
+    * index, so the no-signal row is dropped at both boundaries.
     */
   def cellIndexVerdicts(assigned: DataFrame, index: DataFrame,
       threshold: Double = SemThreshold): DataFrame =
     assigned.join(index, "cid")
-      .withColumn("sim", dot(col("v"), col("iv")) / (col("nrm") * col("inrm")))
+      .withColumn("sim",
+        guardedCosine(col("v"), col("iv"), col("nrm") * col("inrm")))
       .filter(col("sim") >= threshold && col("idx_id") =!= col("vec_id"))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("sim").as("s"), (-col("idx_id")).as("ni"))).as("m"))

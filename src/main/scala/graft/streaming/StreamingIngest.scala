@@ -182,6 +182,32 @@ object StreamingIngest {
     } finally { cached.unpersist(); () }
   }
 
+  /** Fail fast on a pre-batch_id-partitioned sink layout. The
+    * quarantine sinks moved from flat appended parquet to
+    * `batch_id=N/` directories (the idempotent-replay fix); re-running
+    * an old deployment against its old flat `outDir` would mix
+    * unpartitioned files and `batch_id=N` subdirectories in one root,
+    * which Spark partition discovery rejects ("conflicting directory
+    * structures") only at READ time — long after the corrupt mix was
+    * written. Detect the legacy layout before the first write instead
+    * and name the migration.
+    */
+  def requireBatchPartitionedLayout(spark: SparkSession, dir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (fs.exists(p)) {
+      val flat = fs.listStatus(p).filter(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))
+      require(flat.isEmpty,
+        s"$dir holds ${flat.length} flat parquet file(s) from a " +
+          "pre-batch_id-partitioned deployment; this sink now writes " +
+          "batch_id=N/ partitions and mixing the two layouts breaks " +
+          "partition discovery. Migrate first: move the flat files to " +
+          s"$dir/batch_id=-1/ (or archive them aside), then restart.")
+    }
+  }
+
   /** Dead-letter ingest: parsed rows deliver to `outDir`, malformed raw
     * payloads to `quarantineDir` (payload + batch id — the forensic
     * record), both from the SAME micro-batch via `foreachBatch` so the
@@ -190,11 +216,14 @@ object StreamingIngest {
     * all-null rows the plain path would emit) — and never delivered
     * twice: each write is `batch_id`-partitioned dynamic overwrite
     * ([[writeQuarantineBatch]]), so at-least-once batch replay is
-    * absorbed as an in-place partition rewrite.
+    * absorbed as an in-place partition rewrite. Legacy flat-layout
+    * sinks are rejected up front ([[requireBatchPartitionedLayout]]).
     */
   def runIngestWithQuarantine(spark: SparkSession, feed: String,
       outDir: String, quarantineDir: String, checkpointDir: String,
-      server: Option[(String, Int)] = None): StreamingQuery =
+      server: Option[(String, Int)] = None): StreamingQuery = {
+    requireBatchPartitionedLayout(spark, outDir)
+    requireBatchPartitionedLayout(spark, quarantineDir)
     feedEventStreamAnnotated(spark, feed, server = server)
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -203,4 +232,5 @@ object StreamingIngest {
         writeQuarantineBatch(batch, batchId, outDir, quarantineDir)
       }
       .start()
+  }
 }

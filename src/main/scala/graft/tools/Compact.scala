@@ -19,11 +19,14 @@ import org.apache.spark.sql.SparkSession
   *     duplicates another cannot pass;
   *   - the rewrite goes to `<dir>.compact.tmp` first; the swap is
   *     rename-aside, never delete-then-rename: `dir` → `dir.compact.old`,
-  *     `tmp` → `dir`, then delete `.old`. A crash at any point leaves
-  *     either the original directory live, or the verified rewrite
-  *     live with the original parked at `.compact.old` — there is no
-  *     window where `dir` is missing and readers fail, and recovery
-  *     from any interruption is a single mechanical rename;
+  *     `tmp` → `dir`, then delete `.old`. Data is never at risk — every
+  *     crash point leaves at least one verified full copy on disk —
+  *     but there IS one narrow missing-dir window: a crash between the
+  *     two renames leaves `dir` absent with the original parked at
+  *     `.compact.old` (and the verified rewrite still at `.tmp`).
+  *     `run` self-recovers from that state on its next invocation
+  *     (dir absent + `.old` present → rename `.old` back before
+  *     proceeding), so no manual surgery is ever needed;
   *   - `repartition(n)` (round-robin), not `coalesce(n)`: coalesce
   *     chains upstream partitioning into as-few-tasks-as-files and
   *     produces skewed files when input files are skewed — compaction
@@ -52,6 +55,21 @@ object Compact {
 
   def run(spark: SparkSession, dir: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int, Long) = {
+    // startup recovery: a crash between the swap's two renames leaves
+    // `dir` absent with the original parked at `.compact.old`; without
+    // this, spark.read.parquet(dir) below would fail before the
+    // stale-.old handling ever ran and recovery would be manual.
+    locally {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+      val dirPath = new org.apache.hadoop.fs.Path(dir)
+      val oldPath = new org.apache.hadoop.fs.Path(
+        dir.stripSuffix("/") + ".compact.old")
+      if (!fs.exists(dirPath) && fs.exists(oldPath)) {
+        require(fs.rename(oldPath, dirPath),
+          s"crash recovery rename $oldPath -> $dir failed")
+      }
+    }
     val files = FileCatalog.list(spark, dir, suffix = ".parquet")
     require(files.nonEmpty, s"no parquet files under $dir")
     val totalBytes = files.map(_.bytes).sum

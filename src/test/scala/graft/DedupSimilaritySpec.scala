@@ -805,4 +805,49 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val plan = Similarity.recommendNProbe(Similarity.cellBalance(emb))
     assert(plan.nProbe >= 1 && plan.nProbe <= 16 && plan.probedShare > 0.0)
   }
+
+  test("zero-norm guard: NaN cosines never win a cell, a verdict, or the index") {
+    // hashEmbedDense emits an all-zero vector for empty text; its
+    // cosine against anything is 0/0 = NaN, and Spark orders NaN above
+    // every double — unguarded, NaN would win the cell argmax, pass
+    // `sim >= threshold` with an arbitrary dup_of, and (appended as a
+    // survivor) poison its cell: every later arrival there computes
+    // NaN sim against it and is falsely verdicted a duplicate.
+    def vec(xs: Double*) = xs.map(_.toFloat).toArray
+    val cents = Similarity.asCentroids(Seq(
+      (0L, vec(1, 0, 0, 0)), (1L, vec(0, 1, 0, 0)))
+      .toDF("vec_id", "embedding"))
+    val emb = Seq(
+      (10L, vec(0.9, 0.1, 0, 0)), // real, lands in cell 0
+      (11L, vec(0, 0, 0, 0)),     // zero-norm (empty-text doc)
+      (12L, vec(0.1, 0.9, 0, 0))  // real, lands in cell 1
+    ).toDF("vec_id", "embedding")
+    val assigned = Similarity.cellAssignments(emb, cents).cache()
+    val byId = assigned.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(10L) == 0L && byId(12L) == 1L, s"real assignments: $byId")
+    // zero-norm: every csim pinned to -1 → deterministic lowest cid,
+    // never an arbitrary NaN argmax winner
+    assert(byId(11L) == 0L, s"zero-norm assignment: ${byId(11L)}")
+    // the index never admits a zero-norm survivor
+    val idx = Similarity.indexRowsOf(assigned)
+    assert(idx.filter(col("idx_id") === 11L).isEmpty)
+    assert(idx.count() == 2)
+    // verdicts against an index that DOES hold a zero-norm row (a
+    // pre-fix deployment's leftover): nanvl pins sim to -1, so nothing
+    // is falsely verdicted against it, while real matches still fire
+    val poisoned = idx.unionByName(Seq((0L, 99L, Seq(0f, 0f, 0f, 0f), 0.0))
+      .toDF("cid", "idx_id", "iv", "inrm")
+      .select(col("cid"), col("idx_id"),
+        transform(col("iv"), x => x.cast("double")).as("iv"), col("inrm")))
+    val arrivals = Similarity.cellAssignments(Seq(
+      (20L, vec(0.8, 0.2, 0, 0)), // near 10 → real dup verdict
+      (21L, vec(0, 0, 0, 0))      // zero-norm arrival → no verdict
+    ).toDF("vec_id", "embedding"), cents)
+    val verdicts = Similarity.cellIndexVerdicts(arrivals, poisoned, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(verdicts.map(_._1).toSet == Set(20L), s"verdicts: ${verdicts.toSeq}")
+    val (_, dupOf, sim) = verdicts.head
+    assert(dupOf == 10L && !sim.isNaN && sim >= 0.9, s"verdict: $dupOf, $sim")
+    assigned.unpersist()
+  }
 }

@@ -721,6 +721,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!new java.io.File(dir + ".compact.old").exists())
   }
 
+  test("Compact: self-recovers a crash between the swap's two renames (dir absent, .old parked)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact3").toString + "/t"
+    (1 to 64).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+      .repartition(8).write.parquet(dir)
+    // simulate the narrow crash window: dir was renamed aside but the
+    // verified rewrite was never promoted — dir is MISSING
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + ".compact.old")))
+    assert(!new java.io.File(dir).exists())
+    val (b, a, rows) = graft.tools.Compact.run(spark, dir)
+    assert(b == 8 && a == 1 && rows == 64L, s"($b, $a, $rows)")
+    assert(spark.read.parquet(dir).count() == 64L)
+    assert(!new java.io.File(dir + ".compact.old").exists())
+  }
+
   test("q91 snapshot diff: exact verdicts, unchanged docs absent, text stays off the shuffle") {
     import spark.implicits._
     import graft.operators.Integrity

@@ -224,6 +224,30 @@ class StreamingSpec extends AnyFunSuite {
       .map(_.getString(0)).toSet == Set("R1", "R2"))
   }
 
+  test("dead-letter ingest rejects a legacy flat-layout sink before writing") {
+    // the sinks moved from flat appended parquet to batch_id=N/
+    // partitions; restarting an old deployment against its old flat
+    // outDir would mix both layouts in one root, which Spark partition
+    // discovery rejects only at READ time. The stream must fail fast
+    // with a migration message instead.
+    import spark.implicits._
+    val legacy = Files.createTempDirectory("legacyout").toString
+    Seq(("L1", 1.0)).toDF("mint", "solAmount").write
+      .mode("append").parquet(legacy) // flat files, no batch_id=
+    val ex = intercept[IllegalArgumentException] {
+      StreamingIngest.requireBatchPartitionedLayout(spark, legacy)
+    }
+    assert(ex.getMessage.contains("batch_id"), ex.getMessage)
+    // an already-partitioned sink (or a fresh one) passes
+    val fine = Files.createTempDirectory("partout").toString
+    Seq(("L2", 2.0)).toDF("mint", "solAmount")
+      .withColumn("batch_id", lit(0L))
+      .write.mode("append").partitionBy("batch_id").parquet(fine)
+    StreamingIngest.requireBatchPartitionedLayout(spark, fine)
+    StreamingIngest.requireBatchPartitionedLayout(spark,
+      Files.createTempDirectory("freshout").toString + "/nonexistent")
+  }
+
   test("S1: DSv2 feed source streams posted messages with checkpointed offsets") {
     graft.sources.FeedRegistry.clear("ws1")
     graft.sources.FeedRegistry.post("ws1",

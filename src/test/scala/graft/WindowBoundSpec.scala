@@ -18,7 +18,7 @@ import org.scalatest.funsuite.AnyFunSuite
   *
   *   1. the registry-wide set of queries with single-partition windows
   *      is pinned to an exact allow-list — a NEW unpartitioned window
-  *      anywhere in the 99 queries fails with attribution;
+  *      anywhere in the full registry fails with attribution;
   *   2. every allow-listed window's input subtree must contain its
   *      documented bounding operator — the capped-cardinality
   *      aggregate key or the top-k take, checked structurally in the
