@@ -583,6 +583,117 @@ object TextAnalysis {
       |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
       |FROM p GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin
 
+  // ---- q99: BPE merge-table application (closing the tokenizer loop) -----
+  // q83 computes the statistic whose argmax is BPE merge #1 and whose
+  // top-k previews the early merge table (Sennrich et al. 2015,
+  // arXiv:1508.07909); q90/q97 size the vocabulary — but nothing APPLIED
+  // a merge table until now. This query derives the top-`BpeMerges`
+  // merge table in-corpus (q83's exact ranking, ties broken on the pair
+  // so both engines agree), applies it to every word, and reports each
+  // document's BPE-token count against the whitespace baseline q29/q46/
+  // q78 use — the defensible token definition those budget queries were
+  // missing.
+  //
+  // The merge-application trick that keeps this ENGINE-PORTABLE (and
+  // oracle-checkable in plain SQL, no staged companion needed): BPE
+  // application for a rank-ordered table of CHARACTER pairs is exactly
+  // a sequence of left-to-right non-overlapping string replaces, where
+  // each merged pair collapses to a single PLACEHOLDER char from the
+  // Unicode private-use area (U+E001..) — one char per symbol keeps
+  // `length()` = symbol count, and placeholders can never participate
+  // in later merges (those match original corpus chars only), which is
+  // precisely BPE's semantics for a char-level merge table. Both Spark
+  // and DuckDB `replace` scan left-to-right non-overlapping, so "aaa"
+  // under merge "aa" yields 2 symbols in both engines. A rank whose
+  // merge slot is empty (tiny corpora with < k distinct pairs)
+  // substitutes a doubled U+F00x char that exists in no input, making
+  // the replace a no-op instead of a NULL.
+  //
+  // Scale shape: merges come from q83's vocabulary-weighted pipeline
+  // (pair explode over DISTINCT words — Heaps-law bounded — never over
+  // corpus tokens) and pivot to a ONE-ROW broadcast frame; the 16
+  // chained replaces then run per DISTINCT WORD, not per occurrence,
+  // so the expensive string work is vocabulary-sized at any corpus
+  // size. Per-doc totals ride the same (doc_id, w, cnt) pre-aggregate
+  // as q56 — the word-level frame joins back unhinted (the q56/q37
+  // discipline: AQE broadcasts a sane vocabulary; above the ceiling
+  // the shuffle moves the Heaps-bounded vocab, not the token stream).
+  // The merge-rank window runs over the TakeOrdered(16) frame only
+  // (WindowBoundSpec allow-listed, the q90 pattern).
+  private val BpeMerges = 16
+
+  private def bpePlaceholder(i: Int): String = (0xE000 + i).toChar.toString
+  private def bpeNullSub(i: Int): String = {
+    val c = (0xF000 + i).toChar; s"$c$c"
+  }
+
+  /** Per-doc whitespace-vs-BPE token counts over any `(doc_id, text)`
+    * frame, under the corpus-derived top-`k` char-pair merge table:
+    * `(doc_id, n_ws_tokens, n_bpe_tokens, compression)`.
+    */
+  def bpeApply(docs: DataFrame, k: Int = BpeMerges): DataFrame = {
+    val agg = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+    val vocab = agg.groupBy(col("w")).agg(sum(col("cnt")).as("freq"))
+    val pairs = vocab.filter(length(col("w")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("pair").asc).limit(k)
+    val rw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("pair").asc)
+    val pivots = (1 to k).map(i =>
+      min(when(col("r") === i, col("pair"))).as(s"p$i"))
+    val merges = pairs.withColumn("r", row_number().over(rw))
+      .agg(pivots.head, pivots.tail: _*)
+    val applied = (1 to k).foldLeft(col("w")) { (acc, i) =>
+      replace(acc, coalesce(col(s"p$i"), lit(bpeNullSub(i))),
+        lit(bpePlaceholder(i)))
+    }
+    val wb = vocab.select(col("w")).crossJoin(broadcast(merges))
+      .select(col("w"), length(applied).as("bpe_len"))
+    agg.join(wb, "w")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_ws_tokens"),
+        sum(col("cnt") * col("bpe_len")).as("n_bpe_tokens"))
+      .withColumn("compression",
+        col("n_bpe_tokens").cast("double") / col("n_ws_tokens").cast("double"))
+  }
+
+  private def q99(s: SparkSession, d: String): DataFrame =
+    bpeApply(Tables.documents(s, d))
+
+  private val o99 = {
+    val k = BpeMerges
+    val ms = (1 to k).map(i =>
+      s"coalesce(min(CASE WHEN r = $i THEN pair END), " +
+        s"chr(${0xF000 + i}) || chr(${0xF000 + i})) AS p$i").mkString(", ")
+    val repl = (1 to k).foldLeft("w") { (acc, i) =>
+      s"replace($acc, p$i, chr(${0xE000 + i}))"
+    }
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |agg AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt
+       |        FROM tok GROUP BY doc_id, w),
+       |v AS (SELECT w, CAST(sum(cnt) AS BIGINT) AS freq FROM agg GROUP BY w),
+       |p AS (SELECT unnest(list_transform(range(1, length(w)),
+       |                    i -> substr(w, i, 2))) AS pair, freq
+       |      FROM v WHERE length(w) >= 2),
+       |pc AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p GROUP BY pair
+       |       ORDER BY n DESC, pair ASC LIMIT $k),
+       |rk AS (SELECT pair, row_number() OVER (ORDER BY n DESC, pair ASC) AS r
+       |       FROM pc),
+       |m AS (SELECT $ms FROM rk),
+       |wb AS (SELECT w, length($repl) AS bpe_len FROM v CROSS JOIN m)
+       |SELECT a.doc_id,
+       |       CAST(sum(a.cnt) AS BIGINT) AS n_ws_tokens,
+       |       CAST(sum(a.cnt * wb.bpe_len) AS BIGINT) AS n_bpe_tokens,
+       |       CAST(sum(a.cnt * wb.bpe_len) AS DOUBLE) /
+       |         CAST(sum(a.cnt) AS DOUBLE) AS compression
+       |FROM agg a JOIN wb ON a.w = wb.w
+       |GROUP BY a.doc_id""".stripMargin
+  }
+
   // ---- q90: vocabulary coverage curve (tokenizer sizing) -----------------
   // THE tokenizer-budget question: what fraction of corpus tokens does
   // a top-N vocabulary cover? (The Zipf tail is what BPE merges exist
@@ -1846,6 +1957,7 @@ object TextAnalysis {
     GraftQuery("q81_normalize_text", "Unicode NFC + whitespace/control normalization (planted-dirt, byte-compared)", q81, Some(o81)),
     GraftQuery("q82_c4_line_filter", "C4 line/page cleaning rules (terminal-punct lines, javascript/brace/lorem drops)", q82, Some(o82)),
     GraftQuery("q83_bpe_pairs", "BPE first-merge char-pair counts (vocabulary-weighted, not corpus-exploded)", q83, Some(o83)),
+    GraftQuery("q99_bpe_apply", "BPE merge-table application: per-doc BPE vs whitespace token counts (placeholder-replace kernel, vocabulary-sized)", q99, Some(o99)),
     GraftQuery("q90_vocab_coverage", "top-N vocabulary token-coverage curve (tokenizer sizing)", q90, Some(o90)),
     GraftQuery("q95_hash_embed", "feature-hashed text embedding (sparse, integer-exact)", q95, Some(o95)),
     GraftQuery("q96_idf_hash_embed", "idf-weighted feature-hashed embedding (integer-exact idf)", q96, Some(o96)),

@@ -48,4 +48,13 @@ class RegistrySpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet ==
       SparkEntry.queries.keySet -- declaredRowsOnly)
   }
+
+  test("bench short ids (name before first underscore) stay unique") {
+    // Bench's tail-survivable summary keys per-query times by the short
+    // id; a collision would silently drop a query's time from the
+    // archived artifact
+    val shorts = Registry.all.map(_.name.takeWhile(_ != '_'))
+    assert(shorts.distinct.size == shorts.size,
+      s"colliding short ids: ${shorts.diff(shorts.distinct).distinct}")
+  }
 }

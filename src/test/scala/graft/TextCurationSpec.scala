@@ -560,6 +560,42 @@ class TextCurationSpec extends AnyFunSuite {
     assert(pairs == Map("ab" -> 3L, "bc" -> 1L, "cd" -> 1L))
   }
 
+  test("q99: merge application is true char-level BPE (rank order, non-overlap, placeholder isolation)") {
+    // corpus: "aaab aaab cd" — vocab {aaab:2, cd:1}; pair stats:
+    // aa -> 4 (two overlapping positions per "aaab" × freq 2),
+    // ab -> 2, cd -> 1, so the merge table (rank order) is
+    // [aa, ab, cd, ...]. Applying to "aaab": merge "aa" left-to-right
+    // non-overlapping gives [aa, a, b] (the second 'aa' position
+    // overlaps and must NOT merge), then "ab" merges the tail to
+    // [aa, ab] — 2 symbols. "cd" -> [cd] — 1 symbol. Per doc 1
+    // (two "aaab" tokens): n_ws 2, n_bpe 4; doc 2: 1 and 1.
+    val docs = Seq((1L, "aaab aaab"), (2L, "cd")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeApply(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_ws_tokens"), r.getAs[Long]("n_bpe_tokens"),
+          r.getAs[Double]("compression"))).toMap
+    assert(got(1L) == ((2L, 4L, 2.0)), s"doc 1: ${got(1L)}")
+    assert(got(2L) == ((1L, 1L, 1.0)), s"doc 2: ${got(2L)}")
+    // rank order is load-bearing: a higher-rank merge consumes chars a
+    // lower-rank merge would otherwise use. Corpus where "bc" outranks
+    // "ab": "bc bc bc abc" — pairs: bc -> 4 (3 + 1 from "abc"),
+    // ab -> 1. "abc" must tokenize as [a, bc] (bc first), NOT [ab, c].
+    val docs2 = Seq((1L, "bc bc bc abc")).toDF("doc_id", "text")
+    val got2 = TextAnalysis.bpeApply(docs2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_ws_tokens"), r.getAs[Long]("n_bpe_tokens"))).toMap
+    // "bc"×3 -> 1 symbol each; "abc" -> [a, bc] = 2 symbols; total 5
+    assert(got2(1L) == ((4L, 5L)), s"rank-order application: ${got2(1L)}")
+    // a word UNTOUCHED by any merge keeps its char count (placeholder
+    // chars never leak into lengths of unmerged words)
+    val docs3 = Seq((1L, "xyz xyz"), (2L, "qq")).toDF("doc_id", "text")
+    val got3 = TextAnalysis.bpeApply(docs3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bpe_tokens")).toMap
+    // merge table from this corpus: xy/yz/qq ranks (xy 2, yz 2, qq 1)
+    // -> "xyz" = [xy, z] 2 symbols ×2 tokens = 4; "qq" = [qq] = 1
+    assert(got3 == Map(1L -> 4L, 2L -> 1L), s"got: $got3")
+  }
+
   test("q81: nfc_normalize is SQL-registered and null-safe") {
     GraftFunctions.register(spark)
     val r = spark.sql(

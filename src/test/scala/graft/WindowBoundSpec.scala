@@ -46,7 +46,8 @@ class WindowBoundSpec extends AnyFunSuite {
     "q73_cell_balance" -> 1,        // per-cell aggregate: ≤ NumCells = 16 rows
     "q78_token_budget" -> 2,        // quality-bucket aggregate: ≤ 100k rows
     "q87_hybrid_rrf" -> 2,          // top-k ranker outputs: ≤ k and ≤ 2k rows
-    "q90_vocab_coverage" -> 1)      // TakeOrdered(VocabCap): ≤ 100k rows
+    "q90_vocab_coverage" -> 1,      // TakeOrdered(VocabCap): ≤ 100k rows
+    "q99_bpe_apply" -> 1)           // TakeOrdered(BpeMerges): ≤ 16 rows
 
   test("registry-wide: single-partition windows are exactly the documented allow-list") {
     val found = Registry.all.map(q => q.name -> unpartitioned(q.name).size)
@@ -81,7 +82,8 @@ class WindowBoundSpec extends AnyFunSuite {
       "q70_temperature_mixture" -> Seq("agg(source)"),
       "q73_cell_balance" -> Seq("agg(cid)"),
       "q78_token_budget" -> Seq("agg(bkt)", "agg(bkt)"),
-      "q90_vocab_coverage" -> Seq("take(100000)"))
+      "q90_vocab_coverage" -> Seq("take(100000)"),
+      "q99_bpe_apply" -> Seq("take(16)"))
     expected.foreach { case (name, want) =>
       val got = unpartitioned(name).map(boundOf).sorted
       assert(got == want.sorted, s"$name window bound drifted: $got != $want")
