@@ -1,0 +1,170 @@
+package graft
+
+import graft.tools.ScanAudit
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry-wide corpus-scan budget — `tools.ScanAudit`'s AQE-final
+  * plan walker promoted to CI (the WindowBoundSpec pattern applied to
+  * scans). Every registered query declares how many times its FINAL
+  * executed plan may scan the two corpus-growth tables (`documents`,
+  * `embeddings` — the ones that are ~100 TB in production; the
+  * TPC-H-ish dimension tables are not scan-budgeted). A refactor that
+  * silently duplicates a corpus scan — the q37/q50 branch trade
+  * gone wrong, a lost ReusedExchange, a cache() dropped from a
+  * twice-read frame — fails here with per-query attribution instead
+  * of surfacing as an unexplained bench regression.
+  *
+  * Semantics of the number: distinct FileSourceScanExec nodes over the
+  * table in the AQE-final plan of the query's LAST job, walked
+  * node-by-node (stage/reuse aware — a ReusedExchangeExec subtree is
+  * not descended, so a reused scan counts once, which is the point).
+  * Materialization barriers hide earlier jobs' scans from this count:
+  * q44's label-propagation loop reads `documents` during its
+  * checkpointed iteration, so its FINAL plan shows zero corpus scans —
+  * the budget pins what the walker can see, and the iteration itself
+  * is bounded by its own convergence spec. Budgets are CEILINGS
+  * (`<=`): an improvement that drops a scan passes; ratchet the map
+  * down when that happens.
+  *
+  * The map is the measured round-12 state at sf0.001 (ScanAudit sweep,
+  * 2026-08-14). Notable entries, all documented trades at their
+  * definition sites: 3-scan queries (q37/q50/q54/q58/q78/q86/q91/q96/
+  * q99) pay Spark's no-scan-sharing-across-branches cost for
+  * aggregate+join shapes; q93 (6) and q94 (5) are recall HARNESSES
+  * comparing an ANN/PQ path against its own brute-force oracle, so
+  * they intentionally run the corpus through both sides.
+  */
+class ScanBudgetSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // name -> (max documents scans, max embeddings scans)
+  private val Budget: Map[String, (Int, Int)] = Map(
+    "q01_project" -> ((0, 0)),
+    "q02_defaults" -> ((0, 0)),
+    "q03_anti_filter" -> ((0, 0)),
+    "q04_filter_eq" -> ((0, 0)),
+    "q05_explode_outer" -> ((1, 0)),
+    "q06_array_head" -> ((1, 0)),
+    "q07_union_by_name" -> ((0, 0)),
+    "q08_left_anti" -> ((0, 0)),
+    "q09_broadcast_enrich" -> ((0, 0)),
+    "q10_risk_agg" -> ((0, 0)),
+    "q11_topk_risk" -> ((0, 0)),
+    "q12_sort_limit" -> ((0, 0)),
+    "q13_distinct" -> ((0, 0)),
+    "q14_group_agg" -> ((0, 0)),
+    "q15_tz_format" -> ((0, 0)),
+    "q16_json_extract" -> ((0, 0)),
+    "q17_string_ops" -> ((1, 0)),
+    "q18_try_cast" -> ((0, 0)),
+    "q19_window_rank" -> ((0, 0)),
+    "q20_window_time" -> ((0, 0)),
+    "q21_sessionize" -> ((0, 0)),
+    "q22_dedup_exact" -> ((1, 0)),
+    "q23_minhash_lsh" -> ((1, 0)),
+    "q24_simhash" -> ((1, 0)),
+    "q25_jaccard_pairs" -> ((2, 0)),
+    "q26_cosine_topk" -> ((0, 2)),
+    "q27_langid" -> ((1, 0)),
+    "q28_quality" -> ((1, 0)),
+    "q29_token_count" -> ((1, 0)),
+    "q30_fingerprint" -> ((1, 0)),
+    "q31_risk_explain" -> ((0, 0)),
+    "q32_approx_distinct" -> ((0, 0)),
+    "q33_media_meta" -> ((1, 0)),
+    "q34_ann_lsh" -> ((0, 1)),
+    "q35_rollup" -> ((0, 0)),
+    "q36_asof_join" -> ((0, 0)),
+    "q37_term_salience" -> ((3, 0)),
+    "q38_bigram_stats" -> ((1, 0)),
+    "q39_ivf_ann" -> ((0, 3)),
+    "q40_train_split" -> ((1, 0)),
+    "q41_repetition" -> ((1, 0)),
+    "q42_contamination" -> ((1, 0)),
+    "q43_decontaminate" -> ((1, 0)),
+    "q44_dup_clusters" -> ((0, 0)), // scans live in checkpointed iteration jobs
+    "q45_quality_filter" -> ((1, 0)),
+    "q46_pack_sequences" -> ((1, 0)),
+    "q47_stratified_sample" -> ((1, 0)),
+    "q48_source_mixture" -> ((2, 0)),
+    "q49_simhash_pairs" -> ((1, 0)),
+    "q50_boilerplate" -> ((3, 0)),
+    "q51_chunk" -> ((1, 0)),
+    "q52_pii_redact" -> ((1, 0)),
+    "q53_canonical_docs" -> ((1, 0)), // cluster side reads the staged parquet
+    "q54_oov_rate" -> ((3, 0)),
+    "q55_semantic_dedup" -> ((0, 2)),
+    "q56_unigram_lm" -> ((1, 0)),
+    "q57_incremental_dedup" -> ((2, 0)),
+    "q58_lexical_topk" -> ((3, 0)),
+    "q59_verified_ingest" -> ((2, 0)),
+    "q60_image_near_dups" -> ((1, 0)),
+    "q60b_image_pairs_sql" -> ((0, 0)),
+    "q61_quality_ensemble" -> ((1, 0)),
+    "q62_semantic_decontam" -> ((2, 2)),
+    "q63_dup_span_frac" -> ((1, 0)),
+    "q64_dsir_weights" -> ((1, 0)),
+    "q65_containment_pairs" -> ((2, 0)),
+    "q66_dup_token_coverage" -> ((1, 0)),
+    "q67_bloom_decontam" -> ((2, 0)),
+    "q68_length_quantiles" -> ((1, 0)),
+    "q69_fixed_sample" -> ((1, 0)),
+    "q70_temperature_mixture" -> ((1, 0)),
+    "q71_bigram_lm" -> ((1, 0)),
+    "q72_dup_profile" -> ((2, 0)), // totals + source-attach branches
+    "q73_cell_balance" -> ((0, 2)),
+    "q74_lsh_quality" -> ((2, 0)),
+    "q75_intra_dedup" -> ((1, 0)),
+    "q76_semantic_curve" -> ((0, 2)),
+    "q77_pack_efficiency" -> ((1, 0)),
+    "q78_token_budget" -> ((3, 0)),
+    "q79_gopher_rules" -> ((1, 0)),
+    "q80_audio_near_dups" -> ((1, 0)),
+    "q80b_audio_pairs_sql" -> ((0, 0)),
+    "q81_normalize_text" -> ((1, 0)),
+    "q82_c4_line_filter" -> ((1, 0)),
+    "q83_bpe_pairs" -> ((1, 0)),
+    "q84_pq_adc_topk" -> ((0, 2)),
+    "q85_pq_distortion" -> ((0, 2)),
+    "q86_lm_buckets" -> ((3, 0)),
+    "q87_hybrid_rrf" -> ((3, 2)),
+    "q88_dup_spans" -> ((2, 0)),
+    "q89_integrity_audit" -> ((1, 1)),
+    "q90_vocab_coverage" -> ((1, 0)),
+    "q91_snapshot_diff" -> ((3, 0)),
+    "q92_label_noise" -> ((0, 3)),
+    "q93_ann_recall" -> ((0, 6)), // ANN vs brute-force recall harness
+    "q94_pq_recall" -> ((0, 5)), // PQ vs brute-force recall harness
+    "q95_hash_embed" -> ((1, 0)),
+    "q96_idf_hash_embed" -> ((3, 0)),
+    "q97_vocab_growth" -> ((1, 0)),
+    "q98_video_near_dups" -> ((1, 0)),
+    "q98b_video_pairs_sql" -> ((0, 0)),
+    "q99_bpe_apply" -> ((3, 0)))
+
+  test("every registered query has a scan budget (and no stale entries linger)") {
+    val names = Registry.all.map(_.name).toSet
+    assert(names -- Budget.keySet == Set.empty[String],
+      s"unbudgeted queries: ${(names -- Budget.keySet).toSeq.sorted}")
+    assert(Budget.keySet -- names == Set.empty[String],
+      s"stale budget entries: ${(Budget.keySet -- names).toSeq.sorted}")
+  }
+
+  Registry.all.foreach { q =>
+    test(s"${q.name} stays within its corpus scan budget ${Budget.get(q.name)}") {
+      val df = q.run(spark, TestSpark.sf0001)
+      df.collect() // drive to the AQE-final plan
+      val scans = ScanAudit.deepNodes(df.queryExecution.executedPlan)
+        .collect { case s: FileSourceScanExec =>
+          s.relation.location.rootPaths.mkString.split('/').last }
+      val got = (scans.count(_ == "documents.parquet"),
+        scans.count(_ == "embeddings.parquet"))
+      val (maxDocs, maxEmb) = Budget(q.name)
+      assert(got._1 <= maxDocs && got._2 <= maxEmb,
+        s"${q.name} scans (documents, embeddings) = $got exceeds budget " +
+          s"(${maxDocs}, ${maxEmb}) — a branch started re-reading the corpus; " +
+          s"all scans: ${scans.sorted.mkString(",")}")
+    }
+  }
+}
