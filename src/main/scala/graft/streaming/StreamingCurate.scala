@@ -217,13 +217,38 @@ object StreamingCurate {
         batch.select(col("doc_id"), col("text")), dim),
       centroids, indexTable, outPath, checkpoint, threshold, buckets)
 
+  /** Replay idempotency (shared by the semantic and decontamination
+    * legs, the [[StreamingIngest.writeQuarantineBatch]] discipline):
+    * foreachBatch is at-least-once — a crash between the verdict write
+    * and the checkpoint commit re-runs the batch — so the verdict sink
+    * is `batch_id`-partitioned dynamic overwrite, never a plain
+    * append: the replay rewrites its own partition in place instead of
+    * double-delivering every verdict. The INDEX append needs no such
+    * guard: its consumers are duplicate-insensitive by construction
+    * (cellIndexVerdicts takes an argmax over index rows — a re-appended
+    * identical survivor row cannot change the winner; the gram leg
+    * anti-joins fresh grams against the index, so a replayed train
+    * batch appends nothing at all). One honest caveat, documented
+    * rather than hidden: a replayed semantic batch sees its OWN first
+    * attempt's survivors in the index, so it may verdict same-batch
+    * near-twins against each other where the crash-free run kept both
+    * — strictly MORE dedup, never less, and never a duplicated row.
+    */
+  private def writeVerdictBatch(verdicts: DataFrame, batchId: Long,
+      outPath: String): Unit =
+    verdicts.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(outPath)
+
   private def semanticVerdictStreamWith(docs: DataFrame,
       batchEmbOf: DataFrame => DataFrame, centroids: DataFrame,
       indexTable: String, outPath: String, checkpoint: String,
       threshold: Double,
-      buckets: Int): org.apache.spark.sql.streaming.StreamingQuery =
+      buckets: Int): org.apache.spark.sql.streaming.StreamingQuery = {
+    StreamingIngest.requireBatchPartitionedLayout(docs.sparkSession, outPath)
     docs.writeStream
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
         val batchEmb = batchEmbOf(batch)
         val assigned = Similarity.cellAssignments(batchEmb, centroids)
@@ -234,8 +259,8 @@ object StreamingCurate {
         val verdicts = Similarity.cellIndexVerdicts(
           assigned, spark.table(indexTable), threshold).cache()
         try {
-          verdicts.withColumnRenamed("vec_id", "doc_id")
-            .write.mode("append").parquet(outPath)
+          writeVerdictBatch(
+            verdicts.withColumnRenamed("vec_id", "doc_id"), batchId, outPath)
           Bucketing.appendBucketed(
             Similarity.indexRowsOf(
               assigned.join(verdicts.select("vec_id"), Seq("vec_id"), "left_anti")),
@@ -244,6 +269,7 @@ object StreamingCurate {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 
   /** The DECONTAMINATION leg, stream-static: q43's long-n-gram leakage
     * check applied in flight against a persisted train-gram index
@@ -374,17 +400,22 @@ object StreamingCurate {
 
   def decontamVerdictStream(docs: DataFrame, indexTable: String,
       outPath: String, checkpoint: String,
-      buckets: Int = 32): org.apache.spark.sql.streaming.StreamingQuery =
+      buckets: Int = 32): org.apache.spark.sql.streaming.StreamingQuery = {
+    StreamingIngest.requireBatchPartitionedLayout(docs.sparkSession, outPath)
     docs.writeStream
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
         val withSplit = batch.withColumn("split", TrainingData.splitColumn)
         // resolve the table INSIDE the batch so each micro-batch sees
         // every earlier batch's appended grams
         val index = spark.table(indexTable)
-        TrainingData.gramIndexVerdicts(
-            withSplit.filter(col("split") === "test"), index)
-          .write.mode("append").parquet(outPath)
+        // batch_id-overwrite, not append — see writeVerdictBatch; the
+        // gram append below is replay-idempotent on its own (fresh
+        // grams anti-join the index the first attempt already grew)
+        writeVerdictBatch(
+          TrainingData.gramIndexVerdicts(
+            withSplit.filter(col("split") === "test"), index),
+          batchId, outPath)
         val fresh = TrainingData.gramRowsOf(
             withSplit.filter(col("split") === "train"))
           .join(index, Seq("gh"), "left_anti").cache()
@@ -395,4 +426,5 @@ object StreamingCurate {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 }

@@ -715,6 +715,110 @@ class StreamingSpec extends AnyFunSuite {
     assert(rep.wallSec > 0)
   }
 
+  test("failure injection: killed mid-feed, uncommitted batches replay and every leg reconciles exactly-once") {
+    // The crash the batch_id-overwrite discipline exists for: the
+    // foreachBatch sink WROTE its batch but the checkpoint commit never
+    // landed. Simulated faithfully — run the soak, then delete the
+    // LATEST commit file from the dead-letter and semantic legs'
+    // checkpoints (data written, commit lost), post more feed traffic
+    // while the session is "down", and resume into the same workDir.
+    // The deleted-commit batches replay; reconciliation must show no
+    // double-delivery anywhere.
+    import spark.implicits._
+    import graft.operators.{Similarity, TextAnalysis, TrainingData}
+    val histDoc = "alpha beta gamma delta epsilon zeta eta theta"
+    val hist = Seq((1L, histDoc)).toDF("doc_id", "text")
+    val histEmb = TextAnalysis.hashEmbedDense(hist)
+    val centroids = Similarity.asCentroids(histEmb)
+    Similarity.writeCellIndex(histEmb, centroids, "restart_cell_idx", 4)
+    TrainingData.writeGramIndex(hist, "restart_gram_idx", 4)
+    val work = Files.createTempDirectory("restartsoak").toString
+    val good = "spark plans broadcast joins across partitioned parquet scans"
+    val good2 = "columnar executors fuse vectorized operators into pipelined stages"
+    graft.sources.FeedRegistry.clear("wsrst")
+    graft.sources.FeedRegistry.post("wsrst",
+      s"""{"doc_id":10,"text":"$good","lang":"en","source":"sA"}""",
+      s"""{"doc_id":12,"text":"$histDoc","lang":"en","source":"sB"}""", // semantic dup of seed 1
+      """{nope""") // malformed: quarantine
+    graft.streaming.StreamingCurate.runAllLegs(
+      spark, "wsrst", work, minQuality = 50.0,
+      centroids, "restart_cell_idx", "restart_gram_idx")
+    // crash injection: batch written, commit lost — the at-least-once
+    // window a real executor/driver death opens
+    def uncommit(ck: String): Unit = {
+      val dir = new java.io.File(s"$work/$ck/commits")
+      val latest = Option(dir.listFiles()).get
+        .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
+      assert(latest.delete(), s"could not delete $latest")
+      // the local FS keeps a checksum sibling; left behind, the commit
+      // rewrite on recovery fails as a phantom concurrent writer
+      val crc = new java.io.File(dir, s".${latest.getName}.crc")
+      if (crc.exists()) { crc.delete(); () }
+    }
+    // the kill: wait out the stopped legs' async deregistration so the
+    // "restarted session" does not race the dying one (stop() returns
+    // before the checkpoint registry entry is released)
+    val deadline = System.currentTimeMillis() + 30000
+    while (spark.streams.active.nonEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(spark.streams.active.isEmpty, "legs did not stop in 30s")
+    uncommit("ckpt_dl")
+    uncommit("ckpt_sem")
+    // traffic that arrived while the session was down (64 is a
+    // test-split doc — the md5 hash-split facts from the decontam leg
+    // test — and it leaks the seeded train gram AND is a semantic twin
+    // of seed 1, so it exercises the dc and sem legs post-restart)
+    graft.sources.FeedRegistry.post("wsrst",
+      s"""{"doc_id":20,"text":"$good2","lang":"en","source":"sA"}""",
+      s"""{"doc_id":11,"text":"$good","lang":"en","source":"sA"}""", // near-dup of 10
+      s"""{"doc_id":64,"text":"$histDoc","lang":"en","source":"sB"}""",
+      """not json at all""") // malformed: quarantine
+    val rep = graft.streaming.StreamingCurate.runAllLegs(
+      spark, "wsrst", work, minQuality = 50.0,
+      centroids, "restart_cell_idx", "restart_gram_idx")
+    // dead-letter leg: the replayed batch overwrote its own batch_id
+    // partition — every parseable payload delivered EXACTLY once,
+    // every malformed payload quarantined exactly once
+    val delivered = spark.read.parquet(s"$work/delivered")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(delivered.sorted == Seq(10L, 11L, 12L, 20L, 64L),
+      s"delivered must be exactly-once: $delivered")
+    assert(rep.counts("quarantined") == 2L, rep.counts.toString)
+    // semantic leg: replayed verdicts rewrote their partition, not
+    // appended — one verdict row per verdicted doc, correct dup_of
+    val sem = spark.read.parquet(s"$work/sem_verdicts").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_of"))
+    assert(sem.length == sem.distinct.length && sem.map(_._1).distinct.length == sem.length,
+      s"semantic verdicts double-delivered: ${sem.toSeq}")
+    val semMap = sem.toMap
+    assert(semMap.get(12L).contains(1L), s"sem=$semMap")  // vs seeded survivor
+    assert(semMap.get(11L).contains(10L), s"sem=$semMap") // vs batch-1 survivor
+    assert(semMap.get(64L).contains(1L), s"sem=$semMap")  // post-restart arrival
+    // the survivor index tolerates the replay by SEMANTICS, not by
+    // uniqueness: the replayed batch may re-append identical survivor
+    // rows (argmax consumers are duplicate-insensitive) but never a
+    // new identity
+    val idx = spark.table("restart_cell_idx").select("idx_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(idx == Set(1L, 10L, 20L), s"index identities drifted: $idx")
+    // exactly-once legs (streaming parquet sinks commit via their
+    // manifest): near-dup verdicts and curated docs carry no dup rows
+    val dup = spark.read.parquet(s"$work/verdicts").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(dup.sorted == dup.distinct.sorted, s"dup verdicts duplicated: $dup")
+    val curated = spark.read.parquet(s"$work/curated")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(curated.length == curated.distinct.length, s"curated duplicated: $curated")
+    assert(curated.contains(10L) && !curated.contains(11L), s"curated=$curated")
+    // decontam leg: replay-safe by the same overwrite discipline, and
+    // the post-restart test-split arrival is verdicted against the
+    // seeded train gram exactly once
+    val dc = spark.read.parquet(s"$work/dc_verdicts").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(dc.sorted == dc.distinct.sorted, s"dc verdicts duplicated: $dc")
+    assert(dc.contains(64L), s"dc=$dc")
+  }
+
   test("streaming gate verdicts match the batch ensemble's row-local legs on a replayed corpus") {
     // drift check between the two production gates: StreamingCurate
     // applies the row-local quality kernel with an OFFLINE threshold,
