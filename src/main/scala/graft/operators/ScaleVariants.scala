@@ -12,10 +12,32 @@ import org.apache.spark.sql.functions._
   * sketch per key and combines map-side — one shuffle of sketches, no
   * value explosion, bounded memory regardless of cardinality.
   *
-  * No DuckDB oracle: HLL sketch implementations differ between engines,
-  * so the driver records the weaker rows-only check. Accuracy against
-  * the exact aggregate is asserted in ExtensionsSpec instead (rsd
-  * 0.05 ⇒ well under 5% typical error at these cardinalities).
+  * Why q32 itself can never be hash-checked against DuckDB (the
+  * documented impossibility): an HLL estimate is a function of the
+  * sketch, and the sketch is a function of the engine's choices — hash
+  * function (Spark uses xxHash64 of the Catalyst binary encoding;
+  * DuckDB hashes its own value representation), register count layout
+  * for a given rsd, sparse/dense promotion thresholds, and the bias-
+  * correction table HLL++ interpolates from. Two correct
+  * implementations therefore return DIFFERENT integers for the same
+  * input by design; equality only re-emerges in regimes where both
+  * engines special-case to exact counting, and pinning the fixture to
+  * that regime would test nothing. So the estimate column is
+  * structurally uncheckable by value comparison against any other
+  * engine — not a weak test, a category error.
+  *
+  * q32b is the strongest driver-checkable companion instead (the
+  * q60b staged-companion discipline): the exact distincts under the
+  * SAME grouping and purchase filter hash-match DuckDB (verifying
+  * every q32 semantic except the sketch arithmetic), and the sketch
+  * arithmetic is verified as a PROPERTY the driver can hash: Spark
+  * compares its own estimate to its own exact count per user and
+  * emits a within-bound verdict (1/0) at 3·rsd (or ±1 at tiny
+  * cardinalities, where integer rounding dominates); the oracle emits
+  * the constant 1 the bound guarantees. Any per-user estimate drifting
+  * outside the CI flips that row's verdict and the driver reports a
+  * hash mismatch — the ExtensionsSpec 5% assertion, promoted from CI
+  * to the driver gate, row by row.
   */
 object ScaleVariants {
 
@@ -31,7 +53,43 @@ object ScaleVariants {
   private def q32(s: SparkSession, d: String): DataFrame =
     approxRisk(Tables.events(s, d))
 
+  /** Exact twins of q32's distincts plus per-user within-CI verdicts
+    * for the HLL estimates (1 = |approx − exact| ≤ max(1, 3·rsd·exact)).
+    */
+  def approxVsExact(events: DataFrame, rsd: Double = 0.05): DataFrame = {
+    def bound(approx: org.apache.spark.sql.Column,
+        exact: org.apache.spark.sql.Column) =
+      (abs(approx.cast("double") - exact.cast("double")) <=
+        greatest(lit(1.0), lit(3 * rsd) * exact.cast("double"))).cast("long")
+    events.groupBy(col("user_id"))
+      .agg(
+        countDistinct(col("event_type")).as("n_types"),
+        countDistinct(when(col("event_type") === "purchase", col("event_id")))
+          .as("n_purchases"),
+        approx_count_distinct(col("event_type"), rsd).as("ta"),
+        approx_count_distinct(
+          when(col("event_type") === "purchase", col("event_id")), rsd).as("pa"))
+      .select(col("user_id"), col("n_types"), col("n_purchases"),
+        bound(col("ta"), col("n_types")).as("types_within_ci"),
+        bound(col("pa"), col("n_purchases")).as("purchases_within_ci"))
+  }
+
+  private def q32b(s: SparkSession, d: String): DataFrame =
+    approxVsExact(Tables.events(s, d))
+
+  private val o32b =
+    """SELECT user_id,
+      |       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+      |       CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+      |                                THEN event_id END) AS BIGINT) AS n_purchases,
+      |       CAST(1 AS BIGINT) AS types_within_ci,
+      |       CAST(1 AS BIGINT) AS purchases_within_ci
+      |FROM events GROUP BY user_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q32_approx_distinct", "HLL approx-distinct risk variant (rows-only check)",
-      q32, None))
+      q32, None),
+    GraftQuery("q32b_approx_vs_exact",
+      "exact distinct twins + per-user HLL within-CI verdicts (driver-hashed companion)",
+      q32b, Some(o32b)))
 }

@@ -72,6 +72,7 @@ class ScanBudgetSpec extends AnyFunSuite {
     "q30_fingerprint" -> ((1, 0)),
     "q31_risk_explain" -> ((0, 0)),
     "q32_approx_distinct" -> ((0, 0)),
+    "q32b_approx_vs_exact" -> ((0, 0)),
     "q33_media_meta" -> ((1, 0)),
     "q34_ann_lsh" -> ((0, 1)),
     "q35_rollup" -> ((0, 0)),
