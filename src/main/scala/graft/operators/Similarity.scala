@@ -37,7 +37,8 @@ object Similarity {
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
-  /** Cosine with a zero-norm guard: `try_divide` absorbs the ANSI
+  /** Cosine with a zero-norm guard — THE cosine boundary for every
+    * operator in this file: `try_divide` absorbs the ANSI
     * DIVIDE_BY_ZERO that a zero-norm vector's 0/0 raises (Spark 4
     * defaults ANSI on — the failure mode is a dead job, not a NaN),
     * and the NULL it returns instead coalesces to -1 so a no-signal
@@ -45,7 +46,12 @@ object Similarity {
     * covers the ANSI-off deployment where the same pair yields NaN
     * (ordered above every double — it would otherwise WIN both).
     * Identity for every real cosine, so guarded call sites hash
-    * identically on real vectors.
+    * identically on real vectors. Total-input matters beyond
+    * streaming: [[graft.operators.TextAnalysis.hashEmbedDense]] is a
+    * documented drop-in input for cosineTopK / semanticDedup /
+    * ivfTopK, and it emits the all-zero vector for empty or
+    * weight-cancelled text — one empty doc must not kill (or poison)
+    * a corpus-wide job.
     */
   private def guardedCosine(a: Column, b: Column, normProd: Column): Column =
     nanvl(coalesce(try_divide(dot(a, b), normProd), lit(-1.0)), lit(-1.0))
@@ -61,7 +67,7 @@ object Similarity {
       .select(col("vec_id").as("nid"), col("v").as("cv"), col("nrm").as("cn"))
     val sims = c.join(broadcast(q), col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
+        guardedCosine(col("qv"), col("cv"), col("qn") * col("cn")).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
     sims.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
@@ -232,7 +238,7 @@ object Similarity {
       val prev = cents
       val cdf = broadcast(cents.toDF("cid", "cv").withColumn("cn", norm(col("cv"))))
       val assigned = base.crossJoin(cdf)
-        .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .withColumn("csim", guardedCosine(col("v"), col("cv"), col("nrm") * col("cn")))
         .groupBy(col("vec_id"))
         .agg(max(struct(col("csim").as("s"), (-col("cid")).as("nc"),
           col("v").as("pv"))).as("m"))
@@ -380,7 +386,7 @@ object Similarity {
     val cents = centroids.getOrElse(demoCentroids(base, numCells))
     def scoreCells(df: DataFrame): DataFrame =
       df.crossJoin(broadcast(cents))
-        .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .withColumn("csim", guardedCosine(col("v"), col("cv"), col("nrm") * col("cn")))
     // assignment: argmax collapses map-side via max(struct) — highest
     // csim, then lowest cid; payload rides along without tipping order
     // (csim, -cid) is unique per vector
@@ -400,7 +406,7 @@ object Similarity {
     val sims = assigned.join(broadcast(probes), "cid")
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("sim"))
+        guardedCosine(col("qv"), col("nv"), col("qn") * col("nn")).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
     sims.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
@@ -473,7 +479,7 @@ object Similarity {
     val b = capped.select(col("cid"), col("vec_id").as("vb"),
       col("v").as("bv"), col("nrm").as("bn"))
     a.join(b, "cid").where(col("va") < col("vb"))
-      .withColumn("sim", dot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .withColumn("sim", guardedCosine(col("av"), col("bv"), col("an") * col("bn")))
       .select(col("cid"), col("va"), col("vb"), col("sim"))
   }
 
@@ -582,7 +588,7 @@ object Similarity {
         col("nrm").as("tn"))
     te.join(tr, Seq("cid"), "left")
       .withColumn("sim", when(col("tid").isNull, lit(DecontamSentinel))
-        .otherwise(dot(col("v"), col("tv")) / (col("nrm") * col("tn"))))
+        .otherwise(guardedCosine(col("v"), col("tv"), col("nrm") * col("tn"))))
       .groupBy(col("vec_id"))
       .agg(max(col("sim")).as("max_train_sim"))
       .select(col("vec_id").as("doc_id"), col("max_train_sim"),
@@ -1005,7 +1011,7 @@ object Similarity {
     val b = capped.select(col("cid"), col("vec_id").as("nid"),
       col("v").as("bv"), col("nrm").as("bn"))
     val topk = a.join(b, "cid").where(col("qid") =!= col("nid"))
-      .withColumn("sim", dot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .withColumn("sim", guardedCosine(col("av"), col("bv"), col("an") * col("bn")))
       .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
         .orderBy(col("sim").desc, col("nid").asc)))
       .filter(col("rk") <= k)

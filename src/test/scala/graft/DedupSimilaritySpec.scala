@@ -850,4 +850,44 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(dupOf == 10L && !sim.isNaN && sim >= 0.9, s"verdict: $dupOf, $sim")
     assigned.unpersist()
   }
+
+  test("zero-norm guard: the whole cosine surface is total over hashEmbedDense output") {
+    // hashEmbedDense is the documented drop-in input for the
+    // similarity operators, and it emits the all-zero vector for empty
+    // text — under ANSI mode an unguarded cosine would kill the whole
+    // job with DIVIDE_BY_ZERO on that one row
+    import graft.operators.TextAnalysis
+    // a genuinely zero vector needs weight CANCELLATION (two tokens,
+    // same bucket, opposite signs — empty text still hashes the
+    // empty-string token to a ±1 bucket, the q95-spec fact)
+    def bs(w: String) = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(h.substring(0, 2), 16) % 64,
+        if (h.charAt(2) >= '8') 1L else -1L)
+    }
+    val toks = (0 until 2000).map(i => s"t$i")
+    val (w1, w2) = toks.flatMap { a =>
+      toks.collectFirst {
+        case b if bs(a)._1 == bs(b)._1 && bs(a)._2 == -bs(b)._2 => (a, b)
+      }
+    }.head
+    val d = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta"), // twin of 0
+      (2L, s"$w1 $w2")                // weights cancel: the zero vector
+    ).toDF("doc_id", "text")
+    val emb = TextAnalysis.hashEmbedDense(d)
+    // exact top-k: runs, twin found, zero-norm doc never above -1
+    val topk = Similarity.cosineTopK(emb, col("vec_id") === 0L, 2)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(topk(1L) > 1.0 - 1e-12, s"twin: ${topk(1L)}")
+    assert(topk(2L) == -1.0, s"zero-norm neighbor must pin to -1: ${topk(2L)}")
+    // SemDeDup: runs; the zero-norm doc is kept (no similarity signal)
+    // and cannot be anyone's dup_of
+    val sd = Similarity.semanticDedup(emb, threshold = 0.5, numCells = 1)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(sd(2L), "zero-norm doc must survive (no signal)")
+    assert(!sd(1L), "twin must still dedup")
+  }
 }
