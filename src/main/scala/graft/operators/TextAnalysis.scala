@@ -834,13 +834,17 @@ object TextAnalysis {
   /** Dense `(vec_id, embedding)` form of [[hashEmbed]] — drop-in input
     * for the Similarity operators (cosineTopK, semanticDedup, ...).
     * Total over the input: every distinct `doc_id` in `docs` gets a
-    * row, including docs whose text is empty or whose bucket weights
-    * all cancel — those emit the all-zero vector (left join against
-    * the sparse frame; a null map element coalesces to 0). Building
-    * the dense frame from the sparse rows alone would silently drop
-    * such docs, and a downstream consumer like
+    * row, including docs whose bucket weights all cancel (two tokens,
+    * same bucket, opposite signs) — those emit the all-zero vector
+    * (left join against the sparse frame; a null map element coalesces
+    * to 0). Note an empty-text doc is NOT zero: `split` yields the
+    * empty-string token, which hashes to a ±1 bucket like any other
+    * word (spec-pinned in DedupSimilaritySpec). Building the dense
+    * frame from the sparse rows alone would silently drop cancelled
+    * docs, and a downstream consumer like
     * `hashedSemanticVerdictStream` would then never issue them a
-    * verdict.
+    * verdict; Similarity's guarded cosine keeps the zero vectors they
+    * DO emit from crashing or poisoning any consumer.
     */
   def hashEmbedDense(docs: DataFrame, dim: Int = HashDim): DataFrame = {
     val m = hashEmbed(docs, dim)
@@ -861,24 +865,41 @@ object TextAnalysis {
     * idf-weighting pushes the signal onto rare terms (the TF-IDF
     * argument, hashed). The weight stays INTEGER-exact (the q56/q64
     * libm-avoidance discipline): idf = (IdfScale·n_docs) div df in
-    * pure integer arithmetic, weight = sign · idf, bucket sums are
-    * order-independent integer sums — bit-stable across engines and
-    * shuffles. One extra aggregation (the df table, q54's shape) and
-    * one token-stream join vs the unweighted form.
+    * pure integer arithmetic, weight contributions are cnt · sign ·
+    * idf, bucket sums are order-independent integer sums — bit-stable
+    * across engines and shuffles.
+    *
+    * Distributed shape (round 12, the q56 discipline): the exploded
+    * token stream is FIRST collapsed to its (doc_id, w, cnt)
+    * aggregate, and both the df table (count of rows per w — equal to
+    * countDistinct(doc_id) by construction) and the idf join derive
+    * from it. The join by the Zipf-skewed `w` therefore moves the
+    * pre-aggregate (smaller by the in-doc repetition factor), never
+    * raw token occurrences, and its token-level exchange hashes on the
+    * UNIFORM (doc_id, w) pair. The df branch re-derives the
+    * pre-aggregate from its own scan — column pruning gives the two
+    * branches different read schemas, which defeats physical exchange
+    * reuse (the q37/q50 branch trade; ScanAudit: 3 scans, budgeted) —
+    * so the win is the JOIN side, not scan sharing. Measured
+    * 5.95 → 4.04 s at sf1 (sf0.1 within noise, 0.96 → 0.91 s;
+    * TimeQuery min-over-3), hash-identical — cnt·sign·idf sums to
+    * exactly what per-occurrence sign·idf summed to, in the same
+    * integer arithmetic.
     */
   private val IdfScale = 1000L
 
   def idfHashEmbed(docs: DataFrame, dim: Int = HashDim): DataFrame = {
-    val toks = docs
+    val agg = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    val df = toks.groupBy(col("w"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+    val df = agg.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
-    toks.join(df, "w").crossJoin(broadcast(total))
+    agg.join(df, "w").crossJoin(broadcast(total))
       .select(col("doc_id"),
         (conv(substring(md5(col("w")), 1, 2), 16, 10).cast("long") % dim)
           .as("bucket"),
-        (when(substring(md5(col("w")), 3, 1) >= "8", 1L).otherwise(-1L) *
+        (col("cnt") *
+          when(substring(md5(col("w")), 3, 1) >= "8", 1L).otherwise(-1L) *
           expr(s"($IdfScale * n_docs) div df")).as("wt"))
       .groupBy(col("doc_id"), col("bucket"))
       .agg(sum(col("wt")).as("weight"))
