@@ -64,7 +64,7 @@ class ScanBudgetSpec extends AnyFunSuite {
     "q22_dedup_exact" -> ((1, 0)),
     "q23_minhash_lsh" -> ((1, 0)),
     "q24_simhash" -> ((1, 0)),
-    "q25_jaccard_pairs" -> ((2, 0)),
+    "q25_jaccard_pairs" -> ((1, 0)), // cand side reads the staged pair parquet
     "q26_cosine_topk" -> ((0, 2)),
     "q27_langid" -> ((1, 0)),
     "q28_quality" -> ((1, 0)),
@@ -106,7 +106,7 @@ class ScanBudgetSpec extends AnyFunSuite {
     "q62_semantic_decontam" -> ((2, 2)),
     "q63_dup_span_frac" -> ((1, 0)),
     "q64_dsir_weights" -> ((1, 0)),
-    "q65_containment_pairs" -> ((2, 0)),
+    "q65_containment_pairs" -> ((1, 0)), // staged pairs
     "q66_dup_token_coverage" -> ((1, 0)),
     "q67_bloom_decontam" -> ((2, 0)),
     "q68_length_quantiles" -> ((1, 0)),
@@ -115,7 +115,7 @@ class ScanBudgetSpec extends AnyFunSuite {
     "q71_bigram_lm" -> ((1, 0)),
     "q72_dup_profile" -> ((2, 0)), // totals + source-attach branches
     "q73_cell_balance" -> ((0, 2)),
-    "q74_lsh_quality" -> ((2, 0)),
+    "q74_lsh_quality" -> ((1, 0)), // staged pairs
     "q75_intra_dedup" -> ((1, 0)),
     "q76_semantic_curve" -> ((0, 2)),
     "q77_pack_efficiency" -> ((1, 0)),
@@ -130,7 +130,7 @@ class ScanBudgetSpec extends AnyFunSuite {
     "q85_pq_distortion" -> ((0, 2)),
     "q86_lm_buckets" -> ((3, 0)),
     "q87_hybrid_rrf" -> ((3, 2)),
-    "q88_dup_spans" -> ((2, 0)),
+    "q88_dup_spans" -> ((1, 0)), // staged pairs
     "q89_integrity_audit" -> ((1, 1)),
     "q90_vocab_coverage" -> ((1, 0)),
     "q91_snapshot_diff" -> ((3, 0)),
