@@ -890,4 +890,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(sd(2L), "zero-norm doc must survive (no signal)")
     assert(!sd(1L), "twin must still dedup")
   }
+
+  test("session-staged artifacts are content-equal to their recompute") {
+    // the staging layer (candidate pairs, cluster map) must be a pure
+    // materialization — any content drift between the staged parquet
+    // and a direct recompute means a consumer query's oracle hash and
+    // its plan no longer describe the same data
+    val d = TestSpark.sf0001
+    val directPairs = Dedup.candidatePairs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stagedPairs = Dedup.stagedCandidatePairs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stagedPairs == directPairs,
+      s"pair stage drifted: ${(stagedPairs diff directPairs).take(5)} extra, " +
+        s"${(directPairs diff stagedPairs).take(5)} missing")
+    val directClusters = Dedup.dupClusters(Dedup.candidatePairs(spark, d))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stagedClusters = Dedup.stagedClusters(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stagedClusters == directClusters,
+      s"cluster stage drifted: ${(stagedClusters diff directClusters).take(5)}")
+  }
 }

@@ -467,4 +467,57 @@ object InvariantProps extends Properties("graft") {
           (!(gramsUnique(a) && gramsUnique(b)) || est == truth)
       }
     }
+
+  // q99 differential: the placeholder-replace kernel must agree with an
+  // independent symbol-list BPE implementation on random corpora — the
+  // merge table re-derived here exactly as the query derives it
+  // (freq-weighted overlapping pair counts, ties pair-ascending, top 16).
+  private def bpeRefTokens(w: String, merges: Seq[String]): Int = {
+    var syms = w.map(_.toString).toVector
+    merges.zipWithIndex.foreach { case (m, i) =>
+      val ph = (0xE001 + i).toChar.toString
+      val out = Vector.newBuilder[String]
+      var j = 0
+      while (j < syms.length) {
+        if (j + 1 < syms.length &&
+            syms(j) == m.substring(0, 1) && syms(j + 1) == m.substring(1, 2)) {
+          out += ph; j += 2
+        } else { out += syms(j); j += 1 }
+      }
+      syms = out.result()
+    }
+    syms.length
+  }
+
+  private val bpeWord: Gen[String] =
+    Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')))
+      .map(_.mkString)
+  private val bpeDocGen: Gen[String] =
+    Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, bpeWord)).map(_.mkString(" "))
+  private val bpeCorpusGen: Gen[List[String]] =
+    Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, bpeDocGen))
+
+  property("bpeApply agrees with an independent symbol-list BPE on random corpora") =
+    Prop.forAllNoShrink(bpeCorpusGen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      // merge table, independently: freq-weighted overlapping pair
+      // counts over distinct words of length >= 2, (n desc, pair asc)
+      val freq = texts.flatMap(_.split(" ", -1)).groupBy(identity)
+        .map { case (w, l) => w -> l.size.toLong }
+      val pairCounts = freq.toSeq.filter(_._1.length >= 2)
+        .flatMap { case (w, f) =>
+          (0 until w.length - 1).map(i => w.substring(i, i + 2) -> f) }
+        .groupBy(_._1).map { case (p, l) => p -> l.map(_._2).sum }
+      val merges = pairCounts.toSeq.sortBy { case (p, n) => (-n, p) }
+        .take(16).map(_._1)
+      val expected = texts.zipWithIndex.map { case (t, i) =>
+        val words = t.split(" ", -1)
+        i.toLong -> ((words.length.toLong,
+          words.map(w => bpeRefTokens(w, merges).toLong).sum))
+      }.toMap
+      val got = graft.operators.TextAnalysis.bpeApply(docs).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      got == expected
+    }
 }
