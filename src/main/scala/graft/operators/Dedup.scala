@@ -358,6 +358,21 @@ object Dedup {
       .groupBy(col("doc_id"), col("col"))
       .agg(min(col("pos")).cast("long").as("p"))
 
+  /** Distinct member doc_ids of a candidate-pair frame — the semi-join
+    * filter that keeps the verify-side kernels ([[jaccardSims]],
+    * [[dupSpans]]) from hashing the whole corpus. The pair joins inside
+    * those kernels drop every non-member doc anyway, but that knowledge
+    * sits ABOVE the expensive per-doc native projection in the plan and
+    * Catalyst will not push a join-derived filter below a projection on
+    * its own. Semantically neutral by construction: every doc removed
+    * here would have been dropped by the downstream inner join on the
+    * same pair frame.
+    */
+  def candidateMembers(cands: DataFrame): DataFrame =
+    cands
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+
   /** Exact (pre-hashed) Jaccard for EVERY candidate pair, unfiltered —
     * the shared sims kernel [[jaccardVerify]] thresholds and the q74
     * candidate-quality diagnostic aggregates.
@@ -372,7 +387,17 @@ object Dedup {
     // (SCALE.md: the string form spread 11–75s at sf1 with GC pressure).
     // Recomputed per query BY MEASUREMENT — see the staging-experiment
     // note above shingleSetsFrame.
-    val sets = shingleSetsFrame(docs)
+    // Shingle sets ONLY for candidate members: the member join below
+    // drops every other doc, but that filter sits ABOVE the
+    // ShingleHashes projection in the plan, so without an explicit
+    // semi-filter the native kernel still hashed the WHOLE corpus to
+    // verify a few hundred pairs. The members frame derives from the
+    // (session-staged, size-known) candidate parquet, so the planner
+    // broadcasts the semi-join on its own — no hint, and at a
+    // pathological duplicate population AQE falls back to a shuffle
+    // semi rather than overflowing a forced broadcast.
+    val sets = shingleSetsFrame(
+      docs.join(candidateMembers(cands), Seq("doc_id"), "left_semi"))
     // One join, not two: exploding each pair into its two member rows
     // lets a single pass over `sets` serve both sides (joining sets
     // per-side would re-evaluate the shingle subtree per branch). The
@@ -1132,33 +1157,51 @@ object Dedup {
     * gram repetition).
     */
   def dupSpans(cands: DataFrame, docs: DataFrame): DataFrame = {
-    // recomputed, not cached — the measured staging verdict at
-    // shingleSetsFrame applies to this frame too (21.5 s cached vs
-    // 16.4 s recomputed at sf1)
-    val grams = gramPositionsFrame(docs)
-    val ga = grams.select(col("doc_id").as("doc_a"), col("col").as("gh"),
-      col("p").as("pa"))
-    val gb = grams.select(col("doc_id").as("doc_b"), col("col").as("gh"),
-      col("p").as("pb"))
-    cands.join(ga, "doc_a").join(gb, Seq("doc_b", "gh"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_shared"),
-        collect_list(struct((col("pa") - col("pb")).as("dg"),
-          col("pa").as("pa"))).as("ms"))
-      .select(col("doc_a"), col("doc_b"), col("n_shared"),
-        expr("""aggregate(
-            array_sort(ms),
-            named_struct('best', CAST(0 AS BIGINT), 'run', CAST(0 AS BIGINT),
-                         'dg', CAST(-9223372036854775808 AS BIGINT),
-                         'pp', CAST(-2 AS BIGINT)),
-            (acc, m) -> named_struct(
-              'best', greatest(acc.best,
-                CASE WHEN m.dg = acc.dg AND m.pa = acc.pp + 1L
-                     THEN acc.run + 1L ELSE 1L END),
-              'run', CASE WHEN m.dg = acc.dg AND m.pa = acc.pp + 1L
-                          THEN acc.run + 1L ELSE 1L END,
-              'dg', m.dg, 'pp', m.pa),
-            acc -> acc.best)""").as("max_run"))
+    // Gram indexes only for candidate members ([[candidateMembers]]):
+    // the pair join below drops every non-member doc anyway, but
+    // Catalyst cannot hoist that knowledge below the gram projection
+    // on its own (at sf1: 50k member docs vs 1M corpus). Then the q25
+    // member-explode pattern, NOT a pair×gram row join: the staged
+    // candidate frame carries ~2M pairs at sf1, and joining pairs to
+    // per-gram ROWS expands each pair by every gram of doc_a (~116M-row
+    // exchange into the doc_b match — measured 15–17 s at sf1, the
+    // whole query's cost) before the match can drop the ~90% of pairs
+    // that share nothing. Instead each member doc carries ONE
+    // [[graft.functions.GramPosStruct]] index (sorted distinct gram
+    // longs + first positions — a scalar native projection, no
+    // posexplode/regroup), the pair regroup shuffles exactly 2 rows
+    // per pair, and [[graft.functions.DiagSpanPacked]] merge-joins the
+    // two indexes per pair in native code. Interpreted higher-order
+    // lambdas over per-pair maps were measured first and rejected:
+    // Catalyst collapses a Project-aliased map_from_entries INTO the
+    // lambda (rebuilt per element, minutes-stuck), and even built
+    // behind the aggregate boundary the interpreted per-element walk
+    // ran 22.8 s vs this kernel's 5.4 s (SCALE.md round 12). Frames
+    // recomputed, not cached, per the shingleSetsFrame staging verdict.
+    val sets = docs
+      .join(candidateMembers(cands), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        graft.functions.GramPosStruct(col("text"), 8).as("g"))
+    cands
+      .select(col("doc_a"), col("doc_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .join(sets, "doc_id")
+      .groupBy("doc_a", "doc_b")
+      .agg(
+        max(when(col("doc_id") === col("doc_a"), col("g"))).as("ga"),
+        max(when(col("doc_id") === col("doc_b"), col("g"))).as("gb"))
+      // One native merge per pair: (n_shared << 32) | max_run, 0 when
+      // no gram is shared, null when a member had no text row. The
+      // >= 2^32 filter is both at once — pairs sharing no gram are
+      // absent (the q43 reporting contract, previously enforced by the
+      // inner row joins), and docs under 8 tokens carry empty index
+      // arrays so their pairs pack to 0.
+      .withColumn("res",
+        graft.functions.DiagSpanPacked(col("ga"), col("gb")))
+      .filter(col("res") >= lit(1L << 32))
+      .select(col("doc_a"), col("doc_b"),
+        shiftright(col("res"), 32).as("n_shared"),
+        (col("res").bitwiseAND(lit(0xffffffffL))).as("max_run"))
       .withColumn("span_tokens", col("max_run") + lit(7L))
   }
 
