@@ -146,7 +146,7 @@ object GramPosStruct {
   * consecutive position" test of the SQL fold it replaces. O(|a| +
   * |b| + s log s) per pair over primitive longs — no per-pair map, no
   * interpreted lambda, no pair×gram row expansion (the three measured
-  * failure modes at sf1: minutes / 22.8 s / 15.4 s; this form 5.6 s,
+  * failure modes at sf1: minutes / 22.8 s / 15.4 s; this form 1.2–1.7 s,
   * SCALE.md round 12).
   */
 case class DiagSpanPacked(left: Expression, right: Expression)

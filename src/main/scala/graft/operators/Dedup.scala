@@ -373,11 +373,40 @@ object Dedup {
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
 
+  /** Per-pair pre-hashed shingle sets `(doc_a, doc_b, wh_a, wh_b)` for
+    * every candidate pair whose members both have a documents row —
+    * the shared verify-side frame of [[jaccardSims]] (q25/q74) and
+    * [[containmentVerify]] (q65).
+    *
+    * Shape (the q88 lessons, applied to the 5-shingle family):
+    * shingles are hashed ONLY for candidate members (the semi-filter —
+    * at 100 TB members ≪ corpus), the member frame is
+    * localCheckpoint'ed eagerly so both join sides read ONE evaluation
+    * (exchange reuse measurably failed to deduplicate the two
+    * canonically-equal builds, doubling the corpus scan), and each
+    * pair picks up its two sets by plain equi-join — the earlier
+    * member-explode+`max(when(...))` regroup planned as a double
+    * SortAggregate over the exploded array rows (Max over a complex
+    * type needs an ordered buffer), the one context-fragile stage in
+    * these queries. One timed corpus scan per call; nothing
+    * pre-staged.
+    */
+  private def pairShingleSets(cands: DataFrame, docs: DataFrame): DataFrame = {
+    val sets = shingleSetsFrame(
+      docs.join(candidateMembers(cands), Seq("doc_id"), "left_semi"))
+      .localCheckpoint()
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("wh").as("wh_a")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("wh").as("wh_b")),
+        Seq("doc_b"))
+  }
+
   /** Exact (pre-hashed) Jaccard for EVERY candidate pair, unfiltered —
     * the shared sims kernel [[jaccardVerify]] thresholds and the q74
     * candidate-quality diagnostic aggregates.
     */
-  def jaccardSims(cands: DataFrame, docs: DataFrame): DataFrame = {
+  def jaccardSims(cands: DataFrame, docs: DataFrame): DataFrame =
     // PRE-HASHED shingle sets: Jaccard needs only intersection/union
     // SIZES, which any relabeling shared by both engines preserves, so
     // each member row carries a primitive array<long> of 60-bit shingle
@@ -385,38 +414,12 @@ object Dedup {
     // strings — ~10× smaller exchange rows, no per-element objects, and
     // the one measured GC-fragile shuffle in the engine goes away
     // (SCALE.md: the string form spread 11–75s at sf1 with GC pressure).
-    // Recomputed per query BY MEASUREMENT — see the staging-experiment
-    // note above shingleSetsFrame.
-    // Shingle sets ONLY for candidate members: the member join below
-    // drops every other doc, but that filter sits ABOVE the
-    // ShingleHashes projection in the plan, so without an explicit
-    // semi-filter the native kernel still hashed the WHOLE corpus to
-    // verify a few hundred pairs. The members frame derives from the
-    // (session-staged, size-known) candidate parquet, so the planner
-    // broadcasts the semi-join on its own — no hint, and at a
-    // pathological duplicate population AQE falls back to a shuffle
-    // semi rather than overflowing a forced broadcast.
-    val sets = shingleSetsFrame(
-      docs.join(candidateMembers(cands), Seq("doc_id"), "left_semi"))
-    // One join, not two: exploding each pair into its two member rows
-    // lets a single pass over `sets` serve both sides (joining sets
-    // per-side would re-evaluate the shingle subtree per branch). The
-    // regroup shuffles only candidate-pair rows — tiny next to the
-    // corpus. max() picks the single non-null wh per role (deterministic
-    // — each group has exactly one row per member).
-    cands
-      .select(col("doc_a"), col("doc_b"),
-        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .join(sets, "doc_id")
-      .groupBy("doc_a", "doc_b")
-      .agg(
-        max(when(col("doc_id") === col("doc_a"), col("wh"))).as("wh_a"),
-        max(when(col("doc_id") === col("doc_b"), col("wh"))).as("wh_b"))
+    // Pair wiring and the member semi-filter: [[pairShingleSets]].
+    pairShingleSets(cands, docs)
       .withColumn("jaccard",
         size(array_intersect(col("wh_a"), col("wh_b"))) /
           size(array_union(col("wh_a"), col("wh_b"))))
       .select("doc_a", "doc_b", "jaccard")
-  }
 
   def jaccardVerify(cands: DataFrame, docs: DataFrame): DataFrame =
     jaccardSims(cands, docs)
@@ -1020,24 +1023,15 @@ object Dedup {
   private val ContainThreshold = 0.7
 
   /** Max-containment (|A∩B| / min(|A|,|B|)) over candidate pairs. */
-  def containmentVerify(cands: DataFrame, docs: DataFrame): DataFrame = {
-    // the same frame shape q25/q74 verify over (recomputed, not
-    // cached — the measured staging verdict at shingleSetsFrame)
-    val sets = shingleSetsFrame(docs)
-    cands
-      .select(col("doc_a"), col("doc_b"),
-        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .join(sets, "doc_id")
-      .groupBy("doc_a", "doc_b")
-      .agg(
-        max(when(col("doc_id") === col("doc_a"), col("wh"))).as("wh_a"),
-        max(when(col("doc_id") === col("doc_b"), col("wh"))).as("wh_b"))
+  def containmentVerify(cands: DataFrame, docs: DataFrame): DataFrame =
+    // the same frame q25/q74 verify over ([[pairShingleSets]]: member
+    // semi-filter + one checkpointed evaluation + per-side joins)
+    pairShingleSets(cands, docs)
       .withColumn("containment",
         size(array_intersect(col("wh_a"), col("wh_b"))) /
           least(size(col("wh_a")), size(col("wh_b"))))
       .filter(col("containment") >= ContainThreshold)
       .select("doc_a", "doc_b", "containment")
-  }
 
   private def q65(s: SparkSession, d: String): DataFrame =
     containmentVerify(stagedCandidatePairs(s, d), Tables.documents(s, d))
@@ -1169,33 +1163,52 @@ object Dedup {
     // that share nothing. Instead each member doc carries ONE
     // [[graft.functions.GramPosStruct]] index (sorted distinct gram
     // longs + first positions — a scalar native projection, no
-    // posexplode/regroup), the pair regroup shuffles exactly 2 rows
-    // per pair, and [[graft.functions.DiagSpanPacked]] merge-joins the
-    // two indexes per pair in native code. Interpreted higher-order
+    // posexplode/regroup), each pair picks up its two indexes by
+    // doc_id equi-join, and [[graft.functions.DiagSpanPacked]]
+    // merge-joins the two indexes per pair in native code — the
+    // per-pair work is O(|a| + |b|). Interpreted higher-order
     // lambdas over per-pair maps were measured first and rejected:
     // Catalyst collapses a Project-aliased map_from_entries INTO the
     // lambda (rebuilt per element, minutes-stuck), and even built
     // behind the aggregate boundary the interpreted per-element walk
-    // ran 22.8 s vs this kernel's 5.4 s (SCALE.md round 12). Frames
+    // ran 22.8 s vs this kernel's 1.2–1.7 s (SCALE.md round 12). Frames
     // recomputed, not cached, per the shingleSetsFrame staging verdict.
+    // One index join PER PAIR SIDE, not the q25 member-explode+regroup:
+    // max(when(...)) over a struct-of-arrays buffer plans as a DOUBLE
+    // SortAggregate (partial + final, each sorting the 4M exploded
+    // ~0.9 kB rows — Max needs an ordered buffer for complex types),
+    // the one fragile stage left in the query. The two join sides must
+    // read ONE evaluation of the index frame: referencing the subtree
+    // twice re-scanned documents per side (measured — exchange reuse
+    // did NOT deduplicate the two canonically-equal broadcast builds
+    // under AQE), so the frame is localCheckpoint'ed eagerly, the
+    // dupClusters materialization pattern: one corpus scan per call
+    // (timed inside the query, nothing pre-staged), and the final plan
+    // reads the same member-token-volume RDD (~45 MB at sf1 — bounded
+    // by the candidate population, not the corpus) on both sides.
+    // ScanBudgetSpec keeps the (1, 0) ceiling; the checkpoint job
+    // carries the one real scan, like q44's iteration (see the
+    // budget-semantics note in ScanBudgetSpec). Same durability trade
+    // as dupClusters' default: executor-memory-backed blocks, and a
+    // deterministic re-run on loss. The result is a fully pipelined
+    // pass: scan pairs -> probe ga -> probe gb -> native merge, no
+    // sort, no regroup exchange.
     val sets = docs
       .join(candidateMembers(cands), Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         graft.functions.GramPosStruct(col("text"), 8).as("g"))
+      .localCheckpoint()
     cands
-      .select(col("doc_a"), col("doc_b"),
-        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .join(sets, "doc_id")
-      .groupBy("doc_a", "doc_b")
-      .agg(
-        max(when(col("doc_id") === col("doc_a"), col("g"))).as("ga"),
-        max(when(col("doc_id") === col("doc_b"), col("g"))).as("gb"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("g").as("ga")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("g").as("gb")),
+        Seq("doc_b"))
       // One native merge per pair: (n_shared << 32) | max_run, 0 when
-      // no gram is shared, null when a member had no text row. The
-      // >= 2^32 filter is both at once — pairs sharing no gram are
-      // absent (the q43 reporting contract, previously enforced by the
-      // inner row joins), and docs under 8 tokens carry empty index
-      // arrays so their pairs pack to 0.
+      // no gram is shared. The >= 2^32 filter enforces the q43
+      // reporting contract — pairs sharing no gram are absent, and a
+      // doc under 8 tokens carries empty index arrays so its pairs
+      // pack to 0 (a doc with no documents row at all is dropped by
+      // the inner index joins, as in the row-join form).
       .withColumn("res",
         graft.functions.DiagSpanPacked(col("ga"), col("gb")))
       .filter(col("res") >= lit(1L << 32))

@@ -963,4 +963,50 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Dedup.dupSpans(
       Seq((3L, 4L), (3L, 5L)).toDF("doc_a", "doc_b"), none).isEmpty)
   }
+
+  test("q88 kernel differential: native form equals the row-join reference on the sf0.001 fixture") {
+    // The hand-crafted cases above pin the corners; this pins the
+    // kernel against an independent Spark formulation over REAL fixture
+    // text and the REAL LSH candidate distribution — the same
+    // differential that gated the sf1 rewrite (0 of 248,844 rows
+    // differed; SCALE.md round 12). The reference is the
+    // pre-kernel pair x gram row join + SQL diagonal fold, kept here as
+    // the semantic twin (like the BPE kernel's differential).
+    val d = TestSpark.sf0001
+    val docsDf = Tables.documents(spark, d)
+    val cands = Dedup.stagedCandidatePairs(spark, d)
+    val grams = Dedup.gramPositionsFrame(
+      docsDf.join(Dedup.candidateMembers(cands), Seq("doc_id"), "left_semi"))
+    val ga = grams.select(col("doc_id").as("doc_a"), col("col").as("gh"),
+      col("p").as("pa"))
+    val gb = grams.select(col("doc_id").as("doc_b"), col("col").as("gh"),
+      col("p").as("pb"))
+    val ref = cands.join(ga, "doc_a").join(gb, Seq("doc_b", "gh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        collect_list(struct((col("pa") - col("pb")).as("dg"),
+          col("pa").as("pa"))).as("ms"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        expr("""aggregate(
+            array_sort(ms),
+            named_struct('best', CAST(0 AS BIGINT), 'run', CAST(0 AS BIGINT),
+                         'dg', CAST(-9223372036854775808 AS BIGINT),
+                         'pp', CAST(-2 AS BIGINT)),
+            (acc, m) -> named_struct(
+              'best', greatest(acc.best,
+                CASE WHEN m.dg = acc.dg AND m.pa = acc.pp + 1L
+                     THEN acc.run + 1L ELSE 1L END),
+              'run', CASE WHEN m.dg = acc.dg AND m.pa = acc.pp + 1L
+                          THEN acc.run + 1L ELSE 1L END,
+              'dg', m.dg, 'pp', m.pa),
+            acc -> acc.best)""").as("max_run"))
+      .withColumn("span_tokens", col("max_run") + lit(7L))
+    val neo = Dedup.dupSpans(cands, docsDf)
+    val cols = Seq("doc_a", "doc_b", "n_shared", "max_run", "span_tokens")
+    val diff = neo.selectExpr(cols: _*).exceptAll(ref.selectExpr(cols: _*))
+      .union(ref.selectExpr(cols: _*).exceptAll(neo.selectExpr(cols: _*)))
+    assert(neo.count() > 0, "fixture must produce candidate spans")
+    assert(diff.isEmpty,
+      s"kernel drifted from the row-join reference: ${diff.take(5).toSeq}")
+  }
 }
