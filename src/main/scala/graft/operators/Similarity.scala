@@ -285,33 +285,43 @@ object Similarity {
         asDouble(col("embedding")).as("cv"))
       .withColumn("cn", norm(col("cv")))
 
-  /** Map-side argmax cell assignment of a normalized `(vec_id, v, nrm)`
-    * frame against broadcast `(cid, cv, cn)` centroids — highest cosine,
-    * ties to the lowest cid; the vector payload rides the aggregate
-    * without tipping the order ((csim, -cid) is unique per vector).
-    * Shared by [[semanticDedup]] and the persisted cell-index path.
+  /** Per-row argmax cell assignment of a normalized `(vec_id, v, nrm)`
+    * frame against a bounded `(cid, cv, cn)` centroid frame — highest
+    * cosine, ties to the lowest cid. Shared by [[semanticDedup]] and
+    * the persisted cell-index path.
     *
-    * Zero-norm guard: a zero-norm vector (hashEmbedDense emits one for
-    * empty / weight-cancelled text) or a zero-norm centroid makes the
-    * cosine 0/0 — under ANSI mode (the Spark 4 default) that is a
-    * DIVIDE_BY_ZERO task failure that kills the whole job (and with
-    * ANSI off it is a NaN, which Spark orders above every double, so
-    * an all-NaN argmax would still "win" a cell and a zero-norm
-    * centroid would capture every vector). [[guardedCosine]] pins such
-    * pairs to cosine -1 (identity for every real cosine), so zero-norm
-    * vectors neither crash the job nor poison the argmax — they lose
-    * every comparison and land deterministically in the lowest cid
-    * with csim = -1.
+    * Zero-norm guard (now inside [[graft.functions.CellArgmax]], same
+    * contract as [[guardedCosine]]): a zero-norm vector (hashEmbedDense
+    * emits one for empty / weight-cancelled text) or a zero-norm
+    * centroid makes the cosine 0/0 = NaN, which would otherwise win
+    * every comparison (NaN orders above every double). The kernel pins
+    * such pairs to cosine -1 (identity for every real cosine), so
+    * zero-norm vectors neither crash the job nor poison the argmax —
+    * they lose every comparison and land deterministically in the
+    * lowest cid.
     */
-  private def assignToCells(base: DataFrame, cents: DataFrame): DataFrame =
-    base.crossJoin(broadcast(cents))
-      .withColumn("csim",
-        guardedCosine(col("v"), col("cv"), col("nrm") * col("cn")))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("csim").as("s"), (-col("cid")).as("nc"),
-        struct(col("v").as("v"), col("nrm").as("n")).as("pay"))).as("m"))
-      .select(col("vec_id"), (-col("m.nc")).as("cid"),
-        col("m.pay.v").as("v"), col("m.pay.n").as("nrm"))
+  private def assignToCells(base: DataFrame, cents: DataFrame): DataFrame = {
+    // Centroids are a bounded k-row frame (the same house bound that
+    // let this path broadcast() them); collecting them turns cell
+    // assignment into ONE native scalar call per row
+    // ([[graft.functions.CellArgmax]] — identical guarded-cosine +
+    // (csim, -cid) argmax semantics, spec-differentialed). The former
+    // crossJoin+max(struct(csim, -cid, payload)) regroup multiplied
+    // the corpus by numCells with the full vector payload riding every
+    // row and planned as a double SortAggregate feeding a
+    // corpus-payload exchange — measured as the shared hot stage of
+    // the eight cell-family queries (SCALE.md round 12). Now: no row
+    // multiplication, no aggregate, no exchange; assignment is a map
+    // over the scan.
+    val rows = cents.select(col("cid").cast("long"), col("cv"), col("cn"))
+      .collect()
+    require(rows.nonEmpty, "assignToCells needs at least one centroid")
+    val cs = rows.map(r =>
+      (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toSeq
+    base.withColumn("cid",
+        graft.functions.CellArgmax(col("v"), col("nrm"), cs))
+      .select(col("vec_id"), col("cid"), col("v"), col("nrm"))
+  }
 
   /** `(vec_id, cid, v, nrm)` cell assignments of a raw `(vec_id,
     * embedding)` frame against `(cid, cv, cn)` centroids.
@@ -1000,17 +1010,41 @@ object Similarity {
       .withColumn("nrm", norm(col("v")))
     val cents = centroids.getOrElse(demoCentroids(base, numCells))
     val assigned = assignToCells(base, cents)
+    // Both self-join sides read ONE evaluation of the capped sample:
+    // the frame is bounded by construction (<= cellCap × numCells rows),
+    // and referencing the subtree twice re-ran the corpus-wide
+    // assignment + window per side once assignToCells stopped carrying
+    // its own exchange (measured at sf1: 13.8 s vs 4.4 s checkpointed —
+    // the q88 exchange-reuse lesson, SCALE.md round 12).
     val capped = assigned
       .withColumn("srk", row_number().over(Window.partitionBy("cid")
         .orderBy(md5(col("vec_id").cast("string").cast("binary")).asc,
           col("vec_id").asc)))
       .filter(col("srk") <= cellCap)
       .drop("srk")
+      .localCheckpoint()
+    // Salted, EXPLICITLY-partitioned per-cell self-join: the join
+    // INPUT is tiny (<= cellCap × numCells rows) but its OUTPUT is the
+    // CellCap² bound, and byte-based partitioning is blind to that
+    // explosion — AQE coalesced the 12 MB cid shuffle to ONE partition
+    // at sf1 and the whole 25M-pair join + top-k sort ran
+    // single-threaded (measured 15.4 s vs 4.5 s; thread dump showed
+    // one busy worker). Salting the query side S ways (neighbor side
+    // replicated S×, identical output rows) gives numCells × S join
+    // keys, and the explicit repartition pins the task count — user
+    // repartitions are AQE-coalesce-exempt (the q44 pinning note) —
+    // so each task sorts ~pairs/np rows no matter how few BYTES the
+    // input holds. Measured 2.4 s at sf1 — under the pre-kernel 4.5 s.
+    val S = 8
+    val np = capped.sparkSession.sessionState.conf.numShufflePartitions
     val a = capped.select(col("cid"), col("vec_id").as("qid"),
-      col("v").as("av"), col("nrm").as("an"))
+        col("v").as("av"), col("nrm").as("an"))
+      .withColumn("salt", pmod(col("qid"), lit(S)))
+      .repartition(np, col("cid"), col("salt"))
     val b = capped.select(col("cid"), col("vec_id").as("nid"),
-      col("v").as("bv"), col("nrm").as("bn"))
-    val topk = a.join(b, "cid").where(col("qid") =!= col("nid"))
+        col("v").as("bv"), col("nrm").as("bn"))
+      .withColumn("salt", explode(array((0 until S).map(lit): _*)))
+    val topk = a.join(b, Seq("cid", "salt")).where(col("qid") =!= col("nid"))
       .withColumn("sim", guardedCosine(col("av"), col("bv"), col("an") * col("bn")))
       .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
         .orderBy(col("sim").desc, col("nid").asc)))

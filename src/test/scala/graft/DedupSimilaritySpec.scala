@@ -315,24 +315,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("q55 plans <= 3 embeddings scans; centroids stay the broadcast side") {
+  test("q55 plans <= 4 embeddings scans and no nested-loop join") {
     val df = Registry.byName("q55_semantic_dedup").run(spark, TestSpark.sf0001)
     val p = df.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
-    // 3 corpus scans (pair sides + survivor frame) plus, on the demo
-    // centroid path only, one vec_id<16 seed scan per branch — those
-    // three are pruned to ~one row group by the pushed filter (a
-    // kmeansCentroids frame replaces them with a literal in production)
+    // Cell assignment is a native per-row kernel (CellArgmax) with the
+    // bounded centroid frame riding as a plan constant — the former
+    // centroid crossJoin (BroadcastNestedLoopJoin) and its regroup are
+    // gone from the plan entirely, and the centroid seed is collected
+    // in its own pruned driver job, not in this plan. What remains:
+    // the pair sides + the survivor frame.
     val scans = p.linesIterator.count(_.matches("""^\(\d+\) Scan parquet\s*$"""))
-    assert(scans <= 6, s"expected pair-sides + survivor frame (+ pruned centroid seeds), got $scans scans")
-    assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,"),
-      "centroid-seed scans must prune via a pushed vec_id filter")
-    // the centroid cross join must broadcast the centroid side (BuildRight);
-    // a BuildLeft would mean the corpus became the build side
-    assert(p.contains("BroadcastNestedLoopJoin Cross BuildRight"),
-      s"centroid assignment must broadcast centroids:\n${p.take(2000)}")
-    assert(!p.contains("BuildLeft"),
-      "the corpus side must never become a broadcast build side")
+    assert(scans <= 4, s"expected pair-sides + survivor frame, got $scans scans")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "cell assignment must stay a scalar kernel, never a loop join")
   }
 
   test("jaccard verification runs only over LSH candidate pairs") {
@@ -1008,5 +1004,44 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(neo.count() > 0, "fixture must produce candidate spans")
     assert(diff.isEmpty,
       s"kernel drifted from the row-join reference: ${diff.take(5).toSeq}")
+  }
+
+  test("CellArgmax kernel differential: matches the crossJoin+max(struct) argmax on random, zero-norm and tie vectors") {
+    import spark.implicits._
+    // Random vectors (seeded), a zero-norm vector, an exact duplicate
+    // of a centroid (csim 1.0 tie candidates), and a vector equidistant
+    // from two centroids (the (csim, -cid) tie-break edge). The
+    // reference is the former crossJoin + max(struct(csim, -cid))
+    // regroup, rebuilt inline; both must assign every vector to the
+    // same cell.
+    val rnd = new scala.util.Random(7)
+    val dim = 8
+    val cents = (0L until 4L).map(c =>
+      (c, Seq.fill(dim)(rnd.nextGaussian()), 0.0)).map { case (c, v, _) =>
+      (c, v, math.sqrt(v.map(x => x * x).sum)) }
+    val vecs =
+      (10L until 40L).map(i => i -> Seq.fill(dim)(rnd.nextGaussian())) ++
+      Seq(50L -> Seq.fill(dim)(0.0),                    // zero-norm
+          51L -> cents(2)._2,                           // exact centroid copy
+          52L -> cents(0)._2.zip(cents(1)._2).map { case (a, b) => a + b }) // between 0 and 1
+    val base = vecs.toDF("vec_id", "v")
+      .select(col("vec_id"), col("v"),
+        sqrt(expr("aggregate(v, 0.0D, (a, x) -> a + x * x)")).as("nrm"))
+    val kernel = base.withColumn("cid",
+        graft.functions.CellArgmax(col("v"), col("nrm"), cents))
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val centDf = cents.toDF("cid", "cv", "cn")
+    val ref = base.crossJoin(broadcast(centDf))
+      .withColumn("csim", nanvl(coalesce(
+        try_divide(expr("aggregate(zip_with(v, cv, (x, y) -> x * y), 0.0D, (a, x) -> a + x)"),
+          col("nrm") * col("cn")), lit(-1.0)), lit(-1.0)))
+      .groupBy("vec_id")
+      .agg(max(struct(col("csim"), (-col("cid")).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel == ref, s"argmax drift: ${kernel.toSet.diff(ref.toSet)}")
+    assert(kernel(50L) == 0L, "zero-norm vector must land in the lowest cid")
+    assert(kernel(51L) == 2L, "a centroid copy must land in its own cell")
   }
 }
