@@ -137,4 +137,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       "centroid/probe joins must broadcast, not shuffle the corpus")
   }
+
+  test("q92's pair join keeps a user-pinned repartition (AQE-coalesce-exempt)") {
+    // The within-cell self-join's output is quadratically larger than
+    // its input, so its parallelism must come from an EXPLICIT
+    // repartition, never from byte-based AQE sizing — AQE once
+    // coalesced the 12 MB join input to one partition and ran the
+    // whole 25M-pair volume single-threaded (SCALE.md round 12). The
+    // executed plan must carry a REPARTITION_BY_NUM shuffle (the
+    // user-specified, coalesce-exempt origin) feeding the join.
+    val df = Registry.byName("q92_label_noise").run(spark, TestSpark.sf0001)
+    df.collect()
+    val origins = graft.tools.ScanAudit
+      .deepNodes(df.queryExecution.executedPlan)
+      .collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.shuffleOrigin.toString }
+    assert(origins.contains("REPARTITION_BY_NUM"),
+      s"q92 lost its pinned pair-join repartition; shuffle origins: $origins")
+  }
 }
