@@ -481,14 +481,28 @@ object Similarity {
     * diagnostic aggregates.
     */
   private def cellPairSimsOf(assigned: DataFrame, cellCap: Int): DataFrame = {
+    // Same wiring as labelNoise's pair join (SCALE.md round 12): the
+    // capped frame is bounded (<= cellCap rows per surviving cell) and
+    // checkpointed so both join sides read ONE evaluation, and the
+    // join output is quadratically larger than its byte-tiny input, so
+    // the query side carries an EXPLICIT (AQE-coalesce-exempt)
+    // repartition over (cid, salt) — byte heuristics collapsed the
+    // equivalent q92 join to one task.
     val capped = assigned
       .withColumn("csz", count(lit(1)).over(Window.partitionBy("cid")))
       .filter(col("csz") <= cellCap)
+      .drop("csz")
+      .localCheckpoint()
+    val S = 8
+    val np = capped.sparkSession.sessionState.conf.numShufflePartitions
     val a = capped.select(col("cid"), col("vec_id").as("va"),
-      col("v").as("av"), col("nrm").as("an"))
+        col("v").as("av"), col("nrm").as("an"))
+      .withColumn("salt", pmod(col("va"), lit(S)))
+      .repartition(np, col("cid"), col("salt"))
     val b = capped.select(col("cid"), col("vec_id").as("vb"),
-      col("v").as("bv"), col("nrm").as("bn"))
-    a.join(b, "cid").where(col("va") < col("vb"))
+        col("v").as("bv"), col("nrm").as("bn"))
+      .withColumn("salt", explode(array((0 until S).map(lit): _*)))
+    a.join(b, Seq("cid", "salt")).where(col("va") < col("vb"))
       .withColumn("sim", guardedCosine(col("av"), col("bv"), col("an") * col("bn")))
       .select(col("cid"), col("va"), col("vb"), col("sim"))
   }
