@@ -236,13 +236,16 @@ object Similarity {
       .zipWithIndex.map { case (r, i) => i.toLong -> r.getSeq[Double](0) }
     for (_ <- 0 until iters) {
       val prev = cents
-      val cdf = broadcast(cents.toDF("cid", "cv").withColumn("cn", norm(col("cv"))))
-      val assigned = base.crossJoin(cdf)
-        .withColumn("csim", guardedCosine(col("v"), col("cv"), col("nrm") * col("cn")))
-        .groupBy(col("vec_id"))
-        .agg(max(struct(col("csim").as("s"), (-col("cid")).as("nc"),
-          col("v").as("pv"))).as("m"))
-        .select((-col("m.nc")).as("cid"), col("m.pv").as("v"))
+      // per-row native argmax against the driver-held centroids (the
+      // norm is the same left-to-right sum-of-squares fold norm()
+      // computes, so csims are bit-identical to the former
+      // crossJoin+max(struct) regroup this replaces)
+      val cs = cents.map { case (cid, cv) =>
+        (cid, cv, math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x))) }
+      val assigned = base
+        .withColumn("cid",
+          graft.functions.CellArgmax(col("v"), col("nrm"), cs))
+        .select(col("cid"), col("v"))
       val updated = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
@@ -397,15 +400,21 @@ object Similarity {
     def scoreCells(df: DataFrame): DataFrame =
       df.crossJoin(broadcast(cents))
         .withColumn("csim", guardedCosine(col("v"), col("cv"), col("nrm") * col("cn")))
-    // assignment: argmax collapses map-side via max(struct) — highest
-    // csim, then lowest cid; payload rides along without tipping order
-    // (csim, -cid) is unique per vector
-    val assigned = scoreCells(base)
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("csim").as("s"), (-col("cid")).as("nc"),
-        struct(col("v").as("v"), col("nrm").as("n")).as("pay"))).as("m"))
-      .select(col("vec_id").as("nid"), (-col("m.nc")).as("cid"),
-        col("m.pay.v").as("nv"), col("m.pay.n").as("nn"))
+    // assignment: one native CellArgmax call per row (highest csim,
+    // ties to lowest cid) — the former crossJoin + max(struct) regroup
+    // was the corpus×cells double-SortAggregate this file's
+    // assignToCells note describes; the probe side below keeps the
+    // crossJoin shape because it ranks the TOP-nProbe cells per query,
+    // not an argmax, and runs on the strided query subset only.
+    val centRows = cents.select(col("cid").cast("long"), col("cv"),
+      col("cn")).collect()
+    require(centRows.nonEmpty, "ivfTopK needs at least one centroid")
+    val cs = centRows.map(r =>
+      (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toSeq
+    val assigned = base
+      .withColumn("cid", graft.functions.CellArgmax(col("v"), col("nrm"), cs))
+      .select(col("vec_id").as("nid"), col("cid"),
+        col("v").as("nv"), col("nrm").as("nn"))
     // probe list: the query stride only (filter pushes into the scan)
     val pw = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cid").asc)

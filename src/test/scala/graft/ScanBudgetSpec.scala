@@ -152,6 +152,32 @@ class ScanBudgetSpec extends AnyFunSuite {
       s"stale budget entries: ${(Budget.keySet -- names).toSeq.sorted}")
   }
 
+  // Complex-buffer SortAggregate allow-list (the round-12 fragility
+  // class): Max/First/max_by over an array/struct buffer plans as a
+  // DOUBLE SortAggregate that sorts its whole input per partition —
+  // measured context-fragile when the input is corpus- or pair-volume
+  // (q88 ran 14.7 s min-of-3 in one bench JVM on that stage; the
+  // q39/q55/... cell family carried it through a corpus×cells
+  // crossJoin until CellArgmax). The two survivors are legitimately
+  // SMALL-input: q53's max_by regroups the doc-volume staged cluster
+  // frame; q59's max(struct) argmax runs over the bounded
+  // batch×band-match rows. A new query (or a refactor) that re-grows a
+  // complex-buffer sort over anything else must either take the
+  // per-side-join/native-kernel wiring or justify itself onto this
+  // list.
+  private val SortAggAllowed = Set("q53_canonical_docs", "q59_verified_ingest")
+
+  private def complexSortAggs(p: org.apache.spark.sql.execution.SparkPlan) =
+    ScanAudit.deepNodes(p)
+      .collect { case s: org.apache.spark.sql.execution.aggregate.SortAggregateExec => s }
+      .filter(_.aggregateExpressions.exists(_.aggregateFunction
+        .aggBufferAttributes.exists(_.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType |
+               _: org.apache.spark.sql.types.MapType |
+               _: org.apache.spark.sql.types.StructType => true
+          case _ => false
+        })))
+
   Registry.all.foreach { q =>
     test(s"${q.name} stays within its corpus scan budget ${Budget.get(q.name)}") {
       val df = q.run(spark, TestSpark.sf0001)
@@ -166,6 +192,13 @@ class ScanBudgetSpec extends AnyFunSuite {
         s"${q.name} scans (documents, embeddings) = $got exceeds budget " +
           s"(${maxDocs}, ${maxEmb}) — a branch started re-reading the corpus; " +
           s"all scans: ${scans.sorted.mkString(",")}")
+      // same walk, second invariant: no NEW complex-buffer SortAggregate
+      val sortAggs = complexSortAggs(df.queryExecution.executedPlan)
+      assert(sortAggs.isEmpty || SortAggAllowed(q.name),
+        s"${q.name} grew a complex-buffer SortAggregate (sorts its whole " +
+          s"input per partition — the q88/q92 fragility class): " +
+          sortAggs.map(_.aggregateExpressions.map(_.aggregateFunction)
+            .mkString(";")).mkString(" | ").take(200))
     }
   }
 }
