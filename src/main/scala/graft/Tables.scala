@@ -39,6 +39,35 @@ object Tables {
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Cheap content fingerprint of a corpus dir — recursive (file count,
+    * total bytes, max mtime) over everything under `dir` — used to key
+    * the per-JVM session-stage caches ([[graft.operators.Dedup]] staged
+    * pairs/clusters, [[graft.operators.Multimodal]] staged aHashes). A
+    * long-lived JVM that regenerates a fixture directory IN PLACE gets
+    * a different stamp and re-stages instead of silently serving the
+    * old corpus's artifacts (round-12 ADVICE). Listing-only — no file
+    * is opened — so the walk costs microseconds per thousand files; at
+    * production scale the equivalent is the object-store listing the
+    * driver already performs to plan the scan.
+    */
+  def fingerprint(dir: String): String = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(root)) return "absent"
+    var n = 0L; var bytes = 0L; var maxM = 0L
+    val it = java.nio.file.Files.walk(root)
+    try {
+      it.forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p)) {
+          n += 1
+          bytes += java.nio.file.Files.size(p)
+          val m = java.nio.file.Files.getLastModifiedTime(p).toMillis
+          if (m > maxM) maxM = m
+        }
+      }
+    } finally it.close()
+    s"$n-$bytes-$maxM"
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = apply(s, d, "customer")

@@ -98,23 +98,32 @@ object GramPosStruct {
         ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
       g += 1
     }
-    // sort window indices by (gram, position); keep the first position
-    // of each distinct gram — the posexplode+min(pos) semantics
-    val idx = new Array[Integer](m)
+    // sort windows by (gram, position); keep the first position of
+    // each distinct gram — the posexplode+min(pos) semantics. Fully
+    // primitive: grams are rank-compressed against their own sorted
+    // copy so (rank, position) packs into one nonnegative long
+    // (rank < m < 2^31 on bits 31..61, position on bits 0..30) — a
+    // primitive long[] sort instead of a boxed Integer[] sort with an
+    // allocating comparator on the per-document hot path. Equal grams
+    // share a rank (binarySearch over equal keys is deterministic for
+    // a fixed array), and rank order IS signed gram order, so the
+    // packed sort reproduces the boxed comparator exactly.
+    val sortedG = java.util.Arrays.copyOf(gs, m)
+    java.util.Arrays.sort(sortedG)
+    val packed = new Array[Long](m)
     i = 0
-    while (i < m) { idx(i) = i; i += 1 }
-    java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
-      override def compare(a: Integer, b: Integer): Int = {
-        val c = java.lang.Long.compare(gs(a), gs(b))
-        if (c != 0) c else Integer.compare(a, b)
-      }
-    })
+    while (i < m) {
+      val r = java.util.Arrays.binarySearch(sortedG, gs(i))
+      packed(i) = (r.toLong << 31) | i.toLong
+      i += 1
+    }
+    java.util.Arrays.sort(packed)
     val ghs = new Array[Long](m)
     val ps = new Array[Long](m)
     var k = 0
     i = 0
     while (i < m) {
-      val w = idx(i)
+      val w = (packed(i) & 0x7fffffffL).toInt
       if (k == 0 || ghs(k - 1) != gs(w)) {
         ghs(k) = gs(w)
         ps(k) = w.toLong

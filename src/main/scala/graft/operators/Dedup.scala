@@ -641,14 +641,18 @@ object Dedup {
     * (tools/Curate stages it explicitly; this helper gives the ad-hoc
     * registry path the same shape without changing any query's
     * CONTENT — q53/q72 hashes are byte-identical to the recompute).
-    * Keyed by canonical corpus path; concurrent first calls race
-    * benignly (one extra temp write, last path wins, both valid).
+    * Keyed by canonical corpus path PLUS a listing fingerprint
+    * ([[Tables.fingerprint]]): a JVM that regenerates the corpus dir
+    * in place re-stages instead of serving the stale map (round-12
+    * ADVICE — q53/q72 would otherwise silently disagree with a fresh
+    * q44). Concurrent first calls race benignly (one extra temp
+    * write, last path wins, both valid).
     */
   private val stagedClusterPaths =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   private[graft] def stagedClusters(s: SparkSession, d: String): DataFrame = {
-    val key = new java.io.File(d).getCanonicalPath
+    val key = new java.io.File(d).getCanonicalPath + "@" + Tables.fingerprint(d)
     val path = stagedClusterPaths.getOrElseUpdate(key, {
       val out = java.nio.file.Files.createTempDirectory("graft-clusters")
         .toString + "/clusters.parquet"
@@ -678,7 +682,9 @@ object Dedup {
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   private[graft] def stagedCandidatePairs(s: SparkSession, d: String): DataFrame = {
-    val key = new java.io.File(d).getCanonicalPath
+    // fingerprinted key: see stagedClusters (an in-place corpus rewrite
+    // must invalidate the staged pairs, not serve the old corpus's)
+    val key = new java.io.File(d).getCanonicalPath + "@" + Tables.fingerprint(d)
     val path = stagedPairPaths.getOrElseUpdate(key, {
       val out = java.nio.file.Files.createTempDirectory("graft-cand")
         .toString + "/cand.parquet"

@@ -441,17 +441,31 @@ object Multimodal {
     * move because BMP/WAV decode is cheap and the banded pairing
     * dominates them. Hashes unchanged (same frame, same pairing).
     */
-  private val stagedAHashPaths =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+  // Keyed by the path actually WRITTEN (not the source corpus path),
+  // with the value recording which (canonical corpus, listing
+  // fingerprint) the stage currently holds. The stage path must stay
+  // basename-derived — the DuckDB oracle reads the literal
+  // `$StageRoot/sf0.01/...` — so two corpus dirs sharing a basename
+  // alias onto ONE stage path; a source-keyed cache would mark both
+  // "staged" while the second write clobbered the first (round-12
+  // ADVICE). Path-keyed, a stamp mismatch (different source dir OR an
+  // in-place corpus rewrite changing the fingerprint) re-stages before
+  // reading. The lock serializes only the staleness check + the few-KB
+  // write.
+  private val stagedAHashStamps =
+    scala.collection.mutable.HashMap.empty[String, String]
 
   private def stagedAHashes(s: SparkSession, d: String, sub: String,
       hashesOf: => DataFrame): DataFrame = {
     val path = s"$StageRoot/${new java.io.File(d).getName}/$sub"
-    val key = new java.io.File(d).getCanonicalPath + "#" + sub
-    stagedAHashPaths.getOrElseUpdate(key, {
-      hashesOf.write.mode("overwrite").parquet(path)
-      path
-    })
+    val stamp = new java.io.File(d).getCanonicalPath + "@" +
+      graft.Tables.fingerprint(d)
+    stagedAHashStamps.synchronized {
+      if (!stagedAHashStamps.get(path).contains(stamp)) {
+        hashesOf.write.mode("overwrite").parquet(path)
+        stagedAHashStamps.put(path, stamp)
+      }
+    }
     s.read.parquet(path)
   }
 

@@ -53,15 +53,36 @@ object ScaleVariants {
   private def q32(s: SparkSession, d: String): DataFrame =
     approxRisk(Tables.events(s, d))
 
-  /** Exact twins of q32's distincts plus per-user within-CI verdicts
-    * for the HLL estimates (1 = |approx − exact| ≤ max(1, 3·rsd·exact)).
+  /** Exact twins of q32's distincts plus AGGREGATE within-CI verdicts
+    * for the HLL estimates: `types_ci_ok`/`purchases_ci_ok` are 1 when
+    * ≥ 99 % of users have |approx − exact| ≤ max(1, 4·rsd·exact).
+    *
+    * Why the gate is an aggregate at 4·rsd, not the earlier per-user
+    * 1/0 column at 3·rsd (round-12 ADVICE): HLL++ error is ~Gaussian
+    * with sd ≈ rsd, so a per-user verdict at 3·rsd flips at rate
+    * ~0.3 % per user BY DESIGN once cardinalities leave the
+    * sparse/exact regime — with many users the driver hash gate would
+    * be flaky by construction. At 4·rsd the per-user excursion rate is
+    * ~2Φ(−4) ≈ 6e-5, and the emitted verdict needs MORE THAN 1 % of
+    * users outside to flip: P(fail) ≈ 6e-5 at n = 1 (one user must
+    * miss), ~5e-5 at n = 150 (two must), and collapses exponentially
+    * for large n (expected outside-fraction 6e-5 vs the 1 % budget) —
+    * a statistically expected single-row excursion can no longer fail
+    * the gate at any scale. The per-user EXACT distincts still
+    * hash-check row by row; only the sketch-vs-exact comparison is
+    * aggregated.
+    *
+    * The per-user frame is localCheckpoint'ed (user-volume — one row
+    * per user) so the verdict aggregate and the emitted rows read one
+    * evaluation of the events scan, then the 1-row verdict broadcasts
+    * back onto every row (the bounded-crossJoin pattern).
     */
   def approxVsExact(events: DataFrame, rsd: Double = 0.05): DataFrame = {
     def bound(approx: org.apache.spark.sql.Column,
         exact: org.apache.spark.sql.Column) =
       (abs(approx.cast("double") - exact.cast("double")) <=
-        greatest(lit(1.0), lit(3 * rsd) * exact.cast("double"))).cast("long")
-    events.groupBy(col("user_id"))
+        greatest(lit(1.0), lit(4 * rsd) * exact.cast("double"))).cast("long")
+    val per = events.groupBy(col("user_id"))
       .agg(
         countDistinct(col("event_type")).as("n_types"),
         countDistinct(when(col("event_type") === "purchase", col("event_id")))
@@ -70,8 +91,16 @@ object ScaleVariants {
         approx_count_distinct(
           when(col("event_type") === "purchase", col("event_id")), rsd).as("pa"))
       .select(col("user_id"), col("n_types"), col("n_purchases"),
-        bound(col("ta"), col("n_types")).as("types_within_ci"),
-        bound(col("pa"), col("n_purchases")).as("purchases_within_ci"))
+        bound(col("ta"), col("n_types")).as("tok"),
+        bound(col("pa"), col("n_purchases")).as("pok"))
+      .localCheckpoint()
+    val verdict = per.agg(
+      (sum(col("tok")).cast("double") >= lit(0.99) * count(lit(1)))
+        .cast("long").as("types_ci_ok"),
+      (sum(col("pok")).cast("double") >= lit(0.99) * count(lit(1)))
+        .cast("long").as("purchases_ci_ok"))
+    per.select(col("user_id"), col("n_types"), col("n_purchases"))
+      .crossJoin(broadcast(verdict))
   }
 
   private def q32b(s: SparkSession, d: String): DataFrame =
@@ -82,14 +111,14 @@ object ScaleVariants {
       |       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
       |       CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
       |                                THEN event_id END) AS BIGINT) AS n_purchases,
-      |       CAST(1 AS BIGINT) AS types_within_ci,
-      |       CAST(1 AS BIGINT) AS purchases_within_ci
+      |       CAST(1 AS BIGINT) AS types_ci_ok,
+      |       CAST(1 AS BIGINT) AS purchases_ci_ok
       |FROM events GROUP BY user_id""".stripMargin
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q32_approx_distinct", "HLL approx-distinct risk variant (rows-only check)",
       q32, None),
     GraftQuery("q32b_approx_vs_exact",
-      "exact distinct twins + per-user HLL within-CI verdicts (driver-hashed companion)",
+      "exact distinct twins + aggregate HLL within-CI verdict (driver-hashed companion)",
       q32b, Some(o32b)))
 }
