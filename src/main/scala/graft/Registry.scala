@@ -42,7 +42,8 @@ object Registry {
       ScaleVariants.queries ++
       Multimodal.queries ++
       TrainingData.queries ++
-      Integrity.queries
+      Integrity.queries ++
+      DomainCuration.queries
 
   lazy val byName: Map[String, GraftQuery] =
     all.map(q => q.name -> q).toMap

@@ -173,7 +173,7 @@ object Dedup {
   /** DuckDB twin of [[candidatePairs]], as a WITH-clause body ending in a
     * `cand(doc_a, doc_b)` CTE so callers can append verification stages.
     */
-  private val candidateCtes =
+  private[operators] val candidateCtes =
     s"""$bandCtes,
       |small AS (SELECT bk FROM b GROUP BY bk HAVING count(*) <= $BandCap),
       |cand AS (
@@ -698,7 +698,7 @@ object Dedup {
     * the clustering semantics cannot drift: `cl` is (doc_id,
     * cluster_id) for every doc that appears in a candidate pair.
     */
-  private val clusterCtes =
+  private[operators] val clusterCtes =
     """e AS (SELECT doc_a AS src, doc_b AS dst FROM cand
       |      UNION ALL SELECT doc_b AS src, doc_a AS dst FROM cand),
       |cc AS (

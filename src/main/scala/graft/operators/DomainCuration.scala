@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** URL/domain-level corpus curation (q100) — the FineWeb/C4-style
+  * pipeline stage the registry lacked: web corpora are filtered and
+  * profiled by the REGISTRABLE DOMAIN of each document's source URL
+  * (Penedo et al. 2024 §3.1 — domain blocklists are the first gate of
+  * every web-scale curation recipe; Raffel et al. 2020 §2.2 filters
+  * "sources on a blocklist"). Two pieces:
+  *
+  *   - a blocklist gate: drop every document whose domain appears in a
+  *     curated blocklist (an anti-join — at production size blocklists
+  *     are a few million short strings, comfortably broadcastable);
+  *   - a per-domain profile: document count, duplicate-involved count
+  *     and fraction (against the near-dup cluster map — the q44 staged
+  *     artifact), total bytes, and mean q28 quality. The profile is
+  *     what domain-level curation DECIDES from: a domain with high
+  *     dup-involvement or low mean quality gets demoted or dropped
+  *     wholesale, which is cheaper and safer than per-document
+  *     scoring for template farms and mirror sites.
+  *
+  * Scale shape: one corpus scan computes quality row-locally and
+  * derives the domain; the blocklist is a broadcast anti-join (never a
+  * shuffle of the corpus); the cluster map attaches by one equi-join
+  * on doc_id (the map is dup-volume ≪ corpus — broadcast when small,
+  * shuffle-join at worst); the profile is one partial-aggregating
+  * shuffle on the domain key (domains ≪ documents, Zipf-ish but the
+  * aggregate is associative so map-side combine absorbs the skew).
+  *
+  * The fixture has no url column, so the query derives a deterministic
+  * synthetic URL from doc_id on BOTH engines (the q52/q81 planting
+  * pattern) and extracts the host with `parse_url` (Spark) /
+  * `regexp_extract` (DuckDB) — same host, same downstream expressions,
+  * driver-hash-checked end to end.
+  */
+object DomainCuration {
+
+  private val Tlds = Seq("com", "org", "net", "io", "edu")
+
+  /** Blocked registrable domains — every `siteN.tld` with N ≡ 3 (mod 7):
+    * 25 entries, deterministic on both engines.
+    */
+  val BlockedDomains: Seq[String] =
+    for { n <- 0 to 36 if n % 7 == 3; t <- Tlds } yield s"site$n.$t"
+
+  /** Deterministic synthetic URL for a doc_id (fixture stand-in for a
+    * crawl's source URL): host cycles 37 sites × 5 TLDs (coprime, so
+    * 185 distinct domains), path and query carry the id.
+    */
+  def syntheticUrl(docId: Column): Column = concat(
+    lit("https://www.site"), (docId % 37).cast("string"),
+    lit("."), element_at(array(Tlds.map(lit): _*), (docId % 5).cast("int") + 1),
+    lit("/p/"), docId.cast("string"),
+    lit("?ref=r"), (docId % 11).cast("string"))
+
+  /** Registrable domain of a url column: `parse_url` host with any
+    * leading `www.` stripped.
+    */
+  def domainOf(url: Column): Column =
+    regexp_replace(parse_url(url, lit("HOST")), "^www\\.", "")
+
+  /** Per-domain curation profile over a `(doc_id, domain, quality,
+    * n_chars)` frame, a `(doc_id, cluster_id)` near-dup cluster map and
+    * a single-column `domain` blocklist:
+    * `(domain, tld, n_docs, n_dup_docs, dup_frac, total_chars,
+    * mean_quality)` for every non-blocked domain. The quality mean goes
+    * through DECIMAL(18,6) (registry determinism rule) so both engines
+    * sum exactly.
+    */
+  def domainProfile(docs: DataFrame, clusters: DataFrame,
+      blocklist: DataFrame): DataFrame =
+    docs
+      .join(broadcast(blocklist.select(col("domain"))), Seq("domain"), "left_anti")
+      .join(clusters.select(col("doc_id"), lit(1L).as("is_dup")),
+        Seq("doc_id"), "left")
+      .withColumn("is_dup", coalesce(col("is_dup"), lit(0L)))
+      .groupBy(col("domain"),
+        regexp_extract(col("domain"), "\\.([a-z]+)$", 1).as("tld"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("is_dup")).as("n_dup_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("quality").cast("decimal(18,6)")).as("qsum"))
+      .select(col("domain"), col("tld"), col("n_docs"), col("n_dup_docs"),
+        (col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
+          .as("dup_frac"),
+        col("total_chars"),
+        (col("qsum").cast("double") / col("n_docs").cast("double"))
+          .as("mean_quality"))
+
+  private def q100(s: SparkSession, d: String): DataFrame = {
+    val scored = TextAnalysis.withQuality(Tables.documents(s, d))
+      .select(col("doc_id"), col("n_chars"), col("quality"))
+      .withColumn("domain", domainOf(syntheticUrl(col("doc_id"))))
+    import s.implicits._
+    domainProfile(scored, Dedup.stagedClusters(s, d),
+      BlockedDomains.toDF("domain"))
+  }
+
+  private val o100 = {
+    val blocked = BlockedDomains.map(b => s"'$b'").mkString(", ")
+    s"""WITH RECURSIVE ${Dedup.candidateCtes},
+       |${Dedup.clusterCtes},
+       |${TextAnalysis.qualityCtes("", p = "dom")},
+       |u AS (
+       |  SELECT d.doc_id, d.n_chars, qq.quality,
+       |         'https://www.site' || CAST(d.doc_id % 37 AS VARCHAR) ||
+       |         '.' || (['com', 'org', 'net', 'io', 'edu'])[CAST(d.doc_id % 5 AS INTEGER) + 1] ||
+       |         '/p/' || CAST(d.doc_id AS VARCHAR) ||
+       |         '?ref=r' || CAST(d.doc_id % 11 AS VARCHAR) AS url
+       |  FROM documents d JOIN domq qq USING (doc_id)),
+       |h AS (
+       |  SELECT doc_id, n_chars, quality,
+       |         regexp_replace(regexp_extract(url, 'https?://([^/?#]+)', 1),
+       |                        '^www\\.', '') AS domain
+       |  FROM u),
+       |p AS (
+       |  SELECT h.doc_id, h.n_chars, h.quality, h.domain,
+       |         CASE WHEN cl.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+       |  FROM h LEFT JOIN cl ON h.doc_id = cl.doc_id
+       |  WHERE h.domain NOT IN ($blocked))
+       |SELECT domain,
+       |       regexp_extract(domain, '\\.([a-z]+)$$', 1) AS tld,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+       |       CAST(sum(is_dup) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_frac,
+       |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |       CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) /
+       |         CAST(count(*) AS DOUBLE) AS mean_quality
+       |FROM p GROUP BY domain""".stripMargin
+  }
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q100_domain_profile",
+      "domain blocklist gate + per-domain dup/quality curation profile",
+      q100, Some(o100)))
+}
