@@ -116,7 +116,18 @@ object Dedup {
     */
   def candidatePairs(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // PINNED pair parallelism (the q92 AQE-collapse rule, round 13):
+    // everything from the band-key shuffle on — the cap window, the
+    // per-bucket collect, and the QUADRATIC pair explode — runs in the
+    // partitioning of this one exchange, and its INPUT bytes (doc_id +
+    // band key) are tiny while its output is Σ|bucket|² pairs, so AQE's
+    // byte heuristics must never coalesce it. A user repartition is
+    // coalesce-exempt; the window and groupBy reuse its distribution,
+    // so this replaces the coalescible exchange rather than adding one
+    // (PlanShapeSpec sweeps every pair-producing query for the pin).
+    val np = s.sessionState.conf.numShufflePartitions
     bandedDocs(s, d)
+      .repartition(np, col("bk"))
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("bk")))
       .filter(col("bsz") <= BandCap)
       .groupBy("bk")
@@ -260,11 +271,17 @@ object Dedup {
       s"exact recall needs maxHamming ($maxHamming) < nBands ($nBands)")
     val sliceWidth = bits / nBands
     val mask = if (sliceWidth == 64) -1L else (1L << sliceWidth) - 1
+    // pinned pair parallelism — same rationale as [[candidatePairs]]:
+    // the slice-key shuffle feeds the quadratic within-bucket pair
+    // explode from byte-tiny (doc_id, sh, bk) input rows, so its
+    // partitioning must come from a coalesce-exempt user repartition
+    val np = hashes.sparkSession.sessionState.conf.numShufflePartitions
     hashes.select(col("doc_id"), col("sh"), posexplode(array(
         (0 until nBands).map(i =>
           shiftright(col("sh"), i * sliceWidth).bitwiseAND(lit(mask))): _*)))
       .select(col("doc_id"), col("sh"),
         concat(col("pos").cast("string"), lit(":"), col("col").cast("string")).as("bk"))
+      .repartition(np, col("bk"))
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("bk")))
       .filter(col("bsz") <= bandCap)
       .groupBy("bk")
@@ -395,6 +412,18 @@ object Dedup {
     val sets = shingleSetsFrame(
       docs.join(candidateMembers(cands), Seq("doc_id"), "left_semi"))
       .localCheckpoint()
+    // NO pinned repartition here — measured negative (round 13, the
+    // q25/q88 numbers in SCALE.md): in the broadcast-sets regime these
+    // equi-joins have ZERO pair-side exchanges (the pair frame streams
+    // straight off its parquet scan into two broadcast probes — scan
+    // partitioning is not AQE-coalescible), so an explicit repartition
+    // ADDS two full shuffles of the pair frame and breaks the
+    // scan→probe→probe pipeline (q88 1.2→3.6 s, q25 2.4→3.5 s at sf1).
+    // The q92 collapse cannot arise structurally: output rows ≈ input
+    // pair rows (never quadratic), and per-row compute is heavy only
+    // when the member arrays are big — which makes the sets side big,
+    // forces the SMJ regime, and byte-based AQE then sizes partitions
+    // from those same big arrays.
     cands
       .join(sets.select(col("doc_id").as("doc_a"), col("wh").as("wh_a")),
         Seq("doc_a"))
@@ -867,7 +896,15 @@ object Dedup {
     */
   private def cappedIndexRows(indexed: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // pinned pair parallelism (the q92 rule): in the in-query fixture
+    // form the batch×index band join inherits THIS side's band-key
+    // partitioning, and its output (batch member × co-bucket member
+    // pairs) dwarfs its input bytes, so the exchange must be
+    // coalesce-exempt. The production path (writeBandIndex + bucketed
+    // table) is unaffected — there the bucketing fixes parallelism.
+    val np = indexed.sparkSession.sessionState.conf.numShufflePartitions
     sigBandRows(indexed)
+      .repartition(np, col("bk"))
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("bk")))
       .filter(col("bsz") <= BandCap)
       .select(col("bk"), col("doc_id").as("idx_id"), col("sig"))
@@ -1204,6 +1241,10 @@ object Dedup {
       .select(col("doc_id"),
         graft.functions.GramPosStruct(col("text"), 8).as("g"))
       .localCheckpoint()
+    // NO pinned repartition — same measured negative as
+    // [[pairShingleSets]] (round 13, SCALE.md): the broadcast-probe
+    // pipeline has no pair-side exchange to pin, and adding one cost
+    // q88 1.2→3.6 s at sf1 by shuffling the pair frame twice.
     cands
       .join(sets.select(col("doc_id").as("doc_a"), col("g").as("ga")),
         Seq("doc_a"))

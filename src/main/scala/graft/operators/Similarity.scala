@@ -139,7 +139,18 @@ object Similarity {
       .withColumn("bucket", concat((0 until numPlanes).map { j =>
         when(dot(col("v"), planeCol(j)) >= 0, lit("1")).otherwise(lit("0"))
       }: _*))
+    // pinned pair parallelism (the q92 AQE-collapse rule): the bucket
+    // exchange below feeds the cap window, BOTH self-join sides (the
+    // join reuses the same distribution — one scan, one exchange) and
+    // the quadratic within-bucket pair output, from input rows that
+    // are byte-small relative to that output; a user repartition is
+    // coalesce-exempt. Bucket-count-vs-parallelism balance is the
+    // numPlanes knob (2^numPlanes buckets must exceed cluster
+    // parallelism at scale), not a salt — salting here would split
+    // the two join sides into distinct subtrees and double the scan.
+    val np = embeddings.sparkSession.sessionState.conf.numShufflePartitions
     val capped = base
+      .repartition(np, col("bucket"))
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("bucket")))
       .filter(col("bsz") <= bucketCap)
     val a = capped.select(col("bucket"), col("vec_id").as("vec_a"),
@@ -610,12 +621,31 @@ object Similarity {
       .withColumn("nrm", norm(col("v")))
     val cents = centroids.getOrElse(demoCentroids(base, numCells))
     val assigned = assignToCells(base, cents)
+    // pinned pair parallelism (the q92 rule, the q34 placement): the
+    // cell-key exchange below feeds the cap window, the broadcast
+    // split attach AND both sides of the test×train join — which
+    // explodes quadratically within cells from byte-small inputs — so
+    // it must be a coalesce-exempt user repartition. Pinning the TEST
+    // side above the window instead is optimizer-fragile: the join
+    // reuses the window's partitioning, so a later repartition on the
+    // same key is provably redundant and gets eliminated, leaving the
+    // coalescible window exchange in charge (observed in the sweep).
+    // Cell-count-vs-parallelism balance is the numCells knob.
+    val np = embeddings.sparkSession.sessionState.conf.numShufflePartitions
     val capped = assigned
+      .repartition(np, col("cid"))
       .withColumn("csz", count(lit(1)).over(Window.partitionBy("cid")))
       .filter(col("csz") <= cellCap)
       .join(splits.select(col("doc_id").as("vec_id"), col("split")), "vec_id")
+    // second pin for the non-broadcast split-attach regime: when the
+    // splits frame is too big to broadcast, the vec_id join re-shuffles
+    // `capped` and the window pin no longer governs the cell join — the
+    // te-side repartition below then carries it (and in the broadcast
+    // regime, where it is provably redundant, the optimizer removes it
+    // for free, as observed)
     val te = capped.filter(col("split") === "test")
       .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
+      .repartition(np, col("cid"))
     val tr = capped.filter(col("split") === "train")
       .select(col("cid"), col("vec_id").as("tid"), col("v").as("tv"),
         col("nrm").as("tn"))

@@ -138,21 +138,127 @@ class PlanShapeSpec extends AnyFunSuite {
       "centroid/probe joins must broadcast, not shuffle the corpus")
   }
 
-  test("q92's pair join keeps a user-pinned repartition (AQE-coalesce-exempt)") {
-    // The within-cell self-join's output is quadratically larger than
-    // its input, so its parallelism must come from an EXPLICIT
-    // repartition, never from byte-based AQE sizing — AQE once
-    // coalesced the 12 MB join input to one partition and ran the
-    // whole 25M-pair volume single-threaded (SCALE.md round 12). The
-    // executed plan must carry a REPARTITION_BY_NUM shuffle (the
-    // user-specified, coalesce-exempt origin) feeding the join.
-    val df = Registry.byName("q92_label_noise").run(spark, TestSpark.sf0001)
-    df.collect()
-    val origins = graft.tools.ScanAudit
-      .deepNodes(df.queryExecution.executedPlan)
-      .collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
-        e.shuffleOrigin.toString }
-    assert(origins.contains("REPARTITION_BY_NUM"),
-      s"q92 lost its pinned pair-join repartition; shuffle origins: $origins")
+  // ---- registry-wide pair-join partition pinning (round 13) -------------
+  // The q92 AQE-collapse lesson promoted to a full-registry sweep (the
+  // ScanBudgetSpec discipline applied to partitioning): wherever a
+  // join/explode's OUTPUT is far larger than its byte-tiny input —
+  // banded LSH pair explodes, within-bucket/cell self-joins, the
+  // verify-side joins that fan small pair rows into heavy per-pair
+  // compute — AQE's byte heuristics can legally coalesce the feeding
+  // exchange to one partition and serialize the quadratic work
+  // (measured: q92 ran its 25M-pair volume single-threaded, 15.4 s at
+  // sf1, SCALE.md round 12). Every such site must take its parallelism
+  // from a USER repartition (REPARTITION_BY_NUM — the coalesce-exempt
+  // origin). This map classifies EVERY registry query; pinned entries
+  // must show the origin in their AQE-final plan, and the completeness
+  // test forces each new query to declare itself, so a new pair kernel
+  // that forgets the pin fails here with attribution.
+  //
+  // "none" entries either have no pair-producing join in their FINAL
+  // plan, or their expansion is structurally safe: q26/q39/q84/q93/q94
+  // expand through BROADCAST joins (no shuffle to coalesce —
+  // parallelism is the probe side's scan/checkpoint partitioning);
+  // q44's pinned repartitions live in its checkpointed iteration jobs
+  // (its own convergence/parallelism specs pin them) so its final plan
+  // shows none; q42/q43/q67 fan through broadcast-pruned gram joins
+  // whose output is match-bounded, not quadratic. The verify-side
+  // joins (q25/q65/q74/q88) are classified "none" from a MEASURED
+  // round-13 negative (SCALE.md): their pair frame streams off its
+  // parquet scan into broadcast probes with zero pair-side exchanges
+  // (scan partitioning is not AQE-coalescible), pinning added two real
+  // shuffles (q88 1.2→3.6 s at sf1), and the collapse cannot arise
+  // structurally — output rows ≈ input pair rows, and heavy member
+  // arrays force the SMJ regime where AQE sizes from those same bytes.
+  private val Pinned = "pinned"
+  private val NoPairJoin = "none"
+  private val PairJoin: Map[String, String] = Map(
+    "q01_project" -> NoPairJoin, "q02_defaults" -> NoPairJoin,
+    "q03_anti_filter" -> NoPairJoin, "q04_filter_eq" -> NoPairJoin,
+    "q05_explode_outer" -> NoPairJoin, "q06_array_head" -> NoPairJoin,
+    "q07_union_by_name" -> NoPairJoin, "q08_left_anti" -> NoPairJoin,
+    "q09_broadcast_enrich" -> NoPairJoin, "q10_risk_agg" -> NoPairJoin,
+    "q11_topk_risk" -> NoPairJoin, "q12_sort_limit" -> NoPairJoin,
+    "q13_distinct" -> NoPairJoin, "q14_group_agg" -> NoPairJoin,
+    "q15_tz_format" -> NoPairJoin, "q16_json_extract" -> NoPairJoin,
+    "q17_string_ops" -> NoPairJoin, "q18_try_cast" -> NoPairJoin,
+    "q19_window_rank" -> NoPairJoin, "q20_window_time" -> NoPairJoin,
+    "q21_sessionize" -> NoPairJoin, "q22_dedup_exact" -> NoPairJoin,
+    "q23_minhash_lsh" -> Pinned, // candidatePairs band explode
+    "q24_simhash" -> NoPairJoin,
+    "q25_jaccard_pairs" -> NoPairJoin, // measured negative: broadcast-probe pipeline
+    "q26_cosine_topk" -> NoPairJoin, // broadcast NL expansion, no shuffle
+    "q27_langid" -> NoPairJoin, "q28_quality" -> NoPairJoin,
+    "q29_token_count" -> NoPairJoin, "q30_fingerprint" -> NoPairJoin,
+    "q31_risk_explain" -> NoPairJoin, "q32_approx_distinct" -> NoPairJoin,
+    "q32b_approx_vs_exact" -> NoPairJoin, "q33_media_meta" -> NoPairJoin,
+    "q34_ann_lsh" -> Pinned, // within-bucket self-join
+    "q35_rollup" -> NoPairJoin, "q36_asof_join" -> NoPairJoin,
+    "q37_term_salience" -> NoPairJoin, "q38_bigram_stats" -> NoPairJoin,
+    "q39_ivf_ann" -> NoPairJoin, // broadcast probes
+    "q40_train_split" -> NoPairJoin, "q41_repetition" -> NoPairJoin,
+    "q42_contamination" -> NoPairJoin, "q43_decontaminate" -> NoPairJoin,
+    "q44_dup_clusters" -> NoPairJoin, // pins live in the iteration jobs
+    "q45_quality_filter" -> NoPairJoin, "q46_pack_sequences" -> NoPairJoin,
+    "q47_stratified_sample" -> NoPairJoin, "q48_source_mixture" -> NoPairJoin,
+    "q49_simhash_pairs" -> Pinned, // bandedHammingPairs
+    "q50_boilerplate" -> NoPairJoin, "q51_chunk" -> NoPairJoin,
+    "q52_pii_redact" -> NoPairJoin, "q53_canonical_docs" -> NoPairJoin,
+    "q54_oov_rate" -> NoPairJoin,
+    "q55_semantic_dedup" -> Pinned, // cellPairSimsOf
+    "q56_unigram_lm" -> NoPairJoin,
+    "q57_incremental_dedup" -> Pinned, // batch×index band join
+    "q58_lexical_topk" -> NoPairJoin,
+    "q59_verified_ingest" -> Pinned, // batch×index band join
+    "q60_image_near_dups" -> Pinned, "q60b_image_pairs_sql" -> Pinned,
+    "q61_quality_ensemble" -> NoPairJoin,
+    "q62_semantic_decontam" -> Pinned, // test×train cell join
+    "q63_dup_span_frac" -> NoPairJoin, "q64_dsir_weights" -> NoPairJoin,
+    "q65_containment_pairs" -> NoPairJoin, // measured negative: broadcast-probe pipeline
+    "q66_dup_token_coverage" -> NoPairJoin, "q67_bloom_decontam" -> NoPairJoin,
+    "q68_length_quantiles" -> NoPairJoin, "q69_fixed_sample" -> NoPairJoin,
+    "q70_temperature_mixture" -> NoPairJoin, "q71_bigram_lm" -> NoPairJoin,
+    "q72_dup_profile" -> NoPairJoin, "q73_cell_balance" -> NoPairJoin,
+    "q74_lsh_quality" -> NoPairJoin, // measured negative: broadcast-probe pipeline
+    "q75_intra_dedup" -> NoPairJoin,
+    "q76_semantic_curve" -> Pinned, // cellPairSimsOf
+    "q77_pack_efficiency" -> NoPairJoin, "q78_token_budget" -> NoPairJoin,
+    "q79_gopher_rules" -> NoPairJoin,
+    "q80_audio_near_dups" -> Pinned, "q80b_audio_pairs_sql" -> Pinned,
+    "q81_normalize_text" -> NoPairJoin, "q82_c4_line_filter" -> NoPairJoin,
+    "q83_bpe_pairs" -> NoPairJoin,
+    "q84_pq_adc_topk" -> NoPairJoin, // broadcast LUT crossJoin
+    "q85_pq_distortion" -> NoPairJoin, "q86_lm_buckets" -> NoPairJoin,
+    "q87_hybrid_rrf" -> NoPairJoin,
+    "q88_dup_spans" -> NoPairJoin, // measured negative: broadcast-probe pipeline
+    "q89_integrity_audit" -> NoPairJoin, "q90_vocab_coverage" -> NoPairJoin,
+    "q91_snapshot_diff" -> NoPairJoin,
+    "q92_label_noise" -> Pinned, // within-cell kNN self-join
+    "q93_ann_recall" -> NoPairJoin, "q94_pq_recall" -> NoPairJoin,
+    "q95_hash_embed" -> NoPairJoin, "q96_idf_hash_embed" -> NoPairJoin,
+    "q97_vocab_growth" -> NoPairJoin,
+    "q98_video_near_dups" -> Pinned, "q98b_video_pairs_sql" -> Pinned,
+    "q99_bpe_apply" -> NoPairJoin,
+    "q100_domain_profile" -> NoPairJoin)
+
+  test("every registered query declares its pair-join pinning (and no stale entries)") {
+    val names = Registry.all.map(_.name).toSet
+    assert(names -- PairJoin.keySet == Set.empty[String],
+      s"unclassified queries — declare 'pinned' (pair-producing join, must " +
+        s"carry a user repartition) or 'none': ${(names -- PairJoin.keySet).toSeq.sorted}")
+    assert(PairJoin.keySet -- names == Set.empty[String],
+      s"stale pair-join entries: ${(PairJoin.keySet -- names).toSeq.sorted}")
+  }
+
+  PairJoin.collect { case (name, s) if s == Pinned => name }.toSeq.sorted.foreach { name =>
+    test(s"$name's pair-producing join keeps a user-pinned repartition (AQE-coalesce-exempt)") {
+      val origins = graft.tools.ScanAudit
+        .deepNodes(TestSpark.executedPlan(name))
+        .collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.shuffleOrigin.toString }
+      assert(origins.contains("REPARTITION_BY_NUM"),
+        s"$name lost its pinned pair-join repartition — AQE byte " +
+          s"heuristics may serialize its quadratic output (the q92 " +
+          s"collapse, SCALE.md round 12); shuffle origins: $origins")
+    }
   }
 }

@@ -181,9 +181,8 @@ class ScanBudgetSpec extends AnyFunSuite {
 
   Registry.all.foreach { q =>
     test(s"${q.name} stays within its corpus scan budget ${Budget.get(q.name)}") {
-      val df = q.run(spark, TestSpark.sf0001)
-      df.collect() // drive to the AQE-final plan
-      val scans = ScanAudit.deepNodes(df.queryExecution.executedPlan)
+      val plan = TestSpark.executedPlan(q.name)
+      val scans = ScanAudit.deepNodes(plan)
         .collect { case s: FileSourceScanExec =>
           s.relation.location.rootPaths.mkString.split('/').last }
       val got = (scans.count(_ == "documents.parquet"),
@@ -194,7 +193,7 @@ class ScanBudgetSpec extends AnyFunSuite {
           s"(${maxDocs}, ${maxEmb}) — a branch started re-reading the corpus; " +
           s"all scans: ${scans.sorted.mkString(",")}")
       // same walk, second invariant: no NEW complex-buffer SortAggregate
-      val sortAggs = complexSortAggs(df.queryExecution.executedPlan)
+      val sortAggs = complexSortAggs(plan)
       assert(sortAggs.isEmpty || SortAggAllowed(q.name),
         s"${q.name} grew a complex-buffer SortAggregate (sorts its whole " +
           s"input per partition — the q88/q92 fragility class): " +

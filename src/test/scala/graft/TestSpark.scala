@@ -20,4 +20,20 @@ object TestSpark {
     s
   }
   val sf0001 = "/root/testdata/sf0.001"
+
+  /** One executed (AQE-final) plan per registry query at sf0.001,
+    * memoized across suites: ScanBudgetSpec and PlanShapeSpec both
+    * sweep the whole registry's FINAL plans, and each sweep costs a
+    * full query execution per entry — sharing the cache keeps the
+    * registry-wide plan invariants at one execution total.
+    */
+  private val planCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.execution.SparkPlan]
+
+  def executedPlan(name: String): org.apache.spark.sql.execution.SparkPlan =
+    planCache.getOrElseUpdate(name, {
+      val df = Registry.byName(name).run(spark, sf0001)
+      df.collect() // drive AQE to the final plan
+      df.queryExecution.executedPlan
+    })
 }
