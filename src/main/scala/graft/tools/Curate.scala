@@ -71,9 +71,17 @@ object Curate {
       train: Long, val_ : Long, testClean: Long, testDropped: Long,
       trainPacks: Long, trainBenchDropped: Long = 0L)
 
+  /** Injected by tests between a stage's completed write and the next
+    * stage's work — the crash point of the restartability contract.
+    */
+  final class InjectedCrash(stage: String)
+    extends RuntimeException(s"injected crash after stage '$stage'")
+
   def run(spark: SparkSession, sfDir: String, outDir: String,
       benchmark: Option[DataFrame] = None,
-      stageWalls: Option[scala.collection.mutable.ListBuffer[(String, Double)]] = None)
+      stageWalls: Option[scala.collection.mutable.ListBuffer[(String, Double)]] = None,
+      resume: Boolean = false,
+      failAfter: Option[String] = None)
       : StageCounts = {
     val docs = Tables.documents(spark, sfDir)
 
@@ -85,12 +93,26 @@ object Curate {
     // (clustering's label-propagation rounds, the k-means fit); timing
     // only the write would attribute the pipeline's dominant cost to
     // nothing.
+    //
+    // `resume` is the restart contract exercised as code (crash-tested
+    // by CurateRestartSpec): a stage whose artifact already carries a
+    // parquet _SUCCESS marker is READ BACK, not recomputed — `df` is
+    // by-name precisely so a skipped stage's eager upstream work
+    // (label-propagation rounds, the k-means fit) never runs. A stage
+    // that crashed MID-write has no _SUCCESS and recomputes into an
+    // overwrite, so torn files cannot be resumed into. `failAfter`
+    // injects the crash between a completed write and the next stage.
     var mark = System.nanoTime()
-    def stage(df: DataFrame, name: String): DataFrame = {
-      df.write.mode("overwrite").parquet(s"$outDir/$name")
-      stageWalls.foreach(_ += name -> (System.nanoTime() - mark) / 1e9)
+    def stage(df: => DataFrame, name: String): DataFrame = {
+      val path = s"$outDir/$name"
+      val complete = new java.io.File(s"$path/_SUCCESS").exists
+      if (!(resume && complete)) {
+        df.write.mode("overwrite").parquet(path)
+        stageWalls.foreach(_ += name -> (System.nanoTime() - mark) / 1e9)
+      }
       mark = System.nanoTime()
-      spark.read.parquet(s"$outDir/$name")
+      if (failAfter.contains(name)) throw new InjectedCrash(name)
+      spark.read.parquet(path)
     }
 
     // 0. integrity gate (the q89 audit): written as an artifact like
@@ -125,10 +147,15 @@ object Curate {
     val scoredDocs = TextAnalysis.withQuality(docs, "text", "lang", "source")
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"), col("quality"))
-    val survivors = Dedup.canonicalDocsPreScored(scoredDocs,
-        Dedup.dupClusters(Dedup.candidatePairs(spark, sfDir)))
-      .select("doc_id")
-    val deduped = stage(scoredDocs.join(survivors, Seq("doc_id"), "left_semi"), "deduped")
+    // the survivor selection lives INSIDE the stage thunk: clustering's
+    // label-propagation rounds run eagerly at construction, and a
+    // resumed run that already has `deduped` on disk must not pay them
+    val deduped = stage({
+      val survivors = Dedup.canonicalDocsPreScored(scoredDocs,
+          Dedup.dupClusters(Dedup.candidatePairs(spark, sfDir)))
+        .select("doc_id")
+      scoredDocs.join(survivors, Seq("doc_id"), "left_semi")
+    }, "deduped")
 
     // 1b. semantic dedup over the SURVIVING docs' embeddings (q55
     // kernel): paraphrases and templated rewrites share no long n-grams,
@@ -144,29 +171,32 @@ object Curate {
     // dedup vote (first observed composing at sf1: every low-id doc
     // sat in a replica family whose higher-quality survivor had a
     // shifted id, and the demo seed was empty).
-    val survivorEmb = Tables.embeddings(spark, sfDir)
-      .join(deduped.select(col("doc_id").as("vec_id")),
-        Seq("vec_id"), "left_semi")
-    val semDropped = Similarity.semanticDedup(survivorEmb,
-        centroids = Some(Similarity.kmeansCentroids(
-          survivorEmb, k = 16, iters = 2, seed = 7L)))
-      .filter(!col("kept"))
-      .select(col("vec_id").as("doc_id"))
-    val semDeduped = stage(
-      deduped.join(semDropped, Seq("doc_id"), "left_anti"), "sem_deduped")
+    val semDeduped = stage({
+      // inside the thunk: the k-means fit is eager driver-side work a
+      // resumed run with `sem_deduped` on disk must not repeat
+      val survivorEmb = Tables.embeddings(spark, sfDir)
+        .join(deduped.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi")
+      val semDropped = Similarity.semanticDedup(survivorEmb,
+          centroids = Some(Similarity.kmeansCentroids(
+            survivorEmb, k = 16, iters = 2, seed = 7L)))
+        .filter(!col("kept"))
+        .select(col("vec_id").as("doc_id"))
+      deduped.join(semDropped, Seq("doc_id"), "left_anti")
+    }, "sem_deduped")
 
     // 2. quality gate: top half per language among the survivors —
     // threshold-broadcast form (no per-language sort partition), fed by
     // the quality column persisted in stage 1 (no re-tokenize pass).
     // `quality` is dropped from the artifact here so stages 3+ keep
     // their r8 schemas.
-    val kept = TextAnalysis.qualityFilterPreScored(
-        semDeduped.select(col("doc_id"), col("lang"), col("quality")),
-        keepFrac = 0.5)
-      .select("doc_id")
-    val curated = stage(
-      semDeduped.join(kept, Seq("doc_id"), "left_semi").drop("quality"),
-      "quality")
+    val curated = stage({
+      val kept = TextAnalysis.qualityFilterPreScored(
+          semDeduped.select(col("doc_id"), col("lang"), col("quality")),
+          keepFrac = 0.5)
+        .select("doc_id")
+      semDeduped.join(kept, Seq("doc_id"), "left_semi").drop("quality")
+    }, "quality")
 
     // 3. mixture balancing: every source contributes the same token
     // budget to what follows (deterministic salted-hash sampling)
@@ -187,10 +217,11 @@ object Curate {
       mixed.withColumn("split", TrainingData.splitColumn), "splits")
 
     // 5. decontaminate: test docs sharing an 8-gram with train are out
-    val contaminated = TrainingData.contaminatedTestDocs(splitDocs)
-      .select("doc_id")
-    val clean = stage(
-      splitDocs.join(contaminated, Seq("doc_id"), "left_anti"), "clean")
+    val clean = stage({
+      val contaminated = TrainingData.contaminatedTestDocs(splitDocs)
+        .select("doc_id")
+      splitDocs.join(contaminated, Seq("doc_id"), "left_anti")
+    }, "clean")
 
     // 5b. optional external-benchmark decontamination of the TRAIN
     // split (the q67 kernel): stage 5 protects this corpus's own
@@ -199,11 +230,11 @@ object Curate {
     val (trainClean, benchDropped) = benchmark match {
       case Some(b) =>
         val trainDocs = clean.filter(col("split") === "train")
-        val contaminatedTrain = TrainingData.contaminatedTrainDocs(trainDocs, b)
-          .select("doc_id")
-        val tc = stage(
-          trainDocs.join(contaminatedTrain, Seq("doc_id"), "left_anti"),
-          "bench_clean")
+        val tc = stage({
+          val contaminatedTrain = TrainingData.contaminatedTrainDocs(trainDocs, b)
+            .select("doc_id")
+          trainDocs.join(contaminatedTrain, Seq("doc_id"), "left_anti")
+        }, "bench_clean")
         (tc, trainDocs.count() - tc.count())
       case None => (clean.filter(col("split") === "train"), 0L)
     }
@@ -250,8 +281,8 @@ object Curate {
   }
 
   def main(args: Array[String]): Unit = {
-    val rest = args.filterNot(_ == "--repack")
-    require(rest.nonEmpty, "usage: Curate <sfDir> [outDir] [--repack]")
+    val rest = args.filterNot(a => a == "--repack" || a == "--resume")
+    require(rest.nonEmpty, "usage: Curate <sfDir> [outDir] [--repack|--resume]")
     val outDir = if (rest.length > 1) rest(1)
       else java.nio.file.Files.createTempDirectory("curate").toString
     val spark = graft.GraftSession.local("graft-curate")
@@ -261,7 +292,8 @@ object Curate {
     } else {
       val walls = scala.collection.mutable.ListBuffer.empty[(String, Double)]
       val t0 = System.nanoTime()
-      val c = run(spark, rest(0), outDir, stageWalls = Some(walls))
+      val c = run(spark, rest(0), outDir, stageWalls = Some(walls),
+        resume = args.contains("--resume"))
       val total = (System.nanoTime() - t0) / 1e9
       val stages = walls.map { case (n, s) => s""""$n":$s""" }.mkString("{", ",", "}")
       println(s"curate: $c -> $outDir")
