@@ -936,9 +936,17 @@ object TrainingData {
     */
   def tokenBudgetKeep(docs: DataFrame, budget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the scored projection is referenced by BOTH the bucket-totals
+    // branch and the probe branch; it is a doc-volume frame (four
+    // scalars per doc), so it is localCheckpoint'ed eagerly (round 13,
+    // the stage-aggregates boundary) — one quality/tokenize pass over
+    // the corpus instead of two, and the branch reuse no longer leans
+    // on exchange reuse that measurably fails across canonically-equal
+    // subtrees (the q88/q25 lesson).
     val scored = TextAnalysis.withQuality(docs)
       .select(col("doc_id"), col("n_words").as("n_tokens"), col("quality"),
         floor(col("quality") * BudgetBucketScale).as("bkt"))
+      .localCheckpoint()
     // bucket frame: per-bucket token totals + running total of all
     // strictly-better buckets (tiny frame; ≤100k rows by construction)
     val bw = Window.orderBy(col("bkt").desc)

@@ -27,13 +27,18 @@ import org.scalatest.funsuite.AnyFunSuite
   * (`<=`): an improvement that drops a scan passes; ratchet the map
   * down when that happens.
   *
-  * The map is the measured round-12 state at sf0.001 (ScanAudit sweep,
-  * 2026-08-14). Notable entries, all documented trades at their
-  * definition sites: 3-scan queries (q37/q50/q54/q58/q78/q86/q91/q96/
-  * q99) pay Spark's no-scan-sharing-across-branches cost for
-  * aggregate+join shapes; q93 (6) and q94 (5) are recall HARNESSES
-  * comparing an ANN/PQ path against its own brute-force oracle, so
-  * they intentionally run the corpus through both sides.
+  * The map is the measured round-13 state at sf0.001 (ScanAudit sweep,
+  * 2026-08-15). Notable entries, all documented trades at their
+  * definition sites: the former 3-scan token family (q37/q54/q58/q86/
+  * q96/q99) now rides the staged `(doc_id, w, cnt)` token artifact
+  * (`TextAnalysis.stagedTokenCounts`) and budgets 0–1 corpus scans —
+  * their branch reads hit the small staged parquet instead; q50 stays
+  * at (3,0) because its unit is word 3-GRAMS (gram-volume, the
+  * stage-aggregates boundary says recompute expansions) and q91 at
+  * (3,0) because its snapshots are content-hash derivations, not token
+  * aggregates — both sub-second at sf1; q93 (6) and q94 (5) are recall
+  * HARNESSES comparing an ANN/PQ path against its own brute-force
+  * oracle, so they intentionally run the corpus through both sides.
   */
 class ScanBudgetSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -77,7 +82,7 @@ class ScanBudgetSpec extends AnyFunSuite {
     "q34_ann_lsh" -> ((0, 1)),
     "q35_rollup" -> ((0, 0)),
     "q36_asof_join" -> ((0, 0)),
-    "q37_term_salience" -> ((3, 0)),
+    "q37_term_salience" -> ((0, 0)), // staged token artifact (r13)
     "q38_bigram_stats" -> ((1, 0)),
     "q39_ivf_ann" -> ((0, 3)),
     "q40_train_split" -> ((1, 0)),
@@ -94,11 +99,11 @@ class ScanBudgetSpec extends AnyFunSuite {
     "q51_chunk" -> ((1, 0)),
     "q52_pii_redact" -> ((1, 0)),
     "q53_canonical_docs" -> ((1, 0)), // cluster side reads the staged parquet
-    "q54_oov_rate" -> ((3, 0)),
+    "q54_oov_rate" -> ((0, 0)), // staged token artifact (r13)
     "q55_semantic_dedup" -> ((0, 2)),
     "q56_unigram_lm" -> ((1, 0)),
     "q57_incremental_dedup" -> ((2, 0)),
-    "q58_lexical_topk" -> ((3, 0)),
+    "q58_lexical_topk" -> ((0, 0)), // staged token artifact (r13)
     "q59_verified_ingest" -> ((2, 0)),
     "q60_image_near_dups" -> ((1, 0)),
     "q60b_image_pairs_sql" -> ((0, 0)),
@@ -119,7 +124,7 @@ class ScanBudgetSpec extends AnyFunSuite {
     "q75_intra_dedup" -> ((1, 0)),
     "q76_semantic_curve" -> ((0, 2)),
     "q77_pack_efficiency" -> ((1, 0)),
-    "q78_token_budget" -> ((3, 0)),
+    "q78_token_budget" -> ((0, 0)), // scored frame localCheckpoint carries the one scan (r13)
     "q79_gopher_rules" -> ((1, 0)),
     "q80_audio_near_dups" -> ((1, 0)),
     "q80b_audio_pairs_sql" -> ((0, 0)),
@@ -128,7 +133,7 @@ class ScanBudgetSpec extends AnyFunSuite {
     "q83_bpe_pairs" -> ((1, 0)),
     "q84_pq_adc_topk" -> ((0, 2)),
     "q85_pq_distortion" -> ((0, 2)),
-    "q86_lm_buckets" -> ((3, 0)),
+    "q86_lm_buckets" -> ((1, 0)), // lang projection; LM leg rides the staged tokens (r13)
     "q87_hybrid_rrf" -> ((3, 2)),
     "q88_dup_spans" -> ((1, 0)), // staged pairs
     "q89_integrity_audit" -> ((1, 1)),
@@ -138,11 +143,11 @@ class ScanBudgetSpec extends AnyFunSuite {
     "q93_ann_recall" -> ((0, 6)), // ANN vs brute-force recall harness
     "q94_pq_recall" -> ((0, 5)), // PQ vs brute-force recall harness
     "q95_hash_embed" -> ((1, 0)),
-    "q96_idf_hash_embed" -> ((3, 0)),
+    "q96_idf_hash_embed" -> ((0, 0)), // staged token artifact (r13)
     "q97_vocab_growth" -> ((1, 0)),
     "q98_video_near_dups" -> ((1, 0)),
     "q98b_video_pairs_sql" -> ((0, 0)),
-    "q99_bpe_apply" -> ((3, 0)),
+    "q99_bpe_apply" -> ((0, 0)), // staged token artifact (r13)
     "q100_domain_profile" -> ((1, 0))) // cluster side reads the staged parquet
 
   test("every registered query has a scan budget (and no stale entries linger)") {
