@@ -82,17 +82,34 @@ object ScaleVariants {
         exact: org.apache.spark.sql.Column) =
       (abs(approx.cast("double") - exact.cast("double")) <=
         greatest(lit(1.0), lit(4 * rsd) * exact.cast("double"))).cast("long")
-    val per = events.groupBy(col("user_id"))
-      .agg(
-        countDistinct(col("event_type")).as("n_types"),
-        countDistinct(when(col("event_type") === "purchase", col("event_id")))
-          .as("n_purchases"),
-        approx_count_distinct(col("event_type"), rsd).as("ta"),
-        approx_count_distinct(
-          when(col("event_type") === "purchase", col("event_id")), rsd).as("pa"))
-      .select(col("user_id"), col("n_types"), col("n_purchases"),
+    // Dedup-first, not multi-countDistinct: two DISTINCT aggregates in
+    // one groupBy plan as an Expand that triples every event row before
+    // the shuffle (measured 2.2 s at sf1 once the checkpoint stopped
+    // count()-pruning the sketches — the lazy form's 0.17 s bench
+    // reading had never computed them). Each distinct column instead
+    // collapses to its own pre-deduplicated frame first (map-side
+    // combine on tiny rows), and BOTH the exact count and the HLL
+    // sketch ride the dedup'd rows — HLL is duplicate-insensitive
+    // (re-aggregating an already-seen value re-sets the same register),
+    // so the estimates are bit-identical to the raw-stream sketches.
+    // Users with no purchases re-enter via the left join with (0, 0),
+    // exactly the all-null countDistinct/empty-sketch values the fused
+    // aggregate produced.
+    val perTypes = events.select(col("user_id"), col("event_type")).distinct()
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_types"),
+        approx_count_distinct(col("event_type"), rsd).as("ta"))
+    val perPurch = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id")).distinct()
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("np"),
+        approx_count_distinct(col("event_id"), rsd).as("pa"))
+    val per = perTypes.join(perPurch, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_types"),
+        coalesce(col("np"), lit(0L)).as("n_purchases"),
         bound(col("ta"), col("n_types")).as("tok"),
-        bound(col("pa"), col("n_purchases")).as("pok"))
+        bound(coalesce(col("pa"), lit(0L)),
+          coalesce(col("np"), lit(0L))).as("pok"))
       .localCheckpoint()
     val verdict = per.agg(
       (sum(col("tok")).cast("double") >= lit(0.99) * count(lit(1)))
