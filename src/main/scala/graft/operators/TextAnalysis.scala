@@ -43,7 +43,7 @@ object TextAnalysis {
   private val stagedTokenPaths =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private[operators] def stagedTokenCounts(s: SparkSession, d: String): DataFrame = {
+  private[graft] def stagedTokenCounts(s: SparkSession, d: String): DataFrame = {
     val key = new java.io.File(d).getCanonicalPath + "@" + Tables.fingerprint(d)
     val path = stagedTokenPaths.getOrElseUpdate(key, {
       val out = java.nio.file.Files.createTempDirectory("graft-tokens")
