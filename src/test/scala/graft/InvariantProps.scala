@@ -520,4 +520,43 @@ object InvariantProps extends Properties("graft") {
         .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
       got == expected
     }
+
+  // ---- DomainCuration (q100) ---------------------------------------------
+  // Conservation + blocklist invariants of the per-domain profile over
+  // generated corpora: non-blocked docs are partitioned exactly across
+  // domains (Σ n_docs and Σ total_chars conserve), dup counts never
+  // exceed doc counts, and no blocked domain survives the gate.
+  private val domainGen: Gen[String] = for {
+    n <- Gen.choose(0, 6); t <- Gen.oneOf("com", "org", "net")
+  } yield s"d$n.$t"
+
+  private val domainDocGen: Gen[(String, Double, Long)] = for {
+    dom <- domainGen
+    q <- Gen.choose(0, 10000).map(_ / 100.0)
+    ch <- Gen.choose(1L, 5000L)
+  } yield (dom, q, ch)
+
+  property("q100 domainProfile conserves docs/chars, bounds dups, drops blocked domains") =
+    Prop.forAllNoShrink(for {
+      docs <- Gen.choose(1, 30).flatMap(n => Gen.listOfN(n, domainDocGen))
+      blocked <- Gen.someOf("d0.com", "d1.org", "d2.net")
+      dupEvery <- Gen.choose(2, 5)
+    } yield (docs, blocked.toList, dupEvery)) { case (rows, blocked, dupEvery) =>
+      val docs = rows.zipWithIndex.map { case ((dom, q, ch), i) =>
+        (i.toLong, dom, q, ch) }.toDF("doc_id", "domain", "quality", "n_chars")
+      val clusters = rows.indices.filter(_ % dupEvery == 0)
+        .map(i => (i.toLong, 0L)).toDF("doc_id", "cluster_id")
+      val bl = blocked.toDF("domain")
+      val out = graft.operators.DomainCuration
+        .domainProfile(docs, clusters, bl).collect()
+      val kept = rows.zipWithIndex.filterNot { case ((dom, _, _), _) =>
+        blocked.contains(dom) }
+      val docsOk = out.map(_.getLong(2)).sum == kept.size.toLong
+      val charsOk = out.map(_.getLong(5)).sum ==
+        kept.map(_._1._3).sum
+      val dupsOk = out.forall(r => r.getLong(3) <= r.getLong(2) &&
+        r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      val blockedOk = out.forall(r => !blocked.contains(r.getString(0)))
+      docsOk && charsOk && dupsOk && blockedOk
+    }
 }
