@@ -95,14 +95,18 @@ object ScaleVariants {
     // Users with no purchases re-enter via the left join with (0, 0),
     // exactly the all-null countDistinct/empty-sketch values the fused
     // aggregate produced.
+    // count(col), not count(*): the distinct frame keeps a (user, NULL)
+    // row when a user has null-valued events, and COUNT DISTINCT
+    // semantics (both engines) exclude NULLs — count over the value
+    // column skips exactly those rows (the HLL sketch already does).
     val perTypes = events.select(col("user_id"), col("event_type")).distinct()
       .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_types"),
+      .agg(count(col("event_type")).as("n_types"),
         approx_count_distinct(col("event_type"), rsd).as("ta"))
     val perPurch = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id")).distinct()
       .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("np"),
+      .agg(count(col("event_id")).as("np"),
         approx_count_distinct(col("event_id"), rsd).as("pa"))
     val per = perTypes.join(perPurch, Seq("user_id"), "left")
       .select(col("user_id"), col("n_types"),

@@ -86,6 +86,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(meanRel <= 0.05, s"mean relative error $meanRel exceeds rsd 0.05")
   }
 
+  test("q32b dedup-first form matches COUNT DISTINCT null semantics (fused-aggregate parity)") {
+    // the round-13 Expand-free rewrite pre-deduplicates each distinct
+    // column; the distinct frame RETAINS a (user, NULL) row, which
+    // count(*) would count but COUNT DISTINCT excludes — this pins
+    // count(col) semantics against the fused aggregate on a corpus
+    // with null event types / null purchase ids and an all-null user
+    import spark.implicits._
+    val events = Seq[(Long, String, java.lang.Long)](
+      (1L, "view", 10L), (1L, null, 11L), (1L, "purchase", 12L),
+      (1L, "purchase", null.asInstanceOf[java.lang.Long]),
+      (2L, null, 20L), // all-null types: must still appear with n_types = 0
+      (3L, "purchase", 30L), (3L, "purchase", 30L)
+    ).toDF("user_id", "event_type", "event_id")
+    val fused = events.groupBy(col("user_id")).agg(
+      countDistinct(col("event_type")).as("n_types"),
+      countDistinct(when(col("event_type") === "purchase", col("event_id")))
+        .as("n_purchases"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = ScaleVariants.approxVsExact(events)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == fused, s"dedup-first exact counts drifted: $got vs $fused")
+  }
+
   test("q60b/q80b staged-hash companions reproduce q60/q80 exactly") {
     // the DuckDB-checked halves split the pipeline at the decode
     // boundary: staging the aHashes through parquet and re-reading
