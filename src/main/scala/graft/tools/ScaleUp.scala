@@ -10,9 +10,18 @@ import org.apache.spark.sql.functions._
   * (SCALE.md's "would the plan hold at 10×?" made measurable).
   *
   * Shift discipline: every key column in replica r moves by
-  * `r * KeyStride`, and referencing columns (o_custkey, l_orderkey, …)
+  * `r * stride`, and referencing columns (o_custkey, l_orderkey, …)
   * move by the same stride, so intra-replica joins match exactly and
-  * replicas never cross-join. Documents get a `r<i>` prefix token in
+  * replicas never cross-join. The stride is COMPUTED from the source —
+  * the smallest power of 10 above `factor` × every key column's max —
+  * so ScaleUp COMPOSES: a fixed 1e8 stride applied to its own output
+  * collided keys ((r1 + r2)·1e8 + k), and an sf1×10 build carried
+  * 500k document rows over only 95k distinct doc_ids — a corpus that
+  * violates the q89 unique-key contract and silently corrupts every
+  * dedup/df statistic (found round 13 when q96's engine-vs-oracle
+  * comparison, which implicitly crosses count(*) with
+  * countDistinct(doc_id), hash-failed at exactly the 500k/95k ratio).
+  * Documents get a `r<i>` prefix token in
   * replica i > 0 — near-identical (not byte-identical) text, so sf1
   * carries 10-way NEAR-dup families: the LSH/Jaccard pipelines face a
   * strictly heavier candidate load than at sf0.1, which is the honest
@@ -30,11 +39,36 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
 
-  private val KeyStride = 100_000_000L
+  /** Key columns that shift, per table — also the uniqueness surface
+    * the composition-safety stride is computed over.
+    */
+  private val KeyCols: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
 
   def run(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+    // composition-safe stride: one GLOBAL power of 10 strictly above
+    // factor × the max of every key column in the source (global, not
+    // per-table, because doc_id↔vec_id and the TPC-H foreign keys must
+    // shift identically across tables)
+    val maxKey = KeyCols.flatMap { case (t, cols) =>
+      val df = spark.read.parquet(s"$src/$t.parquet")
+      cols.map(c =>
+        Option(df.agg(max(col(c).cast("long"))).head().get(0))
+          .fold(0L)(_.asInstanceOf[Long]))
+    }.max
+    // uniqueness needs every source key BELOW the stride (replica
+    // ranges [r·stride, r·stride + maxKey] must not overlap)
+    var stride = 100_000_000L
+    while (stride <= maxKey) stride *= 10L
     def shiftCols(df: DataFrame, r: Column, cols: String*): DataFrame =
-      cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + r * lit(KeyStride)))
+      cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + r * lit(stride)))
 
     // each entry: (replicated frame with index column `r`) => shifted frame
     val tables: Map[String, (DataFrame, Column) => DataFrame] = Map(

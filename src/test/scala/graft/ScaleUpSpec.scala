@@ -34,4 +34,32 @@ class ScaleUpSpec extends AnyFunSuite {
     assert(docs.filter(col("doc_id") === 100000000L).select("n_chars")
       .collect().head.getLong(0) == d0r.length.toLong)
   }
+
+  test("ScaleUp composes: scaling its own output keeps keys unique (the sf10 stride bug)") {
+    // a FIXED 1e8 stride applied to ScaleUp's own output collided keys
+    // ((r1 + r2)·stride + k): a real sf1×10 build carried 500k document
+    // rows over 95k distinct doc_ids — a corpus violating the q89
+    // unique-key contract, caught round 13 when q96's oracle comparison
+    // hash-failed at exactly the 500k/95k ratio. The stride is now
+    // computed above every source key, so composition must preserve
+    // uniqueness at every level.
+    val lvl1 = java.nio.file.Files.createTempDirectory("sfc1").toString
+    val lvl2 = java.nio.file.Files.createTempDirectory("sfc2").toString
+    ScaleUp.run(spark, TestSpark.sf0001, lvl1, factor = 3)
+    ScaleUp.run(spark, lvl1, lvl2, factor = 3)
+    def uniq(t: String, k: String): Unit = {
+      val df = spark.read.parquet(s"$lvl2/$t.parquet")
+      assert(df.count() == df.select(k).distinct().count(),
+        s"composed scale-up collided $t.$k")
+    }
+    uniq("documents", "doc_id")
+    uniq("embeddings", "vec_id")
+    uniq("events", "event_id")
+    uniq("customer", "c_custkey")
+    // and the doc↔embedding key correspondence survives composition
+    val d = spark.read.parquet(s"$lvl2/documents.parquet").select(col("doc_id"))
+    val e = spark.read.parquet(s"$lvl2/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"))
+    assert(d.join(e, Seq("doc_id"), "left_semi").count() == d.count())
+  }
 }
