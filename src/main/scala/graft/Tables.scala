@@ -39,33 +39,45 @@ object Tables {
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** Cheap content fingerprint of a corpus dir — recursive (file count,
-    * total bytes, max mtime) over everything under `dir` — used to key
-    * the per-JVM session-stage caches ([[graft.operators.Dedup]] staged
-    * pairs/clusters, [[graft.operators.Multimodal]] staged aHashes). A
+  /** Cheap content fingerprint of a corpus dir — per-file (relative
+    * path, size, nanosecond mtime) folded into an order-independent
+    * 64-bit hash over everything under `dir` — used to key the per-JVM
+    * session-stage caches ([[graft.operators.Dedup]] staged
+    * pairs/clusters, [[graft.operators.Multimodal]] staged aHashes,
+    * [[graft.operators.TextAnalysis]] staged token counts). A
     * long-lived JVM that regenerates a fixture directory IN PLACE gets
     * a different stamp and re-stages instead of silently serving the
-    * old corpus's artifacts (round-12 ADVICE). Listing-only — no file
-    * is opened — so the walk costs microseconds per thousand files; at
-    * production scale the equivalent is the object-store listing the
-    * driver already performs to plan the scan.
+    * old corpus's artifacts (round-12 ADVICE). Per-file hashing (not
+    * summed sizes) means a rewrite that preserves file count and TOTAL
+    * bytes still flips the stamp when any single file's name, size, or
+    * FileTime changes; nanosecond FileTime (where the FS provides it)
+    * closes the coarse-mtime window of the old max-millis scheme
+    * (round-13 ADVICE). The combine is an unordered sum so the
+    * Files.walk traversal order can't affect the stamp. Listing-only —
+    * no file is opened — so the walk costs microseconds per thousand
+    * files; at production scale the equivalent is the object-store
+    * listing the driver already performs to plan the scan.
     */
   def fingerprint(dir: String): String = {
     val root = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.exists(root)) return "absent"
-    var n = 0L; var bytes = 0L; var maxM = 0L
+    var n = 0L; var acc = 0L
     val it = java.nio.file.Files.walk(root)
     try {
       it.forEach { p =>
         if (java.nio.file.Files.isRegularFile(p)) {
           n += 1
-          bytes += java.nio.file.Files.size(p)
-          val m = java.nio.file.Files.getLastModifiedTime(p).toMillis
-          if (m > maxM) maxM = m
+          val nanos = java.nio.file.Files.getLastModifiedTime(p)
+            .to(java.util.concurrent.TimeUnit.NANOSECONDS)
+          var h = scala.util.hashing.MurmurHash3
+            .stringHash(root.relativize(p).toString).toLong
+          h = h * 0x9e3779b97f4a7c15L + java.nio.file.Files.size(p)
+          h = h * 0x9e3779b97f4a7c15L + nanos
+          acc += h // unordered combine: walk order must not matter
         }
       }
     } finally it.close()
-    s"$n-$bytes-$maxM"
+    s"$n-${java.lang.Long.toHexString(acc)}"
   }
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")

@@ -450,23 +450,51 @@ object Multimodal {
   // "staged" while the second write clobbered the first (round-12
   // ADVICE). Path-keyed, a stamp mismatch (different source dir OR an
   // in-place corpus rewrite changing the fingerprint) re-stages before
-  // reading. The lock serializes only the staleness check + the few-KB
-  // write.
+  // reading.
+  //
+  // Concurrency (round-13 ADVICE): locks are PER STAGE PATH — two
+  // modalities (or two sf dirs) stage in parallel instead of
+  // serializing on one global lock — and the re-stage writes to a TMP
+  // sibling then swaps it in with two metadata ops (delete + rename),
+  // so a concurrent reader of an aliased corpus can no longer observe
+  // a directory mid-parquet-write (seconds of torn files under the old
+  // in-place overwrite); the remaining race is the unavoidable lazy-
+  // evaluation one (a frame returned before an alias re-staged the
+  // path re-plans against the new files), which the fingerprint stamps
+  // bound to genuinely-different-corpus collisions.
   private val stagedAHashStamps =
-    scala.collection.mutable.HashMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val stageLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
 
   private def stagedAHashes(s: SparkSession, d: String, sub: String,
       hashesOf: => DataFrame): DataFrame = {
     val path = s"$StageRoot/${new java.io.File(d).getName}/$sub"
     val stamp = new java.io.File(d).getCanonicalPath + "@" +
       graft.Tables.fingerprint(d)
-    stagedAHashStamps.synchronized {
+    val lock = stageLocks.getOrElseUpdate(path, new Object)
+    lock.synchronized {
       if (!stagedAHashStamps.get(path).contains(stamp)) {
-        hashesOf.write.mode("overwrite").parquet(path)
+        val tmp = java.nio.file.Paths.get(
+          s"$path.tmp-${Thread.currentThread().getId}-${System.nanoTime()}")
+        hashesOf.write.mode("overwrite").parquet(tmp.toString)
+        val dst = java.nio.file.Paths.get(path)
+        deleteTree(dst)
+        java.nio.file.Files.move(tmp, dst)
         stagedAHashStamps.put(path, stamp)
       }
     }
     s.read.parquet(path)
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.exists(p)) {
+      val it = java.nio.file.Files.walk(p)
+      try {
+        it.sorted(java.util.Comparator.reverseOrder())
+          .forEach(java.nio.file.Files.delete(_))
+      } finally it.close()
+    }
   }
 
   private def q60b(s: SparkSession, d: String): DataFrame =

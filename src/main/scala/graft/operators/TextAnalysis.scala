@@ -32,8 +32,12 @@ object TextAnalysis {
     * (the 3-scan family, ScanBudgetSpec's old ceiling); consumers now
     * read this frame instead — their doc-frequency tables, n_docs
     * totals and per-doc token sums all DERIVE from it (every doc has
-    * ≥1 row here: `split` of an empty string yields [""], so distinct
-    * doc_ids in this frame equal the documents table's). q29 stays the
+    * ≥1 row here: text is coalesced to '' before the split — round-13
+    * ADVICE: `split(NULL)` explodes to NOTHING, which would silently
+    * drop a NULL-text doc from every consumer's n_docs while the
+    * DuckDB oracle counts the documents table directly — and `split`
+    * of an empty string yields [""], so distinct doc_ids in this frame
+    * equal the documents table's even on a dirty corpus). q29 stays the
     * honest self-contained tokenize benchmark, exactly as q23/q44 stay
     * the candidate/clustering benchmarks while the stage-reading
     * queries share their artifacts. Keyed by canonical path PLUS
@@ -49,7 +53,8 @@ object TextAnalysis {
       val out = java.nio.file.Files.createTempDirectory("graft-tokens")
         .toString + "/tokens.parquet"
       Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .select(col("doc_id"),
+          explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
         .write.mode("overwrite").parquet(out)
       out

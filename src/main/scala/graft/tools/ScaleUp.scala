@@ -54,15 +54,27 @@ object ScaleUp {
 
   def run(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
     // composition-safe stride: one GLOBAL power of 10 strictly above
-    // factor × the max of every key column in the source (global, not
-    // per-table, because doc_id↔vec_id and the TPC-H foreign keys must
-    // shift identically across tables)
-    val maxKey = KeyCols.flatMap { case (t, cols) =>
+    // every key column's max in the source (global, not per-table,
+    // because doc_id↔vec_id and the TPC-H foreign keys must shift
+    // identically across tables). stride > maxKey suffices for
+    // non-overlap ONLY because keys are nonnegative (asserted below):
+    // replica r occupies [r·stride, r·stride + maxKey].
+    val keyBounds = KeyCols.flatMap { case (t, cols) =>
       val df = spark.read.parquet(s"$src/$t.parquet")
-      cols.map(c =>
-        Option(df.agg(max(col(c).cast("long"))).head().get(0))
-          .fold(0L)(_.asInstanceOf[Long]))
-    }.max
+      cols.map { c =>
+        val row = df.agg(
+          max(col(c).cast("long")), min(col(c).cast("long"))).head()
+        (Option(row.get(0)).fold(0L)(_.asInstanceOf[Long]),
+          Option(row.get(1)).fold(0L)(_.asInstanceOf[Long]), s"$t.$c")
+      }
+    }
+    keyBounds.foreach { case (_, mn, name) =>
+      require(mn >= 0L,
+        s"ScaleUp requires nonnegative keys; $name has min $mn — " +
+          "negative keys would let replica ranges overlap under a " +
+          "max-only stride")
+    }
+    val maxKey = keyBounds.map(_._1).max
     // uniqueness needs every source key BELOW the stride (replica
     // ranges [r·stride, r·stride + maxKey] must not overlap)
     var stride = 100_000_000L

@@ -66,6 +66,33 @@ class CurateRestartSpec extends AnyFunSuite {
     }
   }
 
+  test("a stage with a foreign generation stamp is recomputed on resume, not trusted") {
+    val out = java.nio.file.Files.createTempDirectory("curate-stamp").toString
+    Curate.run(spark, TestSpark.sf0001, out)
+
+    // resume against an untouched tree: every stage is reused as-is
+    val before = fileMtimes(s"$out/deduped")
+    Curate.run(spark, TestSpark.sf0001, out, resume = true)
+    assert(fileMtimes(s"$out/deduped") == before,
+      "an unchanged stage must be reused on resume")
+
+    // tamper the 'mixed' stamp to simulate an artifact from another
+    // generation (different corpus or upstream chain): resume must
+    // recompute it and everything downstream, while stages BEFORE it
+    // (whose stamps still match) stay untouched
+    val stamp = java.nio.file.Paths.get(s"$out/mixed/_GRAFT_STAMP")
+    java.nio.file.Files.write(stamp,
+      "corpus:other-generation/mixed".getBytes("UTF-8"))
+    val qualityBefore = fileMtimes(s"$out/quality")
+    val mixedStampBefore = java.nio.file.Files.readAllBytes(stamp)
+    Curate.run(spark, TestSpark.sf0001, out, resume = true)
+    assert(!java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(stamp), mixedStampBefore),
+      "the foreign-stamped stage must have been rewritten with this generation's stamp")
+    assert(fileMtimes(s"$out/quality") == qualityBefore,
+      "stages upstream of the tampered one must not be redone")
+  }
+
   test("a torn stage (no _SUCCESS) is recomputed on resume, not trusted") {
     val out = java.nio.file.Files.createTempDirectory("curate-torn").toString
     intercept[Curate.InjectedCrash] {
