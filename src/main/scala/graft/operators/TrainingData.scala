@@ -27,16 +27,23 @@ object TrainingData {
   // 256 buckets: train < 'cd' (205/256 ≈ 80.1%), val < 'e6' (+25/256 ≈
   // 9.8%), test = rest (26/256 ≈ 10.2%). String-range comparison keeps
   // the oracle bit-identical (no hex→int parsing differences).
-  def splitColumn: org.apache.spark.sql.Column = {
-    val h2 = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+  /** The split rule over an arbitrary key column — q40 applies it to
+    * the raw doc_id; q101 to the near-dup cluster representative (and
+    * Curate's split stage to the same, so whole clusters land in one
+    * split by construction).
+    */
+  def splitColumnOf(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h2 = substring(md5(key.cast("string").cast("binary")), 1, 2)
     when(h2 < "cd", "train").when(h2 < "e6", "val").otherwise("test")
   }
+  def splitColumn: org.apache.spark.sql.Column = splitColumnOf(col("doc_id"))
   private def splitCol: org.apache.spark.sql.Column = splitColumn
 
-  private[operators] val splitSql =
-    """CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
-      |     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
-      |     ELSE 'test' END""".stripMargin
+  private[operators] def splitSqlOf(key: String): String =
+    s"""CASE WHEN substr(md5(CAST($key AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+       |     WHEN substr(md5(CAST($key AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+  private[operators] val splitSql = splitSqlOf("doc_id")
 
   // Shared long-n-gram hash (q42, q43): md5 of each 8-word window over
   // the staged word array `w`, TRUNCATED to its first 16 hex chars —
@@ -74,6 +81,44 @@ object TrainingData {
       |SELECT split, lang, count(*) AS n_docs,
       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM s GROUP BY 1, 2""".stripMargin
+
+  // ---- q101: near-dup-coherent split assignment ---------------------------
+  // q40's md5(doc_id) split lets two members of one near-dup cluster
+  // straddle train/test, leaking paraphrase-level signal that the
+  // verbatim-gram decontamination (q43) only partially catches and the
+  // semantic pass (q62) then has to patch. Standard practice (Lee et
+  // al. 2022 §4 holds out by CLUSTER, not by document) PREVENTS the
+  // straddle instead: the split key is the cluster representative's id
+  // — the min-id label the q44 connected components already assign —
+  // so every member of a cluster hashes to the same bucket and whole
+  // clusters land in one split BY CONSTRUCTION; singletons keep their
+  // own id and reproduce q40's assignment exactly.
+
+  /** Cluster-coherent split over any `doc_id` frame and a `(doc_id,
+    * cluster_id)` near-dup cluster map (the q44/staged-cluster shape).
+    * Scale shape: one corpus scan; the cluster map attaches by one
+    * doc_id equi-join (dup-volume ≪ corpus — broadcast when small,
+    * shuffle-join at worst, same as q53/q72/q100); the split rule is a
+    * row-local hash. No window, no second corpus pass.
+    */
+  def clusterCoherentSplit(docs: DataFrame, clusters: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .join(clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("split_key"))
+      .withColumn("split", splitColumnOf(col("split_key")))
+
+  private def q101(s: SparkSession, d: String): DataFrame =
+    clusterCoherentSplit(Tables.documents(s, d), Dedup.stagedClusters(s, d))
+
+  private val o101 =
+    s"""WITH RECURSIVE ${Dedup.candidateCtes},
+       |${Dedup.clusterCtes},
+       |a AS (
+       |  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS split_key
+       |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+       |SELECT doc_id, split_key, ${splitSqlOf("split_key")} AS split
+       |FROM a""".stripMargin
 
   // ---- q41: repeated-3-gram fraction (quality signal) --------------------
   // The Gopher-style repetition rule: fraction of a document's 3-grams
@@ -1000,5 +1045,6 @@ object TrainingData {
     GraftQuery("q70_temperature_mixture", "temperature-weighted (α=0.5) source sampling weights", q70, Some(o70)),
     GraftQuery("q75_intra_dedup", "intra-document first-occurrence span dedup (repetition-removal action)", q75, Some(o75)),
     GraftQuery("q77_pack_efficiency", "per-shard next-fit packing fill-fraction diagnostic", q77, Some(o77)),
-    GraftQuery("q78_token_budget", "exact token-budget best-first prefix selection (two-phase, no global window)", q78, Some(o78)))
+    GraftQuery("q78_token_budget", "exact token-budget best-first prefix selection (two-phase, no global window)", q78, Some(o78)),
+    GraftQuery("q101_cluster_split", "near-dup-coherent train/val/test split (cluster-representative hash key)", q101, Some(o101)))
 }

@@ -235,9 +235,21 @@ object Curate {
     // budget would force into repetition)
     stage(TrainingData.temperatureMixture(mixed), "mixture_report")
 
-    // 4. split assignment (stable across runs: pure function of doc_id)
-    val splitDocs = stage(
-      mixed.withColumn("split", TrainingData.splitColumn), "splits")
+    // 4. split assignment — cluster-coherent (the q101 kernel): the key
+    // is the doc's q44 cluster representative, so near-dup families
+    // that survived canonicalization as one member still hash exactly
+    // where their siblings would have, and any future pipeline that
+    // keeps >1 member per cluster (e.g. a softer dedup policy) cannot
+    // straddle a family across train/test by construction. Stable
+    // across runs: a pure function of (doc_id, cluster map), and the
+    // map is itself a pure function of the corpus.
+    val splitDocs = stage({
+      val cmap = Dedup.stagedClusters(spark, sfDir)
+      mixed.join(cmap, Seq("doc_id"), "left")
+        .withColumn("split", TrainingData.splitColumnOf(
+          coalesce(col("cluster_id"), col("doc_id"))))
+        .drop("cluster_id")
+    }, "splits")
 
     // 5. decontaminate: test docs sharing an 8-gram with train are out
     val clean = stage({

@@ -238,7 +238,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q97_vocab_growth" -> NoPairJoin,
     "q98_video_near_dups" -> Pinned, "q98b_video_pairs_sql" -> Pinned,
     "q99_bpe_apply" -> NoPairJoin,
-    "q100_domain_profile" -> NoPairJoin)
+    "q100_domain_profile" -> NoPairJoin,
+    "q101_cluster_split" -> NoPairJoin) // broadcast/equi cluster-map join, row-bounded
 
   test("every registered query declares its pair-join pinning (and no stale entries)") {
     val names = Registry.all.map(_.name).toSet

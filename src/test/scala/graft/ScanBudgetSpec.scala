@@ -148,7 +148,8 @@ class ScanBudgetSpec extends AnyFunSuite {
     "q98_video_near_dups" -> ((1, 0)),
     "q98b_video_pairs_sql" -> ((0, 0)),
     "q99_bpe_apply" -> ((0, 0)), // staged token artifact (r13)
-    "q100_domain_profile" -> ((1, 0))) // cluster side reads the staged parquet
+    "q100_domain_profile" -> ((1, 0)), // cluster side reads the staged parquet
+    "q101_cluster_split" -> ((1, 0))) // cluster side reads the staged parquet
 
   test("every registered query has a scan budget (and no stale entries linger)") {
     val names = Registry.all.map(_.name).toSet

@@ -29,6 +29,49 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(stats() == s1) // re-run identical: no RNG state
   }
 
+  test("q101 kernel: members take their cluster representative's split; singletons keep their own") {
+    val docs = (0L until 64L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val cmap = Seq((0L, 0L), (1L, 0L), (7L, 5L), (5L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val out = TrainingData.clusterCoherentSplit(docs, cmap)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("split_key"), r.getAs[String]("split"))).toMap
+    assert(out.size == 64) // left join: nothing dropped, nothing duplicated
+    assert(out(1L)._1 == 0L && out(1L)._2 == out(0L)._2,
+      "cluster members must share the representative's split")
+    assert(out(7L)._1 == 5L && out(7L)._2 == out(5L)._2)
+    // singletons: split_key is their own id, i.e. exactly the q40 rule
+    val q40splits = docs.select(col("doc_id"), TrainingData.splitColumn.as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L until 64L).filterNot(Set(0L, 1L, 5L, 7L)).foreach { i =>
+      assert(out(i) == ((i, q40splits(i))))
+    }
+  }
+
+  test("q101: zero near-dup clusters straddle any split boundary on the fixture corpus") {
+    val dir = TestSpark.sf0001
+    val out = Registry.byName("q101_cluster_split").run(spark, dir)
+    val clusters = graft.operators.Dedup.stagedClusters(spark, dir)
+    // the coherence contract q40 cannot offer: every cluster maps into ONE split
+    val straddling = out.join(clusters, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1)
+    assert(straddling.count() == 0, "a near-dup cluster straddles a split boundary")
+    // the fixture must actually exercise the contract (multi-member clusters exist)
+    val multi = clusters.groupBy("cluster_id").count().filter(col("count") > 1).count()
+    assert(multi > 0, "fixture has no multi-member clusters — the straddle test is vacuous")
+    // and the operator must genuinely differ from q40 somewhere: under the
+    // raw-doc_id rule at least one cluster WOULD straddle (else the
+    // coherence guarantee is untestable on this corpus)
+    val wouldStraddle = clusters
+      .withColumn("raw_split", TrainingData.splitColumn)
+      .groupBy("cluster_id").agg(countDistinct(col("raw_split")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(wouldStraddle > 0,
+      "no cluster straddles under q40's rule either — strengthen the fixture")
+  }
+
   test("q41: repeated 3-grams are counted, distinct text scores 0") {
     // "a b c a b c a b" -> 6 3-grams, 3 distinct -> dup_frac 0.5
     val dir = docsDir(Seq(
