@@ -713,7 +713,14 @@ object TextAnalysis {
   private def q99(s: SparkSession, d: String): DataFrame =
     bpeApplyFromCounts(stagedTokenCounts(s, d))
 
-  private val o99 = {
+  /** The q99 pipeline as reusable oracle CTEs ending in `${p}bpedoc` =
+    * `(doc_id, n_ws_tokens, n_bpe_tokens, compression)` — shared with
+    * the BPE-currency variants (q102/q103) so the token definition
+    * cannot drift between the tokenizer query and the packing/budget
+    * queries that spend it. Prefixed so callers can compose it with
+    * [[qualityCtes]] (name spaces collide otherwise).
+    */
+  private[operators] def bpeCtes(p: String = ""): String = {
     val k = BpeMerges
     val ms = (1 to k).map(i =>
       s"coalesce(min(CASE WHEN r = $i THEN pair END), " +
@@ -721,27 +728,32 @@ object TextAnalysis {
     val repl = (1 to k).foldLeft("w") { (acc, i) =>
       s"replace($acc, p$i, chr(${0xE000 + i}))"
     }
-    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-       |agg AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt
-       |        FROM tok GROUP BY doc_id, w),
-       |v AS (SELECT w, CAST(sum(cnt) AS BIGINT) AS freq FROM agg GROUP BY w),
-       |p AS (SELECT unnest(list_transform(range(1, length(w)),
+    s"""${p}tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |${p}agg AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt
+       |        FROM ${p}tok GROUP BY doc_id, w),
+       |${p}v AS (SELECT w, CAST(sum(cnt) AS BIGINT) AS freq FROM ${p}agg GROUP BY w),
+       |${p}bp AS (SELECT unnest(list_transform(range(1, length(w)),
        |                    i -> substr(w, i, 2))) AS pair, freq
-       |      FROM v WHERE length(w) >= 2),
-       |pc AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p GROUP BY pair
+       |      FROM ${p}v WHERE length(w) >= 2),
+       |${p}pc AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM ${p}bp GROUP BY pair
        |       ORDER BY n DESC, pair ASC LIMIT $k),
-       |rk AS (SELECT pair, row_number() OVER (ORDER BY n DESC, pair ASC) AS r
-       |       FROM pc),
-       |m AS (SELECT $ms FROM rk),
-       |wb AS (SELECT w, length($repl) AS bpe_len FROM v CROSS JOIN m)
-       |SELECT a.doc_id,
-       |       CAST(sum(a.cnt) AS BIGINT) AS n_ws_tokens,
-       |       CAST(sum(a.cnt * wb.bpe_len) AS BIGINT) AS n_bpe_tokens,
-       |       CAST(sum(a.cnt * wb.bpe_len) AS DOUBLE) /
-       |         CAST(sum(a.cnt) AS DOUBLE) AS compression
-       |FROM agg a JOIN wb ON a.w = wb.w
-       |GROUP BY a.doc_id""".stripMargin
+       |${p}rk AS (SELECT pair, row_number() OVER (ORDER BY n DESC, pair ASC) AS r
+       |       FROM ${p}pc),
+       |${p}bm AS (SELECT $ms FROM ${p}rk),
+       |${p}wb AS (SELECT w, length($repl) AS bpe_len FROM ${p}v CROSS JOIN ${p}bm),
+       |${p}bpedoc AS (
+       |  SELECT a.doc_id,
+       |         CAST(sum(a.cnt) AS BIGINT) AS n_ws_tokens,
+       |         CAST(sum(a.cnt * wb.bpe_len) AS BIGINT) AS n_bpe_tokens,
+       |         CAST(sum(a.cnt * wb.bpe_len) AS DOUBLE) /
+       |           CAST(sum(a.cnt) AS DOUBLE) AS compression
+       |  FROM ${p}agg a JOIN ${p}wb wb ON a.w = wb.w
+       |  GROUP BY a.doc_id)""".stripMargin
   }
+
+  private val o99 =
+    s"""WITH ${bpeCtes()}
+       |SELECT doc_id, n_ws_tokens, n_bpe_tokens, compression FROM bpedoc""".stripMargin
 
   // ---- q90: vocabulary coverage curve (tokenizer sizing) -----------------
   // THE tokenizer-budget question: what fraction of corpus tokens does

@@ -286,8 +286,8 @@ object TrainingData {
   // genuine per-partition sequential fold, the one place mapPartitions
   // is the right tool (SURVEY §2 custom-operator ladder, option d).
   // Deterministic: shard and order are functions of doc_id only.
-  private val PackShards = 8
-  private val PackCapacity = 64L // tokens per pack (fixture docs are short)
+  private[graft] val PackShards = 8
+  private[graft] val PackCapacity = 64L // tokens per pack (fixture docs are short)
 
   final case class PackedDoc(doc_id: Long, shard: Long, pack_id: Long, n_tokens: Long)
 
@@ -307,12 +307,19 @@ object TrainingData {
     }
   }
 
-  def packSequences(docs: DataFrame, shards: Int, capacity: Long): DataFrame = {
-    val spark = docs.sparkSession
+  /** Next-fit packing over an explicit `(doc_id, n_tokens)` frame —
+    * the token CURRENCY is the caller's choice: q46 spends whitespace
+    * counts, q102 (and Curate's packing stage) spends the q99 BPE
+    * counts, the defensible definition a trainer's context window
+    * actually holds.
+    */
+  def packSequencesFromCounts(tokenCounts: DataFrame, shards: Int,
+      capacity: Long): DataFrame = {
+    val spark = tokenCounts.sparkSession
     import spark.implicits._
-    docs
+    tokenCounts
       .select(col("doc_id"), (col("doc_id") % shards).as("shard"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        col("n_tokens").cast("long").as("n_tokens"))
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("doc_id"))
       .as[(Long, Long, Long)]
@@ -320,27 +327,73 @@ object TrainingData {
       .toDF()
   }
 
+  def packSequences(docs: DataFrame, shards: Int, capacity: Long): DataFrame =
+    packSequencesFromCounts(
+      docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      shards, capacity)
+
   private def q46(s: SparkSession, d: String): DataFrame =
     packSequences(Tables.documents(s, d), PackShards, PackCapacity)
 
-  private val o46 =
-    s"""WITH RECURSIVE d AS (
-       |  SELECT doc_id, doc_id % $PackShards AS shard,
-       |         len(string_split(text, ' ')) AS n_tokens,
-       |         row_number() OVER (PARTITION BY doc_id % $PackShards
-       |           ORDER BY doc_id) AS rn
-       |  FROM documents),
-       |p AS (
+  /** The next-fit recursion as oracle SQL over a CTE named `d` with
+    * `(doc_id, shard, n_tokens, rn)` — shared by o46/o77/o102 so the
+    * packing rule exists once on the oracle side too.
+    */
+  private def nextFitSql(capacity: Long): String =
+    s"""p AS (
        |  SELECT doc_id, shard, rn, n_tokens,
        |         n_tokens AS running, CAST(0 AS BIGINT) AS pack_id
        |  FROM d WHERE rn = 1
        |  UNION ALL
        |  SELECT d.doc_id, d.shard, d.rn, d.n_tokens,
-       |         CASE WHEN p.running + d.n_tokens > $PackCapacity
+       |         CASE WHEN p.running + d.n_tokens > $capacity
        |              THEN d.n_tokens ELSE p.running + d.n_tokens END,
-       |         CASE WHEN p.running + d.n_tokens > $PackCapacity
+       |         CASE WHEN p.running + d.n_tokens > $capacity
        |              THEN p.pack_id + 1 ELSE p.pack_id END
-       |  FROM p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1)
+       |  FROM p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1)""".stripMargin
+
+  private val wsTokensCte =
+    s"""d AS (
+       |  SELECT doc_id, doc_id % $PackShards AS shard,
+       |         len(string_split(text, ' ')) AS n_tokens,
+       |         row_number() OVER (PARTITION BY doc_id % $PackShards
+       |           ORDER BY doc_id) AS rn
+       |  FROM documents)""".stripMargin
+
+  private val o46 =
+    s"""WITH RECURSIVE $wsTokensCte,
+       |${nextFitSql(PackCapacity)}
+       |SELECT doc_id, shard, pack_id, n_tokens FROM p""".stripMargin
+
+  // ---- q102: BPE-currency packing (q46 under the q99 token definition) ----
+  // q99's scaladoc called its output "the defensible token definition
+  // q46/q78 lacked" — this closes that composition: the packer spends
+  // per-doc BPE symbol counts (the q99 kernel over the staged token
+  // artifact) instead of whitespace counts, so a pack's budget is what
+  // a trainer's context window actually holds. Capacity scales with
+  // the currency (BPE symbols ≈ 5× whitespace tokens on the fixture —
+  // q99's compression column is the measured rate). Scale shape: the
+  // merge table and per-doc counts ride the staged `(doc_id, w, cnt)`
+  // artifact (zero corpus scans); packing is q46's partition-local
+  // fold, sharded by doc_id hash.
+  private[graft] val BpePackCapacity = 1024L // BPE symbols per pack (capacity-swept: see SCALE.md round 14)
+
+  private def q102(s: SparkSession, d: String): DataFrame =
+    packSequencesFromCounts(
+      TextAnalysis.bpeApplyFromCounts(TextAnalysis.stagedTokenCounts(s, d))
+        .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens")),
+      PackShards, BpePackCapacity)
+
+  private val o102 =
+    s"""WITH RECURSIVE ${TextAnalysis.bpeCtes()},
+       |d AS (
+       |  SELECT doc_id, doc_id % $PackShards AS shard,
+       |         n_bpe_tokens AS n_tokens,
+       |         row_number() OVER (PARTITION BY doc_id % $PackShards
+       |           ORDER BY doc_id) AS rn
+       |  FROM bpedoc),
+       |${nextFitSql(BpePackCapacity)}
        |SELECT doc_id, shard, pack_id, n_tokens FROM p""".stripMargin
 
   // ---- q51: overlapping token-window chunking ----------------------------
@@ -924,23 +977,8 @@ object TrainingData {
       PackCapacity)
 
   private val o77 =
-    s"""WITH RECURSIVE d AS (
-       |  SELECT doc_id, doc_id % $PackShards AS shard,
-       |         len(string_split(text, ' ')) AS n_tokens,
-       |         row_number() OVER (PARTITION BY doc_id % $PackShards
-       |           ORDER BY doc_id) AS rn
-       |  FROM documents),
-       |p AS (
-       |  SELECT doc_id, shard, rn, n_tokens,
-       |         n_tokens AS running, CAST(0 AS BIGINT) AS pack_id
-       |  FROM d WHERE rn = 1
-       |  UNION ALL
-       |  SELECT d.doc_id, d.shard, d.rn, d.n_tokens,
-       |         CASE WHEN p.running + d.n_tokens > $PackCapacity
-       |              THEN d.n_tokens ELSE p.running + d.n_tokens END,
-       |         CASE WHEN p.running + d.n_tokens > $PackCapacity
-       |              THEN p.pack_id + 1 ELSE p.pack_id END
-       |  FROM p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1)
+    s"""WITH RECURSIVE $wsTokensCte,
+       |${nextFitSql(PackCapacity)}
        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
        |       CAST(max(pack_id) + 1 AS BIGINT) AS n_packs,
        |       CAST(sum(n_tokens) AS BIGINT) AS tok_total,
@@ -979,7 +1017,18 @@ object TrainingData {
     * total stays within `budget`: `(doc_id, n_tokens, kept)`. Exact —
     * equals the global (quality DESC, doc_id) running-sum rule.
     */
-  def tokenBudgetKeep(docs: DataFrame, budget: Long): DataFrame = {
+  def tokenBudgetKeep(docs: DataFrame, budget: Long): DataFrame =
+    tokenBudgetKeepScored(
+      TextAnalysis.withQuality(docs)
+        .select(col("doc_id"), col("n_words").as("n_tokens"), col("quality")),
+      budget)
+
+  /** [[tokenBudgetKeep]] over an explicit `(doc_id, n_tokens, quality)`
+    * frame — like [[packSequencesFromCounts]], the token currency is
+    * the caller's: q78 spends whitespace counts, q103 the q99 BPE
+    * counts.
+    */
+  def tokenBudgetKeepScored(scored0: DataFrame, budget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // the scored projection is referenced by BOTH the bucket-totals
     // branch and the probe branch; it is a doc-volume frame (four
@@ -988,8 +1037,8 @@ object TrainingData {
     // the corpus instead of two, and the branch reuse no longer leans
     // on exchange reuse that measurably fails across canonically-equal
     // subtrees (the q88/q25 lesson).
-    val scored = TextAnalysis.withQuality(docs)
-      .select(col("doc_id"), col("n_words").as("n_tokens"), col("quality"),
+    val scored = scored0
+      .select(col("doc_id"), col("n_tokens"), col("quality"),
         floor(col("quality") * BudgetBucketScale).as("bkt"))
       .localCheckpoint()
     // bucket frame: per-bucket token totals + running total of all
@@ -1029,6 +1078,37 @@ object TrainingData {
        |  FROM q)
        |SELECT doc_id, n_tokens, cum <= $TokenBudget AS kept FROM c""".stripMargin
 
+  // ---- q103: BPE-currency token budget (q78 under the q99 definition) ----
+  // The budget a trainer actually has is model tokens, not whitespace
+  // words: q78's prefix selection re-run with per-doc BPE counts as
+  // the spend. Quality stays the ordering (same rule, same buckets);
+  // only the currency and the budget constant change. Scale shape:
+  // one corpus scan for quality, BPE counts off the staged token
+  // artifact, then the q78 two-phase bucket selection (no global
+  // doc-level window).
+  private val BpeTokenBudget = 50000L
+
+  private def q103(s: SparkSession, d: String): DataFrame = {
+    val bpe = TextAnalysis
+      .bpeApplyFromCounts(TextAnalysis.stagedTokenCounts(s, d))
+      .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens"))
+    tokenBudgetKeepScored(
+      TextAnalysis.withQuality(Tables.documents(s, d))
+        .select(col("doc_id"), col("quality"))
+        .join(bpe, "doc_id"),
+      BpeTokenBudget)
+  }
+
+  private val o103 =
+    s"""WITH ${TextAnalysis.qualityCtes("")},
+       |${TextAnalysis.bpeCtes()},
+       |c AS (
+       |  SELECT q.doc_id, b.n_bpe_tokens AS n_tokens,
+       |         sum(b.n_bpe_tokens) OVER (ORDER BY q.quality DESC, q.doc_id
+       |           ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM q JOIN bpedoc b ON q.doc_id = b.doc_id)
+       |SELECT doc_id, n_tokens, cum <= $BpeTokenBudget AS kept FROM c""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q40_train_split", "deterministic hash train/val/test split stats", q40, Some(o40)),
     GraftQuery("q41_repetition", "repeated-3-gram fraction quality signal", q41, Some(o41)),
@@ -1046,5 +1126,7 @@ object TrainingData {
     GraftQuery("q75_intra_dedup", "intra-document first-occurrence span dedup (repetition-removal action)", q75, Some(o75)),
     GraftQuery("q77_pack_efficiency", "per-shard next-fit packing fill-fraction diagnostic", q77, Some(o77)),
     GraftQuery("q78_token_budget", "exact token-budget best-first prefix selection (two-phase, no global window)", q78, Some(o78)),
-    GraftQuery("q101_cluster_split", "near-dup-coherent train/val/test split (cluster-representative hash key)", q101, Some(o101)))
+    GraftQuery("q101_cluster_split", "near-dup-coherent train/val/test split (cluster-representative hash key)", q101, Some(o101)),
+    GraftQuery("q102_pack_bpe", "next-fit packing under the q99 BPE token currency", q102, Some(o102)),
+    GraftQuery("q103_budget_bpe", "token-budget prefix selection under the q99 BPE token currency", q103, Some(o103)))
 }

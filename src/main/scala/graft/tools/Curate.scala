@@ -62,9 +62,13 @@ import org.apache.spark.sql.functions._
 object Curate {
 
   // one definition for both run() and repack() — a repack with different
-  // pack geometry than the run it restarts would silently "succeed"
+  // pack geometry than the run it restarts would silently "succeed".
+  // Capacity is in BPE SYMBOLS (the q99 currency — what a context
+  // window actually holds), sized by the round-14
+  // capacity sweep (tools/PackFill; fixture BPE compression ~3.6, mean
+  // doc ~196 symbols — 2048 packs ~10 docs and fills ~0.87).
   private val PackShards = 8
-  private val PackCapacity = 512L
+  private val PackCapacity = 2048L
 
   final case class StageCounts(input: Long, afterDedup: Long,
       afterSemDedup: Long, afterQuality: Long, afterMixture: Long,
@@ -274,9 +278,22 @@ object Curate {
       case None => (clean.filter(col("split") === "train"), 0L)
     }
 
-    // 6. pack the train split into fixed token budgets
-    val packed = stage(TrainingData.packSequences(
-      trainClean, shards = PackShards, capacity = PackCapacity),
+    // 6a. per-doc BPE token counts (the q99 kernel): the tokenizer's
+    // merge table derives from the FULL corpus — trained before the
+    // split, as a real tokenizer is — and the counts are a staged
+    // artifact so repack() respends the exact same currency instead
+    // of re-deriving merges from whatever subset it happens to read.
+    val bpeCounts = stage(
+      TextAnalysis.bpeApplyFromCounts(
+          TextAnalysis.stagedTokenCounts(spark, sfDir))
+        .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens")),
+      "bpe_counts")
+
+    // 6b. pack the train split into fixed BPE-token budgets (q102's
+    // currency — q46's whitespace packer remains the registry oracle)
+    val packed = stage(TrainingData.packSequencesFromCounts(
+      trainClean.select("doc_id").join(bpeCounts, Seq("doc_id")),
+      shards = PackShards, capacity = PackCapacity),
       "train_packed")
 
     // counts read the written parquet (footer metadata, no recompute)
@@ -307,7 +324,11 @@ object Curate {
     val t0 = System.nanoTime()
     val trainClean = spark.read.parquet(s"$outDir/clean")
       .filter(col("split") === "train")
-    val packed = TrainingData.packSequences(trainClean,
+    // respend the run's staged BPE counts — re-deriving merges from the
+    // train subset alone would silently change the currency mid-restart
+    val packed = TrainingData.packSequencesFromCounts(
+      trainClean.select("doc_id")
+        .join(spark.read.parquet(s"$outDir/bpe_counts"), Seq("doc_id")),
       shards = PackShards, capacity = PackCapacity)
     packed.write.mode("overwrite").parquet(s"$outDir/train_packed")
     val n = spark.read.parquet(s"$outDir/train_packed")

@@ -239,7 +239,9 @@ class PlanShapeSpec extends AnyFunSuite {
     "q98_video_near_dups" -> Pinned, "q98b_video_pairs_sql" -> Pinned,
     "q99_bpe_apply" -> NoPairJoin,
     "q100_domain_profile" -> NoPairJoin,
-    "q101_cluster_split" -> NoPairJoin) // broadcast/equi cluster-map join, row-bounded
+    "q101_cluster_split" -> NoPairJoin, // broadcast/equi cluster-map join, row-bounded
+    "q102_pack_bpe" -> NoPairJoin, // vocab joins, match-bounded
+    "q103_budget_bpe" -> NoPairJoin) // doc-level equi-join + broadcast buckets
 
   test("every registered query declares its pair-join pinning (and no stale entries)") {
     val names = Registry.all.map(_.name).toSet

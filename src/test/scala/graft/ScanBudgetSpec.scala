@@ -149,7 +149,9 @@ class ScanBudgetSpec extends AnyFunSuite {
     "q98b_video_pairs_sql" -> ((0, 0)),
     "q99_bpe_apply" -> ((0, 0)), // staged token artifact (r13)
     "q100_domain_profile" -> ((1, 0)), // cluster side reads the staged parquet
-    "q101_cluster_split" -> ((1, 0))) // cluster side reads the staged parquet
+    "q101_cluster_split" -> ((1, 0)), // cluster side reads the staged parquet
+    "q102_pack_bpe" -> ((0, 0)), // rides the staged token artifact
+    "q103_budget_bpe" -> ((1, 0))) // quality scan; BPE side rides the staged tokens
 
   test("every registered query has a scan budget (and no stale entries linger)") {
     val names = Registry.all.map(_.name).toSet

@@ -263,7 +263,7 @@ class TrainingDataSpec extends AnyFunSuite {
     // every stage reports a positive mark-based wall, in pipeline order
     assert(walls.map(_._1).toSeq == Seq("audit", "deduped", "sem_deduped",
       "quality", "mixed", "mixture_report", "splits", "clean",
-      "train_packed"))
+      "bpe_counts", "train_packed"))
     assert(walls.forall(_._2 > 0))
     assert(c.afterDedup <= c.input && c.afterDedup > 0)
     // semantic dedup only removes docs, and keeps at least the cell seeds
@@ -281,10 +281,11 @@ class TrainingDataSpec extends AnyFunSuite {
       c.train + c.val_ + c.testClean)
     val packed = spark.read.parquet(s"$out/train_packed")
     assert(packed.count() == c.train)
-    // pack capacity respected except for oversized single docs
+    // pack capacity (BPE symbols, round 14) respected except for
+    // oversized single docs
     val over = packed.groupBy("shard", "pack_id")
       .agg(sum("n_tokens").as("tot"), count(lit(1)).as("n"))
-      .filter(col("tot") > 512 && col("n") > 1)
+      .filter(col("tot") > 2048 && col("n") > 1)
     assert(over.count() == 0)
     // restart-from-stage: re-running ONLY the packing stage against the
     // written clean artifact reproduces the same pack count (stages

@@ -47,7 +47,9 @@ class WindowBoundSpec extends AnyFunSuite {
     "q78_token_budget" -> 2,        // quality-bucket aggregate: ≤ 100k rows
     "q87_hybrid_rrf" -> 2,          // top-k ranker outputs: ≤ k and ≤ 2k rows
     "q90_vocab_coverage" -> 1,      // TakeOrdered(VocabCap): ≤ 100k rows
-    "q99_bpe_apply" -> 1)           // TakeOrdered(BpeMerges): ≤ 16 rows
+    "q99_bpe_apply" -> 1,           // TakeOrdered(BpeMerges): ≤ 16 rows
+    "q102_pack_bpe" -> 1,           // the q99 merge-rank window: ≤ 16 rows
+    "q103_budget_bpe" -> 2)         // q78's quality-bucket aggregate: ≤ 100k rows
 
   test("registry-wide: single-partition windows are exactly the documented allow-list") {
     val found = Registry.all.map(q => q.name -> unpartitioned(q.name).size)
@@ -83,7 +85,9 @@ class WindowBoundSpec extends AnyFunSuite {
       "q73_cell_balance" -> Seq("agg(cid)"),
       "q78_token_budget" -> Seq("agg(bkt)", "agg(bkt)"),
       "q90_vocab_coverage" -> Seq("take(100000)"),
-      "q99_bpe_apply" -> Seq("take(16)"))
+      "q99_bpe_apply" -> Seq("take(16)"),
+      "q102_pack_bpe" -> Seq("take(16)"),
+      "q103_budget_bpe" -> Seq("agg(bkt)", "agg(bkt)"))
     expected.foreach { case (name, want) =>
       val got = unpartitioned(name).map(boundOf).sorted
       assert(got == want.sorted, s"$name window bound drifted: $got != $want")
