@@ -211,6 +211,35 @@ object Similarity {
   private val NumCells = 16
   private val NProbe = 2
 
+  /** Per-cell population the production sizing aims for. 1250 is the
+    * measured sweet spot on this repo's own scale curves: it derives
+    * k=16 at sf1 (20k vectors — the demo constant, whose sf1 numbers
+    * are all linear) and k=160 at sf10 (200k vectors — exactly the
+    * `tools.NoiseScale` configuration that took q92's kernel from
+    * 92.9 s back to 17.9 s / exp 0.90, SCALE.md round 13).
+    */
+  val TargetCellSize = 1250L
+
+  /** Production default for the IVF/SemDeDup cell count: cells ∝
+    * corpus, so per-cell population stays ~[[TargetCellSize]] at any
+    * scale — the q92 sf10 lesson (a FIXED cell count saturates the
+    * CellCap² within-cell bound once the corpus outgrows it) as code
+    * instead of doc. Costs one count() — parquet footer metadata for
+    * an unfiltered table, one cheap job otherwise. Used by Curate's
+    * semantic stage and the streaming cell index seeding; the REGISTRY
+    * queries keep the pinned demo constant because the DuckDB oracle
+    * must derive identical cells from SQL. At extreme cell counts the
+    * flat centroid scan itself becomes the cost (k cosines per row) —
+    * beyond ~10⁵ cells, coarse-quantize hierarchically (IVF-of-IVF)
+    * rather than raising k further.
+    */
+  def derivedNumCells(embeddings: DataFrame,
+      targetCellSize: Long = TargetCellSize,
+      minCells: Int = NumCells): Int = {
+    val n = embeddings.count()
+    math.max(minCells.toLong, (n + targetCellSize - 1) / targetCellSize).toInt
+  }
+
   /** Sampled k-means (Lloyd) centroids for [[ivfTopK]] — the production
     * centroid path the deterministic demo SELECT stands in for. Each
     * iteration is one corpus pass: assignment scores the broadcast

@@ -204,9 +204,14 @@ object Curate {
       val survivorEmb = Tables.embeddings(spark, sfDir)
         .join(deduped.select(col("doc_id").as("vec_id")),
           Seq("vec_id"), "left_semi")
+      // cells ∝ corpus (the q92 sf10 lesson as code): derivedNumCells
+      // keeps per-cell population ~TargetCellSize at any corpus size,
+      // where the old fixed 16 would saturate the CellCap² bound once
+      // the corpus outgrew it (at fixture scale it still derives 16)
       val semDropped = Similarity.semanticDedup(survivorEmb,
           centroids = Some(Similarity.kmeansCentroids(
-            survivorEmb, k = 16, iters = 2, seed = 7L)))
+            survivorEmb, k = Similarity.derivedNumCells(survivorEmb),
+            iters = 2, seed = 7L)))
         .filter(!col("kept"))
         .select(col("vec_id").as("doc_id"))
       deduped.join(semDropped, Seq("doc_id"), "left_anti")

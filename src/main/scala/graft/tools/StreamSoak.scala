@@ -40,9 +40,14 @@ object StreamSoak {
       }
     }
 
-    // stream-static seeds, all in the model-free q95 hash space
+    // stream-static seeds, all in the model-free q95 hash space; the
+    // cell count derives from the seeding corpus (cells ∝ corpus, the
+    // q92 sf10 rule) with a 32-cell floor so the soak always exercises
+    // multi-cell verdicts even on tiny fixtures
     val histEmb = TextAnalysis.hashEmbedDense(hist)
-    val centroids = Similarity.asCentroids(histEmb.filter(col("vec_id") < 32))
+    val numCells = Similarity.derivedNumCells(histEmb, minCells = 32)
+    val centroids = Similarity.asCentroids(
+      histEmb.orderBy(col("vec_id")).limit(numCells))
     Similarity.writeCellIndex(histEmb, centroids, "soak_cell_idx", 32)
     TrainingData.writeGramIndex(hist, "soak_gram_idx", 32)
 

@@ -1044,4 +1044,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(kernel(50L) == 0L, "zero-norm vector must land in the lowest cid")
     assert(kernel(51L) == 2L, "a centroid copy must land in its own cell")
   }
+
+  test("derived IVF sizing: 10×-ing the corpus keeps per-cell population ~flat (cells ∝ corpus)") {
+    // deterministic pseudo-random embeddings from vec_id
+    def emb(n: Long) = spark.range(n).select(col("id").as("vec_id"),
+      array((0 until 8).map(j =>
+        pmod(xxhash64(col("id"), lit(j)), lit(1000)).cast("double") / 500.0 - 1.0): _*)
+        .as("embedding"))
+    def pops(n: Long): (Int, Seq[Long]) = {
+      val e = emb(n)
+      val k = Similarity.derivedNumCells(e, targetCellSize = 100L, minCells = 4)
+      val cents = Similarity.kmeansCentroids(e, k, iters = 1, seed = 11L)
+      (k, Similarity.cellAssignments(e, cents)
+        .groupBy("cid").count().collect().map(_.getLong(1)).toSeq)
+    }
+    val (k1, p1) = pops(1000L)
+    val (k10, p10) = pops(10000L)
+    assert(k1 == 10 && k10 == 100, s"cells must scale with the corpus: $k1/$k10")
+    def mean(xs: Seq[Long]) = xs.sum.toDouble / xs.length
+    // the q92 failure mode was per-cell population growing WITH the
+    // corpus (fixed k); under derived sizing the mean stays at the
+    // target and no cell balloons past a small multiple of it
+    assert(math.abs(mean(p10) - mean(p1)) / mean(p1) < 0.25,
+      s"per-cell mean moved under 10× growth: ${mean(p1)} -> ${mean(p10)}")
+    assert(p10.max <= 8 * 100,
+      s"a derived-sized cell blew past the target population: max=${p10.max}")
+    // and the FIXED demo constant shows exactly the q92 pathology here:
+    // same corpora, k pinned at 4 — population grows ~10×
+    def fixedMean(n: Long): Double = {
+      val e = emb(n)
+      val cents = Similarity.kmeansCentroids(e, 4, iters = 1, seed = 11L)
+      mean(Similarity.cellAssignments(e, cents)
+        .groupBy("cid").count().collect().map(_.getLong(1)).toSeq)
+    }
+    assert(fixedMean(10000L) / fixedMean(1000L) > 5.0,
+      "the fixed-k control should grow ~linearly with the corpus")
+  }
 }
