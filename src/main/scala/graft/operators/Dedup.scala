@@ -328,10 +328,11 @@ object Dedup {
   // Jaccard verifies only those pairs — one equi-join on doc_id, linear
   // in |candidates|. No all-pairs region exists anywhere in the plan, so
   // a hot language/source at 100 TB cannot produce a pair explosion (the
-  // earlier blocked form was quadratic within blocks). The whole query
-  // touches documents exactly twice: once for the candidate pipeline,
-  // once for the verification sets (was 12 scans when each join branch
-  // re-planned the shingle subtree).
+  // earlier blocked form was quadratic within blocks). Scan history:
+  // 12 documents scans when each join branch re-planned the shingle
+  // subtree → 2 (candidates + verification sets, round 7) → 0 (round
+  // 14: both the pairs and the member shingle sets are staged
+  // artifacts; the corpus is only scanned when the artifacts stage).
   private val JaccardThreshold = 0.6
 
   // ---- shared verify frames: the staging experiment (round 11) -----------
@@ -424,11 +425,51 @@ object Dedup {
     // when the member arrays are big — which makes the sets side big,
     // forces the SMJ regime, and byte-based AQE then sizes partitions
     // from those same big arrays.
+    pairShingleSetsFrom(cands, sets)
+  }
+
+  /** The pair-wiring half of [[pairShingleSets]] over an explicit
+    * `(doc_id, wh)` sets frame — shared by the recompute path (sets =
+    * the localCheckpoint'ed member hash) and the staged path (sets =
+    * [[stagedMemberShingles]]'s parquet).
+    */
+  private def pairShingleSetsFrom(cands: DataFrame, sets: DataFrame): DataFrame =
     cands
       .join(sets.select(col("doc_id").as("doc_a"), col("wh").as("wh_a")),
         Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("wh").as("wh_b")),
         Seq("doc_b"))
+
+  /** Candidate-MEMBER shingle sets `(doc_id, wh)`, staged to parquet
+    * once per (JVM, corpus fingerprint) — the round-14 closure of the
+    * "q25 accepted redundancy" (SCALE.md Known costs): the verify-side
+    * queries (q25/q74, q65) each re-scanned documents to hash the
+    * member sets, although the member population is fixed the moment
+    * the candidate pairs are staged. This is the member-token-volume
+    * frame the round-11 boundary explicitly allows staging (bounded by
+    * the CANDIDATE population, not the corpus — the same reason the
+    * q88/q25 `localCheckpoint` was fine), on parquet, the medium the
+    * round-12 measurements say to use (never the columnar cache).
+    * Derives from [[stagedCandidatePairs]], so the two artifacts are
+    * consistent by construction under the shared fingerprint key.
+    * Measured (tools/ShingleStage, min-of-3 warm): see SCALE.md
+    * round-14 for the sf1/sf10 numbers that shipped it.
+    */
+  private val stagedShinglePaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[graft] def stagedMemberShingles(s: SparkSession, d: String): DataFrame = {
+    val key = new java.io.File(d).getCanonicalPath + "@" + Tables.fingerprint(d)
+    val path = stagedShinglePaths.getOrElseUpdate(key, {
+      val out = java.nio.file.Files.createTempDirectory("graft-shingles")
+        .toString + "/shingles.parquet"
+      shingleSetsFrame(Tables.documents(s, d)
+          .join(candidateMembers(stagedCandidatePairs(s, d)),
+            Seq("doc_id"), "left_semi"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
   }
 
   /** Exact (pre-hashed) Jaccard for EVERY candidate pair, unfiltered —
@@ -454,8 +495,31 @@ object Dedup {
     jaccardSims(cands, docs)
       .filter(col("jaccard") >= JaccardThreshold)
 
+  /** [[jaccardSims]] over the STAGED member shingle sets — identical
+    * result, zero documents scans (shape B of the round-14
+    * tools/ShingleStage measurement).
+    */
+  private[graft] def jaccardSimsStaged(s: SparkSession, d: String): DataFrame =
+    pairShingleSetsFrom(stagedCandidatePairs(s, d), stagedMemberShingles(s, d))
+      .withColumn("jaccard",
+        size(array_intersect(col("wh_a"), col("wh_b"))) /
+          size(array_union(col("wh_a"), col("wh_b"))))
+      .select("doc_a", "doc_b", "jaccard")
+
+  private[graft] def jaccardVerifyStaged(s: SparkSession, d: String): DataFrame =
+    jaccardSimsStaged(s, d).filter(col("jaccard") >= JaccardThreshold)
+
+  // Round 14: the verify runners read the STAGED member shingle sets
+  // ([[stagedMemberShingles]]) instead of re-scanning documents — the
+  // SCALE.md "accepted redundancy" closed. tools/ShingleStage measured
+  // the two shapes a fixture-scale TIE (sf1 ≈2.1 vs ≈2.0 s, sf10 ≈5.5
+  // vs ≈5.6 s, both inside the box's noise band across repeated
+  // min-of-3 runs); what ships the staged form is the scan budget —
+  // it deletes one full documents scan per verify query (1→0), and at
+  // 100 TB the corpus scan is the term that dominates, not the
+  // member-sized artifact read the fixture prices at par.
   private def q25(s: SparkSession, d: String): DataFrame =
-    jaccardVerify(stagedCandidatePairs(s, d), Tables.documents(s, d))
+    jaccardVerifyStaged(s, d)
 
   private val o25 =
     s"""WITH $candidateCtes,
@@ -492,7 +556,10 @@ object Dedup {
     * where the gate is q25's `JaccardThreshold`.
     */
   def lshQuality(cands: DataFrame, docs: DataFrame): DataFrame =
-    jaccardSims(cands, docs)
+    lshQualityOf(jaccardSims(cands, docs))
+
+  private def lshQualityOf(sims: DataFrame): DataFrame =
+    sims
       .agg(count(lit(1)).as("n_candidates"),
         count(when(col("jaccard") >= SweepLo, 1)).as("n_ge_50"),
         count(when(col("jaccard") >= SweepMid, 1)).as("n_ge_70"),
@@ -504,7 +571,7 @@ object Dedup {
           .as("precision_at_gate"))
 
   private def q74(s: SparkSession, d: String): DataFrame =
-    lshQuality(stagedCandidatePairs(s, d), Tables.documents(s, d))
+    lshQualityOf(jaccardSimsStaged(s, d)) // staged sets: see q25
 
   private val o74 =
     s"""WITH $candidateCtes,
@@ -1069,7 +1136,10 @@ object Dedup {
   def containmentVerify(cands: DataFrame, docs: DataFrame): DataFrame =
     // the same frame q25/q74 verify over ([[pairShingleSets]]: member
     // semi-filter + one checkpointed evaluation + per-side joins)
-    pairShingleSets(cands, docs)
+    containmentOf(pairShingleSets(cands, docs))
+
+  private def containmentOf(pairs: DataFrame): DataFrame =
+    pairs
       .withColumn("containment",
         size(array_intersect(col("wh_a"), col("wh_b"))) /
           least(size(col("wh_a")), size(col("wh_b"))))
@@ -1077,7 +1147,8 @@ object Dedup {
       .select("doc_a", "doc_b", "containment")
 
   private def q65(s: SparkSession, d: String): DataFrame =
-    containmentVerify(stagedCandidatePairs(s, d), Tables.documents(s, d))
+    containmentOf(pairShingleSetsFrom( // staged sets: see q25
+      stagedCandidatePairs(s, d), stagedMemberShingles(s, d)))
 
   private val o65 =
     s"""WITH $candidateCtes,

@@ -359,11 +359,10 @@ class DedupSimilaritySpec extends AnyFunSuite {
       formatted.linesIterator.count(_.matches("""^\(\d+\) Scan parquet\s*$"""))
     }
     assert(scanCount("q23_minhash_lsh") == 1)
-    // 3 = staged-pair parquet twice (the pair frame + the
-    // candidateMembers semi-filter that keeps shingling off the
-    // non-member corpus) + documents ONCE — the corpus-scan budget is
-    // what matters at 100 TB and ScanBudgetSpec pins it at 1; the
-    // duplicated scan is the few-hundred-row session artifact
+    // 3 = the staged-pair parquet once + the staged member-shingle
+    // parquet twice (one per join side) — documents is never scanned
+    // in-query at all since round 14 (ScanBudgetSpec pins it at 0);
+    // the duplicated scan is the member-sized session artifact
     assert(scanCount("q25_jaccard_pairs") <= 3)
     // q34's window-capped self-join: one embeddings scan per join side
     assert(scanCount("q34_ann_lsh") <= 2)

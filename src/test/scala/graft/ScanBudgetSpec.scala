@@ -69,7 +69,7 @@ class ScanBudgetSpec extends AnyFunSuite {
     "q22_dedup_exact" -> ((1, 0)),
     "q23_minhash_lsh" -> ((1, 0)),
     "q24_simhash" -> ((1, 0)),
-    "q25_jaccard_pairs" -> ((1, 0)), // cand side reads the staged pair parquet
+    "q25_jaccard_pairs" -> ((0, 0)), // staged pairs + staged member shingles (r14)
     "q26_cosine_topk" -> ((0, 2)),
     "q27_langid" -> ((1, 0)),
     "q28_quality" -> ((1, 0)),
@@ -111,7 +111,7 @@ class ScanBudgetSpec extends AnyFunSuite {
     "q62_semantic_decontam" -> ((2, 2)),
     "q63_dup_span_frac" -> ((1, 0)),
     "q64_dsir_weights" -> ((1, 0)),
-    "q65_containment_pairs" -> ((1, 0)), // staged pairs
+    "q65_containment_pairs" -> ((0, 0)), // staged pairs + staged member shingles (r14)
     "q66_dup_token_coverage" -> ((1, 0)),
     "q67_bloom_decontam" -> ((2, 0)),
     "q68_length_quantiles" -> ((1, 0)),
@@ -120,7 +120,7 @@ class ScanBudgetSpec extends AnyFunSuite {
     "q71_bigram_lm" -> ((1, 0)),
     "q72_dup_profile" -> ((2, 0)), // totals + source-attach branches
     "q73_cell_balance" -> ((0, 2)),
-    "q74_lsh_quality" -> ((1, 0)), // staged pairs
+    "q74_lsh_quality" -> ((0, 0)), // staged pairs + staged member shingles (r14)
     "q75_intra_dedup" -> ((1, 0)),
     "q76_semantic_curve" -> ((0, 2)),
     "q77_pack_efficiency" -> ((1, 0)),
