@@ -289,10 +289,28 @@ object StreamingCurate {
     */
   /** Per-leg output counts + the ONLY state store's size (the near-dup
     * leg — every other leg is stream-static or row-local by design,
-    * asserted in StreamingSpec) + wall seconds for the drain.
+    * asserted in StreamingSpec) + wall seconds for the drain +
+    * per-leg drain progress (round 14, for the scale soak's receipts:
+    * micro-batch count, input rows, the final event-time watermark on
+    * the watermarked legs, and per-leg state size).
     */
+  final case class LegProgress(batches: Long, inputRows: Long,
+      watermark: String, stateRows: Long, stateBytes: Long)
+
   final case class AllLegsReport(counts: Map[String, Long],
-      dedupStateRows: Long, dedupStateBytes: Long, wallSec: Double)
+      dedupStateRows: Long, dedupStateBytes: Long, wallSec: Double,
+      legs: Map[String, LegProgress] = Map.empty)
+
+  private def progressOf(
+      q: org.apache.spark.sql.streaming.StreamingQuery): LegProgress =
+    Option(q.lastProgress).fold(LegProgress(0L, 0L, "", 0L, 0L)) { lp =>
+      LegProgress(
+        batches = lp.batchId + 1,
+        inputRows = q.recentProgress.map(_.numInputRows).sum,
+        watermark = Option(lp.eventTime.get("watermark")).getOrElse(""),
+        stateRows = lp.stateOperators.map(_.numRowsTotal).sum,
+        stateBytes = lp.stateOperators.map(_.memoryUsedBytes).sum)
+    }
 
   /** The COMPOSITION soak: every streaming leg running CONCURRENTLY
     * over one feed in one session/workDir — the configuration a real
@@ -381,6 +399,9 @@ object StreamingCurate {
       .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
     val stateBytes = Option(qDup.lastProgress)
       .map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)
+    val legProgress = Seq("curate" -> qCur, "neardup" -> qDup,
+      "stats" -> qStats, "semantic" -> qSem, "decontam" -> qDc,
+      "deadletter" -> qDl).map { case (n, q) => n -> progressOf(q) }.toMap
     legs.foreach(_.stop())
 
     val dups = spark.read.parquet(s"$workDir/verdicts")
@@ -395,7 +416,7 @@ object StreamingCurate {
         "sem_verdicts" -> cnt("sem_verdicts"),
         "dc_verdicts" -> cnt("dc_verdicts"), "stats_rows" -> cnt("stats"),
         "delivered" -> cnt("delivered"), "quarantined" -> cnt("quarantine")),
-      stateRows, stateBytes, (System.nanoTime() - t0) / 1e9)
+      stateRows, stateBytes, (System.nanoTime() - t0) / 1e9, legProgress)
   }
 
   def decontamVerdictStream(docs: DataFrame, indexTable: String,

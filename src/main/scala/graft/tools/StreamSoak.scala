@@ -71,11 +71,22 @@ object StreamSoak {
       statsWatermark = "2 minutes")
     val counts = rep.counts.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    // watermark lag per watermarked leg: replay event time is
+    // offset+86400s, so the newest event the feed carries is known
+    val maxEventSec = 86400L + msgs.length - 1
+    val legs = rep.legs.toSeq.sortBy(_._1).map { case (n, p) =>
+      val lagSec = if (p.watermark.isEmpty) -1L
+        else maxEventSec - java.time.Instant.parse(p.watermark).getEpochSecond
+      s""""$n":{"batches":${p.batches},"rows":${p.inputRows},""" +
+        s""""state_rows":${p.stateRows},"state_bytes":${p.stateBytes},""" +
+        s""""watermark_lag_sec":$lagSec}"""
+    }.mkString("{", ",", "}")
     println(s"""{"metric":"stream_soak","sf":"$sfDir","n_replayed":${msgs.length},""" +
       s""""batch_size":$batchSize,"wall_sec":${math.rint(rep.wallSec * 100) / 100},""" +
       s""""docs_per_sec":${math.rint(msgs.length / rep.wallSec)},""" +
       s""""dedup_state_rows":${rep.dedupStateRows},""" +
-      s""""dedup_state_bytes":${rep.dedupStateBytes},"counts":$counts}""")
+      s""""dedup_state_bytes":${rep.dedupStateBytes},"counts":$counts,""" +
+      s""""legs":$legs}""")
     spark.stop()
   }
 }
