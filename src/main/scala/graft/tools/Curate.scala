@@ -176,10 +176,16 @@ object Curate {
         col("n_chars"), col("quality"))
     // the survivor selection lives INSIDE the stage thunk: clustering's
     // label-propagation rounds run eagerly at construction, and a
-    // resumed run that already has `deduped` on disk must not pay them
+    // resumed run that already has `deduped` on disk must not pay them.
+    // The cluster map comes from the SHARED staged artifact
+    // (Dedup.stagedClusters) — stage 4's cluster-coherent split reads
+    // the same map, and an unstaged recompute here would run the whole
+    // label-propagation loop TWICE per pipeline (measured at sf1: the
+    // splits stage ballooned 0.2→21.1 s before this reuse; with it the
+    // map computes once and the splits join is sub-second).
     val deduped = stage({
       val survivors = Dedup.canonicalDocsPreScored(scoredDocs,
-          Dedup.dupClusters(Dedup.candidatePairs(spark, sfDir)))
+          Dedup.stagedClusters(spark, sfDir))
         .select("doc_id")
       scoredDocs.join(survivors, Seq("doc_id"), "left_semi")
     }, "deduped")
