@@ -774,6 +774,104 @@ object TrainingData {
        |SELECT tr.doc_id, count(*) AS n_shared_grams
        |FROM tr JOIN te USING (gh) GROUP BY 1""".stripMargin
 
+  // ---- q104: surgical span excision (the ExactSubstr REMOVAL action) -----
+  // Every decontamination operator so far DROPS whole documents (q43
+  // drops test docs, q67 drops train docs) — but Lee et al.'s
+  // ExactSubstr recipe, and the Llama-style pipelines that follow it,
+  // EXCISE the contaminated span and keep the rest of the document:
+  // dropping a 10k-token doc over one leaked 8-gram throws away ~10k
+  // clean training tokens. This is the scalpel: every 8-token window
+  // of a train doc whose gram hash appears in the benchmark marks its
+  // 8 tokens for removal; covered tokens are excised (interval union
+  // of the matched windows — the q66/q88 sorted-fold family at
+  // REMOVAL granularity) and the cleaned text is emitted alongside
+  // how much was cut. Clean docs pass through whole (n_removed = 0).
+  //
+  // Scale shape: the q67 asymmetry — benchmark grams are a broadcast
+  // set (swap in q67's Bloom prefilter when the suite outgrows
+  // broadcast), so the train gram stream is pruned by a broadcast
+  // join and never exchanged; matched starts are match-bounded (one
+  // doc-keyed aggregate over matches only, not the corpus); the
+  // excision itself is a row-local lambda over the staged word array.
+  // Three documents scans (test grams, train grams, the final docs
+  // frame the starts attach to) — the gram branches are gram-VOLUME,
+  // the recompute side of the stage-aggregates boundary (the q50/q91
+  // precedent), and the starts frame is too small to justify carrying
+  // the corpus through a checkpoint.
+  //
+  // clean_text on BOTH engines derives from the word array
+  // (`array_join(kept, ' ')`), never from the raw text — identical
+  // reconstruction even if a source ever carried irregular spacing.
+
+  /** Excise benchmark-leaked 8-gram spans from every `train` doc:
+    * `(doc_id, n_tokens, n_removed, clean_text)` for ALL train docs
+    * (clean ones unchanged). `benchmark` must be broadcast-small.
+    */
+  def exciseBenchmarkSpans(train: DataFrame, benchmark: DataFrame): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(graft.functions.GramHashes(col("text"), 8, 16)).as("gh"))
+      .distinct()
+    val starts = train
+      .select(col("doc_id"),
+        posexplode(graft.functions.GramHashes(col("text"), 8, 16))
+          .as(Seq("p", "gh")))
+      .join(broadcast(benchGrams), "gh")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("p").cast("long"))).as("starts"))
+    train
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .join(starts, Seq("doc_id"), "left")
+      .withColumn("starts",
+        coalesce(col("starts"), array().cast("array<bigint>")))
+      .withColumn("kept", expr(
+        "filter(w, (x, i) -> NOT exists(starts, p -> p <= i AND i < p + 8))"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("clean_text"))
+  }
+
+  private def q104(s: SparkSession, d: String): DataFrame = {
+    // the q67 fixture stand-in: benchmark = the corpus's own test split
+    val docs = Tables.documents(s, d).withColumn("split", splitCol)
+    exciseBenchmarkSpans(
+      docs.filter(col("split") === "train"),
+      docs.filter(col("split") === "test"))
+  }
+
+  private val o104 =
+    s"""WITH s AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws, $splitSql AS split
+       |  FROM documents),
+       |te AS (
+       |  SELECT DISTINCT unnest($gramHashSql) AS gh
+       |  FROM (SELECT ws FROM s WHERE split = 'test')),
+       |tg AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 6),
+       |           i -> {'p': i - 1,
+       |                 'gh': substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 16)})) AS e
+       |  FROM s WHERE split = 'train' AND len(ws) >= 8),
+       |st AS (
+       |  SELECT doc_id, list_sort(list(e.p)) AS starts
+       |  FROM tg JOIN te ON e.gh = te.gh GROUP BY doc_id),
+       |x AS (
+       |  SELECT s.doc_id, s.ws,
+       |         coalesce(st.starts, CAST([] AS BIGINT[])) AS starts
+       |  FROM s LEFT JOIN st USING (doc_id) WHERE s.split = 'train'),
+       |k AS (
+       |  SELECT doc_id, ws, len(ws) AS n_tokens,
+       |         list_filter(range(1, len(ws) + 1),
+       |           i -> len(list_filter(starts,
+       |                  p -> p <= i - 1 AND i - 1 < p + 8)) = 0) AS keep_idx
+       |  FROM x)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(n_tokens - len(keep_idx) AS BIGINT) AS n_removed,
+       |       -- DuckDB's array_to_string([]) is NULL where Spark's
+       |       -- array_join([]) is '' — a fully-excised doc must agree
+       |       coalesce(array_to_string(list_transform(keep_idx, i -> ws[i]), ' '), '')
+       |         AS clean_text
+       |FROM k""".stripMargin
+
   // ---- q69: fixed-SIZE deterministic per-stratum sample ------------------
   // Eval-subset creation: exactly K docs per source, where q47 samples
   // by RATE (its stratum share scales with stratum size — wrong for
@@ -1128,5 +1226,6 @@ object TrainingData {
     GraftQuery("q78_token_budget", "exact token-budget best-first prefix selection (two-phase, no global window)", q78, Some(o78)),
     GraftQuery("q101_cluster_split", "near-dup-coherent train/val/test split (cluster-representative hash key)", q101, Some(o101)),
     GraftQuery("q102_pack_bpe", "next-fit packing under the q99 BPE token currency", q102, Some(o102)),
-    GraftQuery("q103_budget_bpe", "token-budget prefix selection under the q99 BPE token currency", q103, Some(o103)))
+    GraftQuery("q103_budget_bpe", "token-budget prefix selection under the q99 BPE token currency", q103, Some(o103)),
+    GraftQuery("q104_span_excision", "surgical benchmark-span excision from train docs (ExactSubstr removal action)", q104, Some(o104)))
 }

@@ -241,7 +241,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q100_domain_profile" -> NoPairJoin,
     "q101_cluster_split" -> NoPairJoin, // broadcast/equi cluster-map join, row-bounded
     "q102_pack_bpe" -> NoPairJoin, // vocab joins, match-bounded
-    "q103_budget_bpe" -> NoPairJoin) // doc-level equi-join + broadcast buckets
+    "q103_budget_bpe" -> NoPairJoin, // doc-level equi-join + broadcast buckets
+    "q104_span_excision" -> NoPairJoin) // broadcast gram prune, match-bounded fan
 
   test("every registered query declares its pair-join pinning (and no stale entries)") {
     val names = Registry.all.map(_.name).toSet

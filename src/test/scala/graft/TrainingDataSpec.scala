@@ -72,6 +72,31 @@ class TrainingDataSpec extends AnyFunSuite {
       "no cluster straddles under q40's rule either — strengthen the fixture")
   }
 
+  test("q104 kernel: leaked spans are excised token-exactly, clean docs pass whole, overlaps union") {
+    import graft.operators.TrainingData
+    val leak = (1 to 8).map(i => s"b$i").mkString(" ") // the benchmark 8-gram
+    val train = Seq(
+      (1L, s"t1 t2 $leak t11 t12"),              // leak mid-doc: 8 tokens out
+      (2L, "all clean words nothing shared here truly"), // untouched
+      (3L, s"$leak b9"),                          // two OVERLAPPING matched windows
+      (4L, "short doc")                           // < 8 tokens: no grams, untouched
+    ).toDF("doc_id", "text")
+    val bench = Seq((9L, s"x0 $leak y0"), (10L, s"z $leak b9 z2"))
+      .toDF("doc_id", "text")
+    val out = TrainingData.exciseBenchmarkSpans(train, bench)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text"))).toMap
+    assert(out.size == 4, "every train doc must appear, clean or not")
+    assert(out(1L) == ((12L, 8L, "t1 t2 t11 t12")),
+      "exactly the leaked window's 8 tokens go; flanks survive")
+    assert(out(2L)._2 == 0L && out(2L)._3 == "all clean words nothing shared here truly")
+    // doc 3: windows [0,8) and [1,9) both match -> union covers all 9
+    assert(out(3L) == ((9L, 9L, "")),
+      "overlapping matched windows must union, not double-count or gap")
+    assert(out(4L) == ((2L, 0L, "short doc")), "sub-gram docs pass whole")
+  }
+
   test("q41: repeated 3-grams are counted, distinct text scores 0") {
     // "a b c a b c a b" -> 6 3-grams, 3 distinct -> dup_frac 0.5
     val dir = docsDir(Seq(
