@@ -683,9 +683,24 @@ object TextAnalysis {
     * per-distinct-word replaces and the per-doc totals all derive from
     * the one artifact, zero corpus scans.
     */
-  def bpeApplyFromCounts(agg: DataFrame, k: Int = BpeMerges): DataFrame = {
+  def bpeApplyFromCounts(agg: DataFrame, k: Int = BpeMerges): DataFrame =
+    bpeApplyWithMerges(agg, agg, k)
+
+  /** [[bpeApplyFromCounts]] with the merge table TRAINED on a
+    * different `(doc_id, w, cnt)` frame than the one being counted —
+    * the real tokenizer contract (round 14): merges derive from the
+    * full corpus ONCE, then price whatever text a later stage actually
+    * holds (e.g. Curate's excise mode counts the post-excision train
+    * text under the corpus-trained table). `mergeAgg` and `agg` may be
+    * the same frame, which is [[bpeApplyFromCounts]].
+    */
+  def bpeApplyWithMerges(mergeAgg: DataFrame, agg: DataFrame,
+      k: Int = BpeMerges): DataFrame = {
     val vocab = agg.groupBy(col("w")).agg(sum(col("cnt")).as("freq"))
-    val pairs = vocab.filter(length(col("w")) >= 2)
+    // same frame => one aggregation, the exact pre-r14 q99 plan
+    val mergeVocab = if (mergeAgg eq agg) vocab
+      else mergeAgg.groupBy(col("w")).agg(sum(col("cnt")).as("freq"))
+    val pairs = mergeVocab.filter(length(col("w")) >= 2)
       .select(col("freq"), explode(expr(
         "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
       .groupBy(col("pair")).agg(sum(col("freq")).as("n"))

@@ -30,7 +30,10 @@ import org.apache.spark.sql.functions._
   *      sharing a long n-gram with an external benchmark suite
   *      (contaminatedTrainDocs, the q67 bloom-prefiltered kernel;
   *      stage 5 protects THIS corpus's held-out split, 5b protects
-  *      published eval sets the corpus never saw);
+  *      published eval sets the corpus never saw), or with
+  *      `exciseBenchmark = true` EXCISE just the leaked spans and keep
+  *      the docs (exciseBenchmarkSpans, the q104 kernel — the
+  *      token-thrifty policy for long documents);
   *   6. next-fit token packing of the train split.
   *
   * Stage order matters and is deliberate: dedup BEFORE the quality
@@ -73,7 +76,8 @@ object Curate {
   final case class StageCounts(input: Long, afterDedup: Long,
       afterSemDedup: Long, afterQuality: Long, afterMixture: Long,
       train: Long, val_ : Long, testClean: Long, testDropped: Long,
-      trainPacks: Long, trainBenchDropped: Long = 0L)
+      trainPacks: Long, trainBenchDropped: Long = 0L,
+      trainTokensExcised: Long = 0L)
 
   /** Injected by tests between a stage's completed write and the next
     * stage's work — the crash point of the restartability contract.
@@ -85,7 +89,8 @@ object Curate {
       benchmark: Option[DataFrame] = None,
       stageWalls: Option[scala.collection.mutable.ListBuffer[(String, Double)]] = None,
       resume: Boolean = false,
-      failAfter: Option[String] = None)
+      failAfter: Option[String] = None,
+      exciseBenchmark: Boolean = false)
       : StageCounts = {
     val docs = Tables.documents(spark, sfDir)
 
@@ -274,10 +279,32 @@ object Curate {
     }, "clean")
 
     // 5b. optional external-benchmark decontamination of the TRAIN
-    // split (the q67 kernel): stage 5 protects this corpus's own
-    // held-out split; published eval suites the corpus never saw need
-    // the reverse direction — drop the train docs that leak them
-    val (trainClean, benchDropped) = benchmark match {
+    // split: stage 5 protects this corpus's own held-out split;
+    // published eval suites the corpus never saw need the reverse
+    // direction. Two policies over the same detection:
+    //   - DROP (the q67 kernel, default): lose every train doc that
+    //     shares a long gram with the benchmark;
+    //   - EXCISE (`exciseBenchmark = true`, the q104 kernel): keep the
+    //     doc, cut exactly the leaked 8-token windows — a 10k-token
+    //     doc with one leaked gram loses 8 tokens, not 10k. The
+    //     cleaned text replaces `text` (and n_chars follows) so every
+    //     downstream consumer sees the post-excision corpus.
+    // The two policies write DIFFERENT stage names (bench_clean vs
+    // bench_excised) so a resume can never reuse the other policy's
+    // artifact through a matching stamp chain.
+    val (trainClean, benchDropped, excised) = benchmark match {
+      case Some(b) if exciseBenchmark =>
+        val trainDocs = clean.filter(col("split") === "train")
+        val tc = stage({
+          val cleaned = TrainingData.exciseBenchmarkSpans(trainDocs, b)
+          trainDocs.drop("text", "n_chars")
+            .join(cleaned.select(col("doc_id"),
+              col("clean_text").as("text"), col("n_removed")), Seq("doc_id"))
+            .withColumn("n_chars", length(col("text")).cast("long"))
+        }, "bench_excised")
+        val cut = Option(tc.agg(sum(col("n_removed"))).head().get(0))
+          .fold(0L)(_.asInstanceOf[Long])
+        (tc.drop("n_removed"), 0L, cut)
       case Some(b) =>
         val trainDocs = clean.filter(col("split") === "train")
         val tc = stage({
@@ -285,8 +312,8 @@ object Curate {
             .select("doc_id")
           trainDocs.join(contaminatedTrain, Seq("doc_id"), "left_anti")
         }, "bench_clean")
-        (tc, trainDocs.count() - tc.count())
-      case None => (clean.filter(col("split") === "train"), 0L)
+        (tc, trainDocs.count() - tc.count(), 0L)
+      case None => (clean.filter(col("split") === "train"), 0L, 0L)
     }
 
     // 6a. per-doc BPE token counts (the q99 kernel): the tokenizer's
@@ -294,11 +321,20 @@ object Curate {
     // split, as a real tokenizer is — and the counts are a staged
     // artifact so repack() respends the exact same currency instead
     // of re-deriving merges from whatever subset it happens to read.
-    val bpeCounts = stage(
-      TextAnalysis.bpeApplyFromCounts(
-          TextAnalysis.stagedTokenCounts(spark, sfDir))
-        .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens")),
-      "bpe_counts")
+    // Under EXCISE the counts price the POST-excision train text
+    // (what the packer actually packs) under the same corpus-trained
+    // merge table (bpeApplyWithMerges — tokenizer fixed, text moved).
+    val bpeCounts = stage({
+      val corpusTokens = TextAnalysis.stagedTokenCounts(spark, sfDir)
+      val priced =
+        if (excised > 0L)
+          TextAnalysis.bpeApplyWithMerges(corpusTokens,
+            trainClean.select(col("doc_id"),
+              explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+              .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt")))
+        else TextAnalysis.bpeApplyFromCounts(corpusTokens)
+      priced.select(col("doc_id"), col("n_bpe_tokens").as("n_tokens"))
+    }, "bpe_counts")
 
     // 6b. pack the train split into fixed BPE-token budgets (q102's
     // currency — q46's whitespace packer remains the registry oracle)
@@ -322,7 +358,8 @@ object Curate {
       testDropped = splitDocs.filter(col("split") === "test").count() -
         bySplit.getOrElse("test", 0L),
       trainPacks = packed.select("shard", "pack_id").distinct().count(),
-      trainBenchDropped = benchDropped)
+      trainBenchDropped = benchDropped,
+      trainTokensExcised = excised)
   }
 
   /** Restart-from-stage: re-run ONLY the packing stage (6) against a

@@ -341,6 +341,29 @@ class TrainingDataSpec extends AnyFunSuite {
     // 5b touches only the train split: upstream counts identical
     assert((c2.input, c2.afterDedup, c2.afterQuality, c2.train, c2.testClean) ==
       ((c1.input, c1.afterDedup, c1.afterQuality, c1.train, c1.testClean)))
+
+    // phase 3: the EXCISE policy (q104 kernel) on the same planted leak
+    // — the doc SURVIVES but the leaked grams are cut, and the packer
+    // prices the post-excision text
+    val out3 = java.nio.file.Files.createTempDirectory("curateb3").toString
+    val c3 = graft.tools.Curate.run(spark, TestSpark.sf0001, out3,
+      Some(bench), exciseBenchmark = true)
+    assert(c3.trainBenchDropped == 0L, "excise mode never drops docs")
+    assert(c3.trainTokensExcised >= 8L, "the planted leak's window must be cut")
+    val excisedTrain = spark.read.parquet(s"$out3/bench_excised")
+    assert(excisedTrain.count() == c1.train, "every train doc survives excision")
+    val survivor = excisedTrain.filter(col("doc_id") === leaked.getLong(0)).head()
+    assert(survivor.getAs[String]("text") != leaked.getString(1),
+      "the leaked doc's text must have changed")
+    // the leaked doc was fed back VERBATIM as the benchmark, so every
+    // one of its 8-grams matched: the survivor is fully excised
+    assert(survivor.getAs[String]("text").isEmpty)
+    // the packer spends post-excision counts: the fully-excised doc
+    // contributes ~0 tokens ('' still splits to one empty token)
+    val packedTok = spark.read.parquet(s"$out3/bpe_counts")
+      .filter(col("doc_id") === leaked.getLong(0)).head().getAs[Long]("n_tokens")
+    assert(packedTok <= 1L,
+      s"fully-excised doc must price at ~zero BPE tokens, got $packedTok")
   }
 
   test("curation preserves docs with no embedding row (partial coverage)") {
