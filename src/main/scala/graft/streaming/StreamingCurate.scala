@@ -419,6 +419,32 @@ object StreamingCurate {
       stateRows, stateBytes, (System.nanoTime() - t0) / 1e9, legProgress)
   }
 
+  /** Stream-static span EXCISION leg (the q104 kernel in flight):
+    * arriving train docs are cleaned against a fixed benchmark suite
+    * per micro-batch — the clean-at-ingest policy, where the batch
+    * pipeline's stage 5b cleans at build time. The benchmark is
+    * stream-static (eval suites change on release cadence, not
+    * per-batch), so the leg is STATELESS: the gram set broadcasts
+    * into each micro-batch and the excision is row-local — no state
+    * store, no watermark, idempotent batch_id-partitioned writes
+    * (replays overwrite their own partition). Output rows:
+    * `(doc_id, n_tokens, n_removed, clean_text, batch_id)` for every
+    * arriving doc, clean ones unchanged.
+    */
+  def exciseStream(docs: DataFrame, benchmark: DataFrame,
+      outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    StreamingIngest.requireBatchPartitionedLayout(docs.sparkSession, outPath)
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        writeVerdictBatch(
+          TrainingData.exciseBenchmarkSpans(batch, benchmark),
+          batchId, outPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
   def decontamVerdictStream(docs: DataFrame, indexTable: String,
       outPath: String, checkpoint: String,
       buckets: Int = 32): org.apache.spark.sql.streaming.StreamingQuery = {

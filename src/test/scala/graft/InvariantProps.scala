@@ -536,6 +536,57 @@ object InvariantProps extends Properties("graft") {
     ch <- Gen.choose(1L, 5000L)
   } yield (dom, q, ch)
 
+  // ---- TrainingData (q104) -------------------------------------------------
+  // Differential check of the span-excision kernel against a brute-force
+  // reference: matched window starts by raw gram-string membership,
+  // coverage = interval union, kept = uncovered tokens in order. The
+  // benchmark generator lifts an 8-token slice out of one train doc so
+  // real matches occur (random 8-grams over the vocab almost never
+  // collide).
+  private val exciseDocGen: Gen[String] = for {
+    n <- Gen.choose(0, 20)
+    ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e"))
+  } yield ws.mkString(" ")
+
+  property("q104 exciseBenchmarkSpans matches a brute-force reference on random corpora") =
+    Prop.forAllNoShrink(for {
+      nd <- Gen.choose(1, 10)
+      docs <- Gen.listOfN(nd, exciseDocGen)
+      nb <- Gen.choose(0, 2)
+      rnd <- Gen.listOfN(nb, exciseDocGen)
+      liftFrom <- Gen.choose(0, nd - 1)
+    } yield (docs, rnd, liftFrom)) { case (texts, rndBench, liftFrom) =>
+      val liftedW = texts(liftFrom).split(" ", -1)
+      val bench = rndBench ++
+        (if (liftedW.length >= 8) Seq(liftedW.take(8).mkString(" ") + " e")
+         else Seq.empty)
+      val train = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val benchDf = bench.zipWithIndex.map { case (t, i) => (1000L + i, t) }
+        .toDF("doc_id", "text")
+      val benchGrams = bench.flatMap { t =>
+        val w = t.split(" ", -1)
+        if (w.length >= 8) (0 to w.length - 8).map(p => w.slice(p, p + 8).mkString(" "))
+        else Seq.empty
+      }.toSet
+      val expected = texts.zipWithIndex.map { case (t, i) =>
+        val w = t.split(" ", -1)
+        val starts =
+          if (w.length >= 8)
+            (0 to w.length - 8).filter(p => benchGrams(w.slice(p, p + 8).mkString(" ")))
+          else Seq.empty
+        val covered = starts.flatMap(p => p until p + 8).toSet
+        val kept = w.zipWithIndex.collect { case (x, j) if !covered(j) => x }
+        i.toLong -> ((w.length.toLong, (w.length - kept.length).toLong,
+          kept.mkString(" ")))
+      }.toMap
+      val got = graft.operators.TrainingData
+        .exciseBenchmarkSpans(train, benchDf).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      got == expected
+    }
+
   property("q100 domainProfile conserves docs/chars, bounds dups, drops blocked domains") =
     Prop.forAllNoShrink(for {
       docs <- Gen.choose(1, 30).flatMap(n => Gen.listOfN(n, domainDocGen))

@@ -630,6 +630,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("gram_idx_stream").count() == 2L)
   }
 
+  test("stream-static span excision cleans leaked spans in flight, stateless and replay-idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val leak = (1 to 8).map(i => s"b$i").mkString(" ")
+    val bench = Seq((900L, s"pre $leak post")).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("excout").toString
+    val q = graft.streaming.StreamingCurate.exciseStream(
+      mem.toDF().toDF("doc_id", "text"), bench, out,
+      Files.createTempDirectory("excck").toString)
+    mem.addData((1L, s"t1 t2 $leak t11"), (2L, "all clean words here"))
+    q.processAllAvailable()
+    mem.addData((3L, s"$leak")) // whole doc is the leak: fully excised
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "excision leg must not grow a state store")
+    q.stop()
+    val r = spark.read.parquet(out).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_removed"), x.getAs[String]("clean_text")))).toMap
+    assert(r(1L) == ((8L, "t1 t2 t11")))
+    assert(r(2L) == ((0L, "all clean words here")))
+    assert(r(3L) == ((8L, "")))
+    // every arriving doc is accounted for, across batches
+    assert(r.keySet == Set(1L, 2L, 3L))
+  }
+
   test("JS2: to_json sink round-trips through from_json losslessly") {
     import spark.implicits._
     val events = Seq(
