@@ -131,10 +131,20 @@ object TextAnalysis {
     * zero drift by construction — without re-splitting the text.
     */
   private[graft] def scoreQuality(staged: DataFrame): DataFrame =
-    staged
+    qualityRatioCols(staged
       .withColumn("n_words", size(col("w")))
       .withColumn("n_uniq", size(array_distinct(col("w"))))
-      .withColumn("n_stop", size(filter(col("w"), x => x.isInCollection(Stopwords))))
+      .withColumn("n_stop", size(filter(col("w"), x => x.isInCollection(Stopwords)))))
+
+  /** The ratio/quality half of the q28 chain over a frame that already
+    * carries the INTEGER stats (`n_words`, `n_uniq`, `n_stop`,
+    * `n_chars`) — one definition for both supplies (word-array counts
+    * in [[scoreQuality]], token-artifact counts in
+    * [[withQualityFromCounts]]): the doubles are bit-identical because
+    * the integers are equal and the expression shape is shared.
+    */
+  private def qualityRatioCols(stats: DataFrame): DataFrame =
+    stats
       .withColumn("avg_word_len", col("n_chars") / (lit(1.0) + col("n_words")))
       .withColumn("uniq_ratio", col("n_uniq") / (lit(1.0) + col("n_words")))
       .withColumn("stop_ratio", col("n_stop") / (lit(1.0) + col("n_words")))
@@ -142,6 +152,35 @@ object TextAnalysis {
         lit(100.0) * (col("uniq_ratio") * lit(0.5) +
           (lit(1.0) / (lit(1.0) + col("stop_ratio"))) * lit(0.3) +
           least(lit(1.0), col("n_words") / lit(100.0)) * lit(0.2)))
+
+  /** q28 quality off the STAGED token artifact plus a thin `(doc_id,
+    * n_chars)` projection (round 14): every quality input except
+    * n_chars is a word-multiset statistic the `(doc_id, w, cnt)`
+    * artifact already holds — n_words = Σcnt, n_uniq = row count,
+    * n_stop = Σcnt over stopword rows — so consumers that need ONLY
+    * the score (q103's ordering) replace the full-text tokenize scan
+    * with artifact reads + a two-column columnar scan. Value-identical
+    * to [[withQuality]] (same integers through [[qualityRatioCols]]'
+    * shared expressions; spec-pinned bit-exact in TokenCountFormsSpec).
+    */
+  private[graft] def withQualityFromCounts(s: SparkSession, d: String): DataFrame =
+    qualityFromCountsOf(
+      Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+      stagedTokenCounts(s, d))
+
+  /** Frame-level half of [[withQualityFromCounts]] (spec seam):
+    * `docsThin` = `(doc_id, n_chars)`, `counts` = `(doc_id, w, cnt)`.
+    */
+  private[graft] def qualityFromCountsOf(docsThin: DataFrame,
+      counts: DataFrame): DataFrame =
+    qualityRatioCols(
+      docsThin.join(counts
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_words"),
+          count(lit(1)).as("n_uniq"),
+          sum(when(col("w").isInCollection(Stopwords), col("cnt"))
+            .otherwise(lit(0L))).as("n_stop")),
+        "doc_id"))
 
   /** Streaming-safe quality gate: score with the shared q28 kernel and
     * keep docs at or above a FIXED threshold. The percentile forms

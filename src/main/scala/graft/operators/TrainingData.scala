@@ -1201,8 +1201,12 @@ object TrainingData {
     val bpe = TextAnalysis
       .bpeApplyFromCounts(TextAnalysis.stagedTokenCounts(s, d))
       .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens"))
+    // quality off the token artifact too (withQualityFromCounts,
+    // round 14): bit-identical score, and the query's only documents
+    // touch is the two-column (doc_id, n_chars) projection — the
+    // full-text tokenize scan was its one linear term at sf10
     tokenBudgetKeepScored(
-      TextAnalysis.withQuality(Tables.documents(s, d))
+      TextAnalysis.withQualityFromCounts(s, d)
         .select(col("doc_id"), col("quality"))
         .join(bpe, "doc_id"),
       BpeTokenBudget)

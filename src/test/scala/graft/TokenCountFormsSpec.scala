@@ -63,6 +63,14 @@ class TokenCountFormsSpec extends AnyFunSuite {
       rowsOf(TextAnalysis.bpeApply(docs)))
   }
 
+  test("qualityFromCountsOf equals withQuality bit-exactly (the q103 supply)") {
+    val viaCounts = TextAnalysis.qualityFromCountsOf(
+        docs.select(col("doc_id"), col("n_chars")), counts(docs))
+      .select(col("doc_id"), col("quality"))
+    assert(rowsOf(viaCounts) ==
+      rowsOf(TextAnalysis.withQuality(docs).select(col("doc_id"), col("quality"))))
+  }
+
   test("lmBucketsScored over the pre-aggregate equals lmBuckets") {
     val viaCounts = TextAnalysis.lmBucketsScored(docs,
       TextAnalysis.lmFromPerDoc(counts(docs).withColumnRenamed("cnt", "c")))
