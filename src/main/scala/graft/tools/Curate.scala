@@ -176,9 +176,16 @@ object Curate {
     // stage-2 percentile gate both reuse the persisted column instead
     // of re-tokenizing the text (quality is row-local + deterministic,
     // so scoring before vs after dedup is value-identical).
-    val scoredDocs = TextAnalysis.withQuality(docs, "text", "lang", "source")
+    // quality rides the staged token artifact (withQualityFromCounts —
+    // bit-identical to the tokenize form, TokenCountFormsSpec): the
+    // pipeline builds the artifact anyway for the bpe_counts stage, so
+    // scoring from it deletes the one full-corpus tokenize pass this
+    // projection used to pay (measured at sf10: see SCALE.md round 14)
+    val scoredDocs = docs
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
-        col("n_chars"), col("quality"))
+        col("n_chars"))
+      .join(TextAnalysis.withQualityFromCounts(spark, sfDir)
+        .select(col("doc_id"), col("quality")), Seq("doc_id"))
     // the survivor selection lives INSIDE the stage thunk: clustering's
     // label-propagation rounds run eagerly at construction, and a
     // resumed run that already has `deduped` on disk must not pay them.
