@@ -626,8 +626,12 @@ object TrainingData {
   // md5's first two hex chars — hex-string bucket ids avoid any
   // hex→int parsing divergence between engines.
   //
-  // Distributed shape: bigrams explode map-side off ONE documents scan
-  // (native WordGrams kernel) and collapse immediately to the
+  // Distributed shape: the registry query reads the staged bigram
+  // artifact (round 14 — hashing the distinct per-doc bigrams weighted
+  // by their counts, identical integers to per-occurrence hashing) and
+  // re-attaches lang on the ≤ docs×256-row bucket pre-aggregate; the
+  // self-contained form explodes bigrams map-side off ONE documents
+  // scan (native GramHashes kernel) and collapses immediately to the
   // (doc_id, lang, bucket) pre-aggregate; the 256-row bucket weight
   // table derives from that same pre-aggregate (identical exchange →
   // AQE ReusedExchange, the q56 shape) with its corpus totals as a
@@ -646,15 +650,48 @@ object TrainingData {
     * in DsirScale-integer arithmetic and `w_avg` is its per-bigram
     * mean as a double. Docs with < 2 words are absent (no features).
     */
-  def dsirWeights(docs: DataFrame, targetLang: String = DsirTargetLang): DataFrame = {
+  def dsirWeights(docs: DataFrame, targetLang: String = DsirTargetLang): DataFrame =
     // native GramHashes at bucket width: each bigram hashes in place as
     // a contiguous byte slice — no per-gram string assembly before the
     // md5 (bit-identical to the interpreted WordGrams+md5+substring
     // chain it replaced, and to the oracle's substr(md5(gm), 1, 2))
-    val perDoc = docs
+    dsirWeightsFrom(docs
       .select(col("doc_id"), col("lang"),
         explode(graft.functions.GramHashes(col("text"), 2, 2)).as("b"))
-      .groupBy(col("doc_id"), col("lang"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("lang"), col("b")).agg(count(lit(1)).as("c")),
+      targetLang)
+
+  /** [[dsirWeights]] over the staged `(doc_id, g, c)` bigram artifact
+    * plus a thin `(doc_id, lang)` projection (round 14): the hashed
+    * feature bucket is a function of the bigram STRING
+    * (`substr(md5(g), 1, 2)` — the exact oracle expression, and
+    * bit-identical to the native GramHashes slice hash), so hashing
+    * the DISTINCT per-doc bigrams weighted by their counts yields the
+    * same integers as hashing every occurrence; `lang` re-attaches on
+    * the ≤ docs×256-row bucket pre-aggregate, never on the occurrence
+    * stream. DsirFormsSpec pins both forms bit-equal.
+    */
+  def dsirWeightsFromCounts(docsLang: DataFrame, bigrams: DataFrame,
+      targetLang: String = DsirTargetLang): DataFrame =
+    // lang joins BEFORE the bucket aggregate and stays a grouping key:
+    // the weights branch and the per-doc score branch then share the
+    // exact same (doc_id, lang, b) exchange subtree (no column-pruning
+    // divergence), so AQE plans ONE feature exchange + ReusedExchange —
+    // the q56 shape the plan pin asserts. Joining after the aggregate
+    // read docs+bigrams TWICE (branch A pruned lang, branch B didn't,
+    // killing the reuse) — found by ScanBudgetSpec, kept as a comment
+    // so the tempting "smaller join" rewrite isn't re-attempted.
+    dsirWeightsFrom(bigrams
+      .select(col("doc_id"),
+        substring(md5(col("g")), 1, 2).as("b"), col("c"))
+      .join(docsLang.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("doc_id"), col("lang"), col("b")).agg(sum(col("c")).as("c")),
+      targetLang)
+
+  /** Shared tail of both DSIR forms: weights + per-doc score over the
+    * `(doc_id, lang, b, c)` bucket pre-aggregate.
+    */
+  private def dsirWeightsFrom(perDoc: DataFrame, targetLang: String): DataFrame = {
     val wTot = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
     val maxSafe = Long.MaxValue / DsirScale
     val weights = perDoc
@@ -680,7 +717,8 @@ object TrainingData {
   }
 
   private def q64(s: SparkSession, d: String): DataFrame =
-    dsirWeights(Tables.documents(s, d))
+    dsirWeightsFromCounts(Tables.documents(s, d),
+      graft.operators.TextAnalysis.stagedBigramCounts(s, d))
 
   private val o64 =
     s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),

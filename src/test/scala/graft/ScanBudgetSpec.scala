@@ -110,14 +110,14 @@ class ScanBudgetSpec extends AnyFunSuite {
     "q61_quality_ensemble" -> ((1, 0)),
     "q62_semantic_decontam" -> ((2, 2)),
     "q63_dup_span_frac" -> ((1, 0)),
-    "q64_dsir_weights" -> ((1, 0)),
+    "q64_dsir_weights" -> ((1, 0)), // staged bigram artifact + thin (doc_id, lang) scan (r14)
     "q65_containment_pairs" -> ((0, 0)), // staged pairs + staged member shingles (r14)
     "q66_dup_token_coverage" -> ((1, 0)),
     "q67_bloom_decontam" -> ((2, 0)),
     "q68_length_quantiles" -> ((1, 0)),
     "q69_fixed_sample" -> ((1, 0)),
     "q70_temperature_mixture" -> ((1, 0)),
-    "q71_bigram_lm" -> ((1, 0)),
+    "q71_bigram_lm" -> ((0, 0)), // staged bigram artifact (r14)
     "q72_dup_profile" -> ((2, 0)), // totals + source-attach branches
     "q73_cell_balance" -> ((0, 2)),
     "q74_lsh_quality" -> ((0, 0)), // staged pairs + staged member shingles (r14)
@@ -130,7 +130,7 @@ class ScanBudgetSpec extends AnyFunSuite {
     "q80b_audio_pairs_sql" -> ((0, 0)),
     "q81_normalize_text" -> ((1, 0)),
     "q82_c4_line_filter" -> ((1, 0)),
-    "q83_bpe_pairs" -> ((1, 0)),
+    "q83_bpe_pairs" -> ((0, 0)), // vocab off the staged token artifact (r14)
     "q84_pq_adc_topk" -> ((0, 2)),
     "q85_pq_distortion" -> ((0, 2)),
     "q86_lm_buckets" -> ((1, 0)), // lang projection; LM leg rides the staged tokens (r13)

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The session-stage caches (Dedup staged pairs/clusters, Multimodal
-  * staged aHashes) are per-JVM and keyed by corpus path PLUS a listing
+  * staged aHashes, TextAnalysis staged token/bigram counts) are
+  * per-JVM and keyed by corpus path PLUS a listing
   * fingerprint (`Tables.fingerprint`) — round-12 ADVICE: a long-lived
   * JVM that regenerates a fixture dir in place, or two corpus dirs
   * sharing a basename (the aHash stage path is basename-derived so the
@@ -78,6 +79,24 @@ class StageCacheSpec extends AnyFunSuite {
     // and the staged frame equals a fresh computation, not merely "changed"
     assert(pairsVia(Dedup.stagedCandidatePairs(spark, dir)) ==
       pairsVia(Dedup.candidatePairs(spark, dir)))
+  }
+
+  test("in-place corpus rewrite invalidates the staged token and bigram artifacts") {
+    import graft.operators.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage-tok").toString
+    writeCorpus(dir, 1L to 6L, dupA = 2L, dupB = 4L, pad = "alpha")
+    val tok1 = TextAnalysis.stagedTokenCounts(spark, dir).count()
+    val big1 = TextAnalysis.stagedBigramCounts(spark, dir).count()
+
+    // same path, different corpus (more ids AND different byte total)
+    writeCorpus(dir, 1L to 9L, dupA = 6L, dupB = 8L, pad = "longer-beta-pad")
+    val tok2 = TextAnalysis.stagedTokenCounts(spark, dir)
+    val big2 = TextAnalysis.stagedBigramCounts(spark, dir)
+    assert(tok2.select("doc_id").distinct().count() == 9,
+      "staged token counts must re-stage after an in-place corpus rewrite")
+    assert(big2.select("doc_id").distinct().count() == 9,
+      "staged bigram counts must re-stage after an in-place corpus rewrite")
+    assert(tok2.count() != tok1 || big2.count() != big1)
   }
 
   test("aHash stage survives two corpus dirs sharing a basename (alias rewrite)") {
