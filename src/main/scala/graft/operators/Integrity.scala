@@ -171,16 +171,23 @@ object Integrity {
       .filter(col("status").isNotNull)
   }
 
-  private def q91(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val newSnap = base
+  /** The fixture's deterministic "next crawl" (the planted-dirt rules
+    * q91's header documents), shared by q91 and q105 so the two CDC
+    * views — exact per-doc verdicts and distribution-level drift —
+    * describe the SAME pair of snapshots.
+    */
+  private[graft] def derivedNewSnapshot(base: DataFrame): DataFrame =
+    base
       .filter(col("doc_id") % 7 =!= 0)
       .select(col("doc_id"),
         when(col("doc_id") % 11 === 3, concat(lit("edited "), col("text")))
           .otherwise(col("text")).as("text"))
       .unionByName(base.filter(col("doc_id") % 2 === 0)
         .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
-    snapshotDiff(base, newSnap)
+
+  private def q91(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    snapshotDiff(base, derivedNewSnapshot(base))
   }
 
   private val o91 =
@@ -203,11 +210,114 @@ object Integrity {
       |FROM j
       |WHERE oh IS NULL OR nh IS NULL OR oh <> nh""".stripMargin
 
+  // ---- q105: crawl-to-crawl distribution drift (the statistical CDC) -----
+  // q91 answers "WHICH docs changed"; this answers "did the CORPUS
+  // change in aggregate" — the drift monitor every recurring-crawl
+  // pipeline runs before retraining (Wenzek et al.'s CCNet re-crawls;
+  // data-quality regression gates): compare the word distributions of
+  // two snapshots and report the top movers by absolute probability
+  // change. A template rollout, a spam wave, or a scraper regression
+  // shows up here long before any per-doc verdict aggregates it.
+  //
+  // Arithmetic is the q56/q64 integer discipline: per-word scaled
+  // probability p̂ = (cnt · DriftScale) div total per snapshot (both
+  // operands nonnegative, so Spark's truncating `div` and DuckDB's
+  // floor `//` agree), dp_scaled = p̂_new − p̂_old as an exact BIGINT;
+  // ordering is (|dp| desc, w asc) — word uniqueness makes the top-k
+  // cut deterministic. Overflow is ENFORCED like q56: a word count
+  // above Long.MaxValue/DriftScale raises instead of wrapping.
+  //
+  // Distributed shape: each snapshot collapses to its (w, cnt)
+  // vocabulary table map-side (Heaps-law bounded); the full-outer join
+  // and both 1-row totals move only vocab rows, totals re-attach as a
+  // broadcast cross join (a window-over-lit(1) on a VOCAB-sized frame
+  // would be the single-partition anti-pattern — q64 can afford it
+  // only because its frame is ≤256 rows by construction); top-k closes
+  // as TakeOrderedAndProject. The old side reads the staged token
+  // artifact (its vocabulary aggregate IS the snapshot distribution);
+  // the new side derives from [[derivedNewSnapshot]], with text
+  // coalesced to '' so a null-text doc contributes the same [""] token
+  // row as the artifact's contract.
+  private val DriftScale = 1000000000L
+  private val DriftTopK = 50
+
+  /** Top-[[DriftTopK]] word-probability movers between two corpus-level
+    * `(w, cnt)` word-count tables: `(w, cnt_old, cnt_new, dp_scaled)`.
+    */
+  def distDrift(oldCounts: DataFrame, newCounts: DataFrame): DataFrame = {
+    val o = oldCounts.select(col("w").as("wo"), col("cnt").as("cnt_old"))
+    val n = newCounts.select(col("w").as("wn"), col("cnt").as("cnt_new"))
+    val j = o.join(n, col("wo") === col("wn"), "full_outer")
+      .select(coalesce(col("wo"), col("wn")).as("w"),
+        coalesce(col("cnt_old"), lit(0L)).as("cnt_old"),
+        coalesce(col("cnt_new"), lit(0L)).as("cnt_new"))
+    val tot = oldCounts.agg(sum(col("cnt")).as("tot_old"))
+      .crossJoin(newCounts.agg(sum(col("cnt")).as("tot_new")))
+    val maxSafe = Long.MaxValue / DriftScale
+    j.crossJoin(broadcast(tot))
+      .select(col("w"), col("cnt_old"), col("cnt_new"),
+        when(greatest(col("cnt_old"), col("cnt_new")) > maxSafe,
+          raise_error(concat(
+            lit(s"distDrift: word count > Long-safe ceiling $maxSafe " +
+              s"for DriftScale=$DriftScale (lower DriftScale or use DECIMAL): "),
+            col("w"))))
+          .otherwise(expr(
+            s"(cnt_new * ${DriftScale}L) div tot_new - (cnt_old * ${DriftScale}L) div tot_old"))
+          .as("dp_scaled"))
+      .orderBy(abs(col("dp_scaled")).desc, col("w").asc)
+      .limit(DriftTopK)
+  }
+
+  private def q105(s: SparkSession, d: String): DataFrame = {
+    val oldCounts = TextAnalysis.stagedTokenCounts(s, d)
+      .groupBy(col("w")).agg(sum(col("cnt")).as("cnt"))
+    val newCounts = derivedNewSnapshot(
+      Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .select(explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    distDrift(oldCounts, newCounts)
+  }
+
+  private val o105 =
+    s"""WITH oldc AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(string_split(coalesce(text, ''), ' ')) AS w
+       |    FROM documents) GROUP BY w),
+       |newsnap AS (
+       |  SELECT CASE WHEN doc_id % 11 = 3 THEN 'edited ' || text
+       |              ELSE text END AS text
+       |  FROM documents WHERE doc_id % 7 <> 0
+       |  UNION ALL
+       |  SELECT text FROM documents WHERE doc_id % 2 = 0),
+       |newc AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(string_split(coalesce(text, ''), ' ')) AS w
+       |    FROM newsnap) GROUP BY w),
+       |tot AS (
+       |  SELECT (SELECT sum(cnt) FROM oldc) AS tot_old,
+       |         (SELECT sum(cnt) FROM newc) AS tot_new),
+       |j AS (
+       |  SELECT coalesce(oldc.w, newc.w) AS w,
+       |         coalesce(oldc.cnt, 0) AS cnt_old,
+       |         coalesce(newc.cnt, 0) AS cnt_new
+       |  FROM oldc FULL OUTER JOIN newc ON oldc.w = newc.w)
+       |SELECT w, CAST(cnt_old AS BIGINT) AS cnt_old,
+       |       CAST(cnt_new AS BIGINT) AS cnt_new,
+       |       CAST((cnt_new * $DriftScale) // tot_new
+       |          - (cnt_old * $DriftScale) // tot_old AS BIGINT) AS dp_scaled
+       |FROM j CROSS JOIN tot
+       |ORDER BY abs((cnt_new * $DriftScale) // tot_new
+       |           - (cnt_old * $DriftScale) // tot_old) DESC, w ASC
+       |LIMIT $DriftTopK""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q89_integrity_audit",
       "one-pass corpus integrity audit (keys, nulls, referential, dims)",
       q89, Some(o89)),
     GraftQuery("q91_snapshot_diff",
       "crawl-to-crawl snapshot diff: added/removed/changed by content hash",
-      q91, Some(o91)))
+      q91, Some(o91)),
+    GraftQuery("q105_dist_drift",
+      "crawl-to-crawl word-distribution drift: top movers by scaled probability change",
+      q105, Some(o105)))
 }

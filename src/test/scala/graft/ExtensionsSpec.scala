@@ -777,4 +777,20 @@ class ExtensionsSpec extends AnyFunSuite {
       !plan.linesIterator.exists(l => l.contains("Exchange") && l.contains("text#")),
       s"text must be projected away before any exchange:\n$plan")
   }
+
+  test("q105 distribution drift: exact scaled deltas, vanished/appeared words, |dp| ordering") {
+    import spark.implicits._
+    import graft.operators.Integrity
+    // totals 10 vs 10 so the scaled probabilities are exact tenths
+    val old = Seq(("a", 5L), ("b", 3L), ("c", 2L)).toDF("w", "cnt")
+    val neu = Seq(("a", 2L), ("b", 3L), ("d", 5L)).toDF("w", "cnt")
+    val rows = Integrity.distDrift(old, neu).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // |dp| desc, then w asc: d(+.5), a(-.3), c(-.2, vanished), b(0)
+    assert(rows.toSeq == Seq(
+      ("d", 0L, 5L, 500000000L),
+      ("a", 5L, 2L, -300000000L),
+      ("c", 2L, 0L, -200000000L),
+      ("b", 3L, 3L, 0L)))
+  }
 }

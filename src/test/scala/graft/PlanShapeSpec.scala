@@ -242,7 +242,9 @@ class PlanShapeSpec extends AnyFunSuite {
     "q101_cluster_split" -> NoPairJoin, // broadcast/equi cluster-map join, row-bounded
     "q102_pack_bpe" -> NoPairJoin, // vocab joins, match-bounded
     "q103_budget_bpe" -> NoPairJoin, // doc-level equi-join + broadcast buckets
-    "q104_span_excision" -> NoPairJoin) // broadcast gram prune, match-bounded fan
+    "q104_span_excision" -> NoPairJoin, // broadcast gram prune, match-bounded fan
+    "q105_dist_drift" -> NoPairJoin, // vocab-keyed full-outer join, one row per word
+    "q106_line_excision" -> NoPairJoin) // broadcast hot-line equi-join, row-bounded
 
   test("every registered query declares its pair-join pinning (and no stale entries)") {
     val names = Registry.all.map(_.name).toSet

@@ -543,6 +543,34 @@ class TextCurationSpec extends AnyFunSuite {
     assert(!verdict(threeGood.take(2).mkString("\n")))
   }
 
+  test("q106: lines in >= minDocs DISTINCT docs excise everywhere, order preserved") {
+    val pages = Seq(
+      (1L, "u1\nHOT\nu2"),
+      (2L, "HOT\nu3"),
+      (3L, "zz\naa"), // kept order must be positional, not alphabetical
+      (4L, "HOT"), // fully excised page reports ''
+      (6L, "dup\ndup"), // in-doc repetition counts ONCE toward distinctness
+      (7L, "dup")
+    ).toDF("doc_id", "t")
+    val out = TextAnalysis.lineExcision(pages, minDocs = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // HOT in docs {1,2,4} and dup in {6,7} are hot; u*/zz/aa are not
+    assert(out(1L) == ((3L, 1L, "u1\nu2")))
+    assert(out(2L) == ((2L, 1L, "u3")))
+    assert(out(3L) == ((2L, 0L, "zz\naa")))
+    assert(out(4L) == ((1L, 1L, "")))
+    assert(out(6L) == ((2L, 2L, "")))
+    assert(out(7L) == ((1L, 1L, "")))
+  }
+
+  test("q106: below-threshold corpora excise nothing and pages round-trip") {
+    val pages = Seq((1L, "a\nb"), (2L, "c\nd")).toDF("doc_id", "t")
+    val out = TextAnalysis.lineExcision(pages, minDocs = 2).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out == Map(1L -> "a\nb", 2L -> "c\nd"))
+  }
+
   test("q83: pair counts are vocabulary-weighted and exactly the BPE statistic") {
     // corpus: "ab ab abc cd" — vocab {ab:2, abc:1, cd:1}; within-word
     // pairs weighted by word freq: ab -> 2 (from "ab") + 1 (from
