@@ -366,6 +366,83 @@ object TrainingData {
        |${nextFitSql(PackCapacity)}
        |SELECT doc_id, shard, pack_id, n_tokens FROM p""".stripMargin
 
+  // ---- q107: seeded-shuffle packing (reproducible training order) --------
+  // q46/q102 pack in doc_id order within doc_id-modulo shards, so
+  // consecutive crawl neighbors — same source, same near-dup family,
+  // same template — land in the SAME context windows. Production
+  // pipelines globally shuffle before packing (GPT-3/The Pile data
+  // ordering) and the shuffle must be SEEDED so a rebuild reproduces
+  // the exact training order. The q40 trick supplies both properties
+  // engine-portably: h = md5(seed || doc_id) is a deterministic
+  // pseudo-random key; its first two hex chars are the shard (256
+  // hash-buckets — the parallelism unit) and (h, doc_id) is the order
+  // within the shard. Same next-fit fold, same oracle recursion — only
+  // the `d` CTE's shard/order changes, which is the whole point: the
+  // shuffle is an ORDERING choice, not a new packer.
+  //
+  // Scale shape: one scan, one repartition on the shard prefix, a
+  // per-shard sort (Spark's partition sort, never a global window),
+  // the partition-local fold. Changing the seed re-deals every pack;
+  // keeping it reproduces them byte-for-byte.
+  private[graft] val ShuffleSeed = "graft-shuffle-42"
+
+  final case class ShuffledPack(doc_id: Long, shard: String, pack_id: Long,
+      n_tokens: Long)
+
+  /** Next-fit fold over rows pre-sorted by (shard, h, doc_id) with a
+    * STRING shard key (the md5-prefix bucket).
+    */
+  private def packPartitionShuffled(rows: Iterator[(Long, String, String, Long)],
+      capacity: Long): Iterator[ShuffledPack] = {
+    var shard: String = null
+    var running = 0L
+    var pack = 0L
+    rows.map { case (docId, sh, _, n) =>
+      if (sh != shard) { shard = sh; running = n; pack = 0L }
+      else if (running + n > capacity) { running = n; pack += 1L }
+      else running += n
+      ShuffledPack(docId, sh, pack, n)
+    }
+  }
+
+  /** Seeded-shuffle next-fit packing over a `(doc_id, n_tokens)` frame:
+    * shard = substr(md5(seed || doc_id), 1, 2), order = (h, doc_id).
+    */
+  def packSequencesShuffledFromCounts(tokenCounts: DataFrame, seed: String,
+      capacity: Long): DataFrame = {
+    val spark = tokenCounts.sparkSession
+    import spark.implicits._
+    tokenCounts
+      .select(col("doc_id"),
+        md5(concat(lit(seed), col("doc_id").cast("string"))).as("h"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .select(col("doc_id"), substring(col("h"), 1, 2).as("shard"),
+        col("h"), col("n_tokens"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("h"), col("doc_id"))
+      .as[(Long, String, String, Long)]
+      .mapPartitions(packPartitionShuffled(_, capacity))
+      .toDF()
+  }
+
+  private def q107(s: SparkSession, d: String): DataFrame =
+    packSequencesShuffledFromCounts(
+      Tables.documents(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      ShuffleSeed, PackCapacity)
+
+  private val o107 =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id,
+       |         substr(md5('$ShuffleSeed' || CAST(doc_id AS VARCHAR)), 1, 2) AS shard,
+       |         len(string_split(text, ' ')) AS n_tokens,
+       |         row_number() OVER (
+       |           PARTITION BY substr(md5('$ShuffleSeed' || CAST(doc_id AS VARCHAR)), 1, 2)
+       |           ORDER BY md5('$ShuffleSeed' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |  FROM documents),
+       |${nextFitSql(PackCapacity)}
+       |SELECT doc_id, shard, pack_id, n_tokens FROM p""".stripMargin
+
   // ---- q102: BPE-currency packing (q46 under the q99 token definition) ----
   // q99's scaladoc called its output "the defensible token definition
   // q46/q78 lacked" — this closes that composition: the packer spends
@@ -1280,5 +1357,6 @@ object TrainingData {
     GraftQuery("q101_cluster_split", "near-dup-coherent train/val/test split (cluster-representative hash key)", q101, Some(o101)),
     GraftQuery("q102_pack_bpe", "next-fit packing under the q99 BPE token currency", q102, Some(o102)),
     GraftQuery("q103_budget_bpe", "token-budget prefix selection under the q99 BPE token currency", q103, Some(o103)),
-    GraftQuery("q104_span_excision", "surgical benchmark-span excision from train docs (ExactSubstr removal action)", q104, Some(o104)))
+    GraftQuery("q104_span_excision", "surgical benchmark-span excision from train docs (ExactSubstr removal action)", q104, Some(o104)),
+    GraftQuery("q107_shuffled_pack", "seeded reproducible global shuffle + next-fit packing (training-order decorrelation)", q107, Some(o107)))
 }

@@ -70,7 +70,6 @@ object Curate {
   // window actually holds), sized by the round-14
   // capacity sweep (tools/PackFill; fixture BPE compression ~3.6, mean
   // doc ~196 symbols — 2048 packs ~10 docs and fills ~0.87).
-  private val PackShards = 8
   private val PackCapacity = 2048L
 
   final case class StageCounts(input: Long, afterDedup: Long,
@@ -345,9 +344,14 @@ object Curate {
 
     // 6b. pack the train split into fixed BPE-token budgets (q102's
     // currency — q46's whitespace packer remains the registry oracle)
-    val packed = stage(TrainingData.packSequencesFromCounts(
+    // in SEEDED-SHUFFLE order (q107, round 14): doc_id-order packing
+    // put crawl neighbors — same source, same near-dup family — into
+    // the same context windows; the md5(seed || doc_id) deal
+    // decorrelates packs while staying byte-reproducible across
+    // rebuilds (the resume contract needs exactly this determinism).
+    val packed = stage(TrainingData.packSequencesShuffledFromCounts(
       trainClean.select("doc_id").join(bpeCounts, Seq("doc_id")),
-      shards = PackShards, capacity = PackCapacity),
+      seed = TrainingData.ShuffleSeed, capacity = PackCapacity),
       "train_packed")
 
     // counts read the written parquet (footer metadata, no recompute)
@@ -381,10 +385,12 @@ object Curate {
       .filter(col("split") === "train")
     // respend the run's staged BPE counts — re-deriving merges from the
     // train subset alone would silently change the currency mid-restart
-    val packed = TrainingData.packSequencesFromCounts(
+    // same seeded-shuffle packer as the pipeline stage — a repack that
+    // silently reverted to doc_id order would re-deal every pack
+    val packed = TrainingData.packSequencesShuffledFromCounts(
       trainClean.select("doc_id")
         .join(spark.read.parquet(s"$outDir/bpe_counts"), Seq("doc_id")),
-      shards = PackShards, capacity = PackCapacity)
+      seed = TrainingData.ShuffleSeed, capacity = PackCapacity)
     packed.write.mode("overwrite").parquet(s"$outDir/train_packed")
     val n = spark.read.parquet(s"$outDir/train_packed")
       .select("shard", "pack_id").distinct().count()

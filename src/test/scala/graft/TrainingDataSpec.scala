@@ -279,6 +279,35 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got(1L) == ((1L, 0L, 10L)))
   }
 
+  test("q107: seeded shuffle packs reproduce under the seed and re-deal under another") {
+    import graft.operators.TrainingData
+    import spark.implicits._
+    val counts = (1L to 200L).map(i => (i, 10L + i % 7)).toDF("doc_id", "n_tokens")
+    def packs(seed: String) = TrainingData
+      .packSequencesShuffledFromCounts(counts, seed, capacity = 64L)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("shard"), r.getAs[Long]("pack_id"),
+        r.getAs[Long]("n_tokens"))).toSet
+    val a = packs("seed-A")
+    // byte-reproducible: the same seed deals the identical packing
+    assert(packs("seed-A") == a)
+    // a different seed re-deals shards (some doc must move buckets)
+    val b = packs("seed-B")
+    assert(a.map(t => t._1 -> t._2) != b.map(t => t._1 -> t._2))
+    // every doc packed exactly once, token counts preserved
+    assert(a.map(_._1) == (1L to 200L).toSet && a.size == 200)
+    // capacity respected: per-(shard, pack) sums never exceed 64
+    // (no oversized docs in this fixture)
+    val sums = a.groupBy(t => (t._2, t._3)).values.map(_.map(_._4).sum)
+    assert(sums.forall(_ <= 64L))
+    // the deal is decorrelated from doc_id order: at least one shard
+    // holds non-contiguous ids (adjacent ids land in one md5 bucket
+    // with probability 1/256 per pair)
+    val byShard = a.groupBy(_._2).values.map(_.map(_._1).toSeq.sorted)
+    assert(byShard.exists(ids => ids.size >= 2 && ids.sliding(2)
+      .exists { case Seq(x, y) => y != x + 1 }))
+  }
+
   test("curation pipeline: stages compose, counts are consistent, output readable") {
     val out = java.nio.file.Files.createTempDirectory("curateout").toString
     val walls = scala.collection.mutable.ListBuffer.empty[(String, Double)]
