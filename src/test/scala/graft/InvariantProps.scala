@@ -610,4 +610,85 @@ object InvariantProps extends Properties("graft") {
       val blockedOk = out.forall(r => !blocked.contains(r.getString(0)))
       docsOk && charsOk && dupsOk && blockedOk
     }
+
+  // q105: distDrift equals a BigInt reference on random count tables
+  // small enough that the top-50 cut returns the FULL vocabulary —
+  // the truncating integer division and the |dp| ordering both
+  // re-derived independently here
+  private val countTableGen: Gen[Map[String, Long]] = for {
+    n <- Gen.choose(1, 20)
+    ws <- Gen.listOfN(n, Gen.identifier.map(_.take(5)).suchThat(_.nonEmpty))
+    cs <- Gen.listOfN(n, Gen.choose(1L, 1000L))
+  } yield ws.zip(cs).toMap
+
+  property("q105 distDrift equals the BigInt reference on random count tables") =
+    Prop.forAllNoShrink(Gen.zip(countTableGen, countTableGen)) { case (o, n) =>
+      val scale = BigInt(1000000000L)
+      val totO = BigInt(o.values.sum); val totN = BigInt(n.values.sum)
+      val expected = (o.keySet ++ n.keySet).toSeq.map { w =>
+        val co = BigInt(o.getOrElse(w, 0L)); val cn = BigInt(n.getOrElse(w, 0L))
+        (w, co.toLong, cn.toLong, ((cn * scale) / totN - (co * scale) / totO).toLong)
+      }.sortBy { case (w, _, _, dp) => (-math.abs(dp), w) }
+      val got = graft.operators.Integrity.distDrift(
+          o.toSeq.toDF("w", "cnt"), n.toSeq.toDF("w", "cnt"))
+        .collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      got == expected
+    }
+
+  // q106: lineExcision equals the reference excision on random pages
+  // drawn from a small line alphabet (so hot lines actually occur)
+  private val pagesGen: Gen[(Seq[(Long, String)], Int)] = for {
+    nd <- Gen.choose(1, 12)
+    minDocs <- Gen.choose(2, 4)
+    pages <- Gen.listOfN(nd, Gen.choose(1, 5).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+        .map(_.mkString("\n"))))
+  } yield (pages.zipWithIndex.map { case (t, i) => (i.toLong, t) }, minDocs)
+
+  property("q106 lineExcision equals the reference excision on random pages") =
+    Prop.forAllNoShrink(pagesGen) { case (pages, minDocs) =>
+      val hot = pages.flatMap { case (id, t) => t.split("\n", -1).distinct.map(id -> _) }
+        .groupBy(_._2).collect { case (l, xs) if xs.size >= minDocs => l }.toSet
+      val expected = pages.map { case (id, t) =>
+        val ls = t.split("\n", -1).toSeq
+        (id, ls.size.toLong, ls.count(hot).toLong,
+          ls.filterNot(hot).mkString("\n"))
+      }.toSet
+      val got = graft.operators.TextAnalysis.lineExcision(
+          pages.toDF("doc_id", "t"), minDocs)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      got == expected
+    }
+
+  // q107: shuffled packing equals the reference next-fit fold over the
+  // md5-dealt order — seed, shard prefix, ordering and capacity rule
+  // all re-derived independently
+  property("q107 shuffled packing equals the reference next-fit on random counts") =
+    Prop.forAllNoShrink(for {
+      n <- Gen.choose(1, 60)
+      counts <- Gen.listOfN(n, Gen.choose(1L, 40L))
+      cap <- Gen.choose(20L, 80L)
+      seed <- Gen.identifier.map(_.take(6))
+    } yield (counts.zipWithIndex.map { case (c, i) => (i.toLong, c) }, cap, seed)) {
+      case (counts, cap, seed) =>
+        def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val dealt = counts.map { case (id, c) => (id, md5hex(seed + id), c) }
+        val expected = dealt.groupBy(_._2.take(2)).flatMap { case (shard, xs) =>
+          var running = 0L; var pack = 0L
+          xs.sortBy(x => (x._2, x._1)).zipWithIndex.map { case ((id, _, c), i) =>
+            if (i == 0) { running = c; pack = 0L }
+            else if (running + c > cap) { running = c; pack += 1L }
+            else running += c
+            (id, shard, pack, c)
+          }
+        }.toSet
+        val got = graft.operators.TrainingData.packSequencesShuffledFromCounts(
+            counts.toDF("doc_id", "n_tokens"), seed, cap)
+          .collect().map(r => (r.getLong(0), r.getString(1),
+            r.getLong(2), r.getLong(3))).toSet
+        got == expected
+    }
 }
