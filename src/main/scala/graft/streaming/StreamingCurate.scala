@@ -173,6 +173,73 @@ object StreamingCurate {
         col("n_docs"), col("n_tokens"), col("mean_quality"),
         col("gate_pass_rate"))
 
+  /** The DRIFT-MONITOR leg (q105 in flight): per finalized event-time
+    * window, the arriving word distribution is compared against a
+    * static baseline `(w, cnt)` table — the staged token artifact of
+    * the historical corpus — and the top movers by scaled probability
+    * change land in a per-window report. A template rollout or spam
+    * wave in the FEED shows up one window after it starts, instead of
+    * at the next batch q105 run.
+    *
+    * Semantics note (deliberate asymmetry vs batch q105): the stream
+    * can only monitor ARRIVING mass — surging and brand-new words; a
+    * word that vanishes from the feed has no row in the window and is
+    * invisible here. Vanished-word drift needs the full-vocabulary
+    * outer diff, which is exactly the batch query. Same integer
+    * arithmetic (both `div` operands nonnegative), so a window's
+    * dp_scaled for a word equals what batch q105 would compute for a
+    * corpus equal to that window.
+    *
+    * Scale shape: the in-stream state is one row per (window, w) —
+    * vocab × windows-in-watermark, the honest floor for a distribution
+    * monitor, watermark-expired like statsStream. Window totals are a
+    * per-batch #windows-row broadcast; the baseline join is unhinted
+    * (AQE broadcasts a typical vocabulary; web-scale vocabularies fall
+    * back to a shuffle join keyed on uniform words). The report write
+    * is batch_id-partitioned dynamic overwrite ([[writeVerdictBatch]]'s
+    * replay idempotency); finalized windows emit exactly once (append
+    * mode), so a window's report is never split across batches.
+    */
+  def driftStream(docs: DataFrame, baseline: DataFrame, tsCol: String,
+      windowDuration: String, outPath: String, checkpoint: String,
+      watermark: String = "1 hour",
+      topK: Int = 10): org.apache.spark.sql.streaming.StreamingQuery = {
+    StreamingIngest.requireBatchPartitionedLayout(docs.sparkSession, outPath)
+    val driftScale = 1000000000L
+    val baseTot = baseline.agg(sum(col("cnt"))).head().getLong(0)
+    val base = baseline.select(col("w"), col("cnt").as("cnt_base"))
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+      .groupBy(window(col(tsCol), windowDuration), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val winTot = batch.groupBy(col("window"))
+          .agg(sum(col("cnt")).as("tot_new"))
+        val scored = batch
+          .join(broadcast(winTot), Seq("window"))
+          .join(base, Seq("w"), "left")
+          .na.fill(0L, Seq("cnt_base"))
+          .select(col("window.start").as("win_start"),
+            col("window.end").as("win_end"), col("w"), col("cnt"),
+            col("cnt_base"),
+            expr(s"(cnt * ${driftScale}L) div tot_new" +
+              s" - (cnt_base * ${driftScale}L) div ${baseTot}L").as("dp_scaled"))
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("win_start"))
+          .orderBy(abs(col("dp_scaled")).desc, col("w").asc)
+        writeVerdictBatch(
+          scored.withColumn("rk", row_number().over(win))
+            .filter(col("rk") <= topK).drop("rk"),
+          batchId, outPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
   /** The SEMANTIC dedup leg, stream-static: q55's verdict applied in
     * flight against a persisted survivor index — the q57 index pattern
     * (`Dedup.writeBandIndex` / `indexVerdictStream`) transposed from
@@ -347,7 +414,8 @@ object StreamingCurate {
       retentionMs: Long = 3600L * 1000, buckets: Int = 4,
       maxDupFrac: Double = 1.0,
       maxMessagesPerTrigger: Option[Long] = None,
-      statsWatermark: String = "1 hour"): AllLegsReport = {
+      statsWatermark: String = "1 hour",
+      driftBaseline: Option[DataFrame] = None): AllLegsReport = {
     val t0 = System.nanoTime()
     def docs: DataFrame = StreamingIngest.readFeedStream(spark, feed,
         maxMessagesPerTrigger = maxMessagesPerTrigger)
@@ -378,6 +446,12 @@ object StreamingCurate {
     val qDc = decontamVerdictStream(
       docs.select(col("doc_id"), col("text")), gramIndexTable,
       s"$workDir/dc_verdicts", s"$workDir/ckpt_dc", buckets)
+    // drift-monitor leg only when a historical baseline is supplied
+    val qDrift = driftBaseline.map(base => driftStream(
+      docs.select(col("doc_id"), col("text"), ts.as("ts")), base,
+      "ts", "60 seconds", s"$workDir/drift", s"$workDir/ckpt_drift",
+      watermark = statsWatermark))
+
     val withCorrupt = Schemas.document
       .add("_corrupt", org.apache.spark.sql.types.StringType)
     val qDl = StreamingIngest.readFeedStream(spark, feed,
@@ -393,15 +467,16 @@ object StreamingCurate {
       }
       .start()
 
-    val legs = Seq(qCur, qDup, qStats, qSem, qDc, qDl)
+    val legs = Seq(qCur, qDup, qStats, qSem, qDc, qDl) ++ qDrift
     legs.foreach(_.processAllAvailable())
     val stateRows = Option(qDup.lastProgress)
       .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
     val stateBytes = Option(qDup.lastProgress)
       .map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)
-    val legProgress = Seq("curate" -> qCur, "neardup" -> qDup,
+    val legProgress = (Seq("curate" -> qCur, "neardup" -> qDup,
       "stats" -> qStats, "semantic" -> qSem, "decontam" -> qDc,
-      "deadletter" -> qDl).map { case (n, q) => n -> progressOf(q) }.toMap
+      "deadletter" -> qDl) ++ qDrift.map("drift" -> _))
+      .map { case (n, q) => n -> progressOf(q) }.toMap
     legs.foreach(_.stop())
 
     val dups = spark.read.parquet(s"$workDir/verdicts")
@@ -415,7 +490,8 @@ object StreamingCurate {
       Map("curated" -> cnt("curated"), "dup_verdicts" -> cnt("verdicts"),
         "sem_verdicts" -> cnt("sem_verdicts"),
         "dc_verdicts" -> cnt("dc_verdicts"), "stats_rows" -> cnt("stats"),
-        "delivered" -> cnt("delivered"), "quarantined" -> cnt("quarantine")),
+        "delivered" -> cnt("delivered"), "quarantined" -> cnt("quarantine"),
+        "drift_rows" -> cnt("drift")),
       stateRows, stateBytes, (System.nanoTime() - t0) / 1e9, legProgress)
   }
 

@@ -61,6 +61,11 @@ object StreamSoak {
     graft.sources.FeedRegistry.post("soak", msgs.toIndexedSeq: _*)
 
     val work = java.nio.file.Files.createTempDirectory("soak").toString
+    // the drift leg's historical baseline: the seeding half's word
+    // distribution (what the staged token artifact holds in production)
+    val baseline = hist
+      .select(explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
     val rep = graft.streaming.StreamingCurate.runAllLegs(
       spark, "soak", work, minQuality = 50.0,
       centroids, "soak_cell_idx", "soak_gram_idx", buckets = 32,
@@ -68,7 +73,8 @@ object StreamSoak {
       // replay offsets span ~n_docs seconds of event time; a short
       // watermark lets the stats leg FINALIZE most windows inside the
       // soak, so the emitted row count is part of the evidence
-      statsWatermark = "2 minutes")
+      statsWatermark = "2 minutes",
+      driftBaseline = Some(baseline))
     val counts = rep.counts.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     // watermark lag per watermarked leg: replay event time is

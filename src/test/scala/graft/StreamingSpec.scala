@@ -484,6 +484,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows((60L, "srcB")) == ((1L, 4L, 1.0)))
   }
 
+  test("drift leg: a spam wave tops its window's movers with exact scaled deltas") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val docs = mem.toDF().toDF("doc_id", "text", "sec")
+      .select(col("doc_id"), col("text"),
+        timestamp_seconds(col("sec")).as("ts"))
+    // historical baseline: alpha and beta each half the mass (tot 10)
+    val baseline = Seq(("alpha", 5L), ("beta", 5L)).toDF("w", "cnt")
+    val out = Files.createTempDirectory("driftout").toString
+    val q = graft.streaming.StreamingCurate.driftStream(
+      docs, baseline, "ts", "1 minute", out,
+      Files.createTempDirectory("driftck").toString,
+      watermark = "10 seconds", topK = 10)
+    // window [60,120): 2×alpha + 3×spamtoken (tot 5); then advance the
+    // watermark far past it so the window finalizes
+    mem.addData((1L, "alpha spamtoken spamtoken", 70L),
+      (2L, "alpha spamtoken", 80L))
+    q.processAllAvailable()
+    mem.addData((3L, "watermark mover", 600L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("win_start").toInstant.getEpochSecond,
+        r.getAs[String]("w")) ->
+        (r.getAs[Long]("cnt"), r.getAs[Long]("cnt_base"), r.getAs[Long]("dp_scaled")))
+      .toMap
+    // only the finalized [60,120) window reports; the 600s window is open
+    assert(rows.keySet == Set((60L, "alpha"), (60L, "spamtoken")))
+    // spamtoken: 3/5 arriving vs 0 baseline -> +600000000
+    assert(rows((60L, "spamtoken")) == ((3L, 0L, 600000000L)))
+    // alpha: 2/5 arriving vs 5/10 baseline -> 400000000 - 500000000
+    assert(rows((60L, "alpha")) == ((2L, 5L, -100000000L)))
+  }
+
   test("stream-static incremental dedup verdicts micro-batches against the persisted index") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
