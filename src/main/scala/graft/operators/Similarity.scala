@@ -840,6 +840,110 @@ object Similarity {
   private def q73(s: SparkSession, d: String): DataFrame =
     cellBalance(Tables.embeddings(s, d))
 
+  // ---- q108: cell-population drift (embedding-space snapshot CDC) --------
+  // q105 watches the WORD distribution between crawls; this watches the
+  // SEMANTIC distribution: under one FIXED cell index (the production
+  // invariant — drift is measured against the index you serve, and a
+  // centroid retrain resets the baseline), how did each cell's
+  // population share move between two embedding snapshots? A topic
+  // surge, a spam cluster, or an upstream encoder change shows up as
+  // cells gaining/losing share — the retrain trigger for the q73
+  // balance observable. Same q56/q64 integer discipline: per-cell
+  // scaled share p̂ = (n · CellDriftScale) div total per snapshot,
+  // dp_scaled exact BIGINT; cells absent from one side count 0 (full
+  // outer join). Output is the full ≤numCells-row cell set — no top-k
+  // needed where the alphabet is structurally bounded.
+  //
+  // The fixture's "next crawl" derives by q91's selection rules
+  // (vec_id % 7 dropped, vec_id % 2 cloned shifted) — selection-only,
+  // because a PERTURBED vector has no cross-engine-portable arithmetic;
+  // population drift is exactly what selection changes. Scale shape:
+  // two assignment passes (map-side CellArgmax against the broadcast
+  // bounded centroid set), each collapsing to its ≤numCells-row count
+  // aggregate; everything after the aggregates moves ≤numCells rows,
+  // so the windows over the joined frame are q48-bounded.
+  private val CellDriftScale = 1000000000L
+
+  /** Per-cell population drift of two `(vec_id, embedding)` snapshots
+    * under centroids derived from the OLD snapshot: `(cid, n_old,
+    * n_new, dp_scaled)`.
+    */
+  def cellDrift(oldEmb: DataFrame, newEmb: DataFrame,
+      numCells: Int = NumCells,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    def normalized(e: DataFrame) = e
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val baseO = normalized(oldEmb)
+    val cents = centroids.getOrElse(demoCentroids(baseO, numCells))
+    def cellCounts(b: DataFrame, as: String) = assignToCells(b, cents)
+      .groupBy(col("cid")).agg(count(lit(1)).as(as))
+    val o = cellCounts(baseO, "n_old")
+    val n = cellCounts(normalized(newEmb), "n_new")
+      .withColumnRenamed("cid", "ncid")
+    val w = Window.partitionBy(lit(1))
+    o.join(n, col("cid") === col("ncid"), "full_outer")
+      .select(coalesce(col("cid"), col("ncid")).as("cid"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("tot_old", sum(col("n_old")).over(w))
+      .withColumn("tot_new", sum(col("n_new")).over(w))
+      .select(col("cid"), col("n_old"), col("n_new"),
+        expr(s"(n_new * ${CellDriftScale}L) div tot_new" +
+          s" - (n_old * ${CellDriftScale}L) div tot_old").as("dp_scaled"))
+  }
+
+  private def q108(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val newSnap = base.filter(col("vec_id") % 7 =!= 0)
+      .unionByName(base.filter(col("vec_id") % 2 === 0)
+        .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding")))
+    cellDrift(base, newSnap)
+  }
+
+  private val o108 =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+       |  FROM v),
+       |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < $NumCells),
+       |nn AS (
+       |  SELECT vec_id, v, nrm FROM n WHERE vec_id % 7 <> 0
+       |  UNION ALL
+       |  SELECT vec_id + 1000000000, v, nrm FROM n WHERE vec_id % 2 = 0),
+       |oldasg AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT n.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |             list_reduce(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i]),
+       |                         (a, b) -> a + b) / (n.nrm * c.cn) DESC, c.cid ASC) AS ark
+       |    FROM n CROSS JOIN cents c)
+       |  WHERE ark = 1),
+       |newasg AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT nn.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY nn.vec_id ORDER BY
+       |             list_reduce(list_transform(range(1, len(nn.v) + 1), i -> nn.v[i] * c.cv[i]),
+       |                         (a, b) -> a + b) / (nn.nrm * c.cn) DESC, c.cid ASC) AS ark
+       |    FROM nn CROSS JOIN cents c)
+       |  WHERE ark = 1),
+       |oldsz AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_old FROM oldasg GROUP BY cid),
+       |newsz AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_new FROM newasg GROUP BY cid),
+       |j AS (
+       |  SELECT coalesce(oldsz.cid, newsz.cid) AS cid,
+       |         coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+       |  FROM oldsz FULL OUTER JOIN newsz ON oldsz.cid = newsz.cid),
+       |tot AS (
+       |  SELECT (SELECT sum(n_old) FROM j) AS tot_old,
+       |         (SELECT sum(n_new) FROM j) AS tot_new)
+       |SELECT cid, n_old, n_new,
+       |       CAST((n_new * $CellDriftScale) // tot_new
+       |          - (n_old * $CellDriftScale) // tot_old AS BIGINT) AS dp_scaled
+       |FROM j CROSS JOIN tot""".stripMargin
+
   /** The operational verdict derived from the q73 observable: probe
     * `nProbe` cells, or fall back to exact search when probing would
     * scan too much of the corpus to beat brute force.
@@ -1201,5 +1305,6 @@ object Similarity {
     GraftQuery("q55_semantic_dedup", "SemDeDup within-cell cosine survivor selection", q55, Some(o55)),
     GraftQuery("q62_semantic_decontam", "test-vs-train embedding leakage within IVF cells", q62, Some(o62)),
     GraftQuery("q73_cell_balance", "IVF cell-occupancy balance diagnostic", q73, Some(o73)),
+    GraftQuery("q108_cell_drift", "cell-population drift between embedding snapshots under a fixed index", q108, Some(o108)),
     GraftQuery("q76_semantic_curve", "SemDeDup cosine threshold-curve diagnostic", q76, Some(o76)))
 }

@@ -765,6 +765,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(math.abs(rows.values.map(_._2).sum - 1.0) < 1e-12)
   }
 
+  test("q108: cell drift is exact, counts emptied cells, and holds the fixed index") {
+    val cents = Similarity.asCentroids(Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding"))
+    // old: 2 vecs per cell (tot 4, share .5/.5)
+    val old = Seq(
+      (10L, Seq(0.9f, 0.1f)), (11L, Seq(0.8f, 0.2f)),
+      (12L, Seq(0.1f, 0.9f)), (13L, Seq(0.2f, 0.8f))).toDF("vec_id", "embedding")
+    // new: cell 0 shrinks to 1 of 5, cell 1 grows to 4 of 5
+    val neu = Seq(
+      (10L, Seq(0.9f, 0.1f)),
+      (12L, Seq(0.1f, 0.9f)), (13L, Seq(0.2f, 0.8f)),
+      (20L, Seq(0.0f, 0.8f)), (21L, Seq(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    val rows = Similarity.cellDrift(old, neu, numCells = 2,
+        centroids = Some(cents))
+      .collect().map(r => r.getAs[Long]("cid") ->
+        (r.getAs[Long]("n_old"), r.getAs[Long]("n_new"),
+          r.getAs[Long]("dp_scaled"))).toMap
+    assert(rows(0L) == ((2L, 1L, 200000000L - 500000000L)))
+    assert(rows(1L) == ((2L, 4L, 800000000L - 500000000L)))
+    // a cell emptied entirely still reports (full-outer coalesce)
+    val allGone = Similarity.cellDrift(old,
+        Seq((12L, Seq(0.1f, 0.9f))).toDF("vec_id", "embedding"),
+        numCells = 2, centroids = Some(cents))
+      .collect().map(r => r.getAs[Long]("cid") ->
+        (r.getAs[Long]("n_old"), r.getAs[Long]("n_new"))).toMap
+    assert(allGone(0L) == ((2L, 0L)) && allGone(1L) == ((2L, 1L)))
+  }
+
   test("recommendNProbe: structureless floor, mega-cell exact verdict, curve override") {
     // the q73 observable wired into the operational lever (SCALE.md's
     // prose as code): plan from the balance's structureless floor

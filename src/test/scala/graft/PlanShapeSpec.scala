@@ -245,7 +245,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q104_span_excision" -> NoPairJoin, // broadcast gram prune, match-bounded fan
     "q105_dist_drift" -> NoPairJoin, // vocab-keyed full-outer join, one row per word
     "q106_line_excision" -> NoPairJoin, // broadcast hot-line equi-join, row-bounded
-    "q107_shuffled_pack" -> NoPairJoin) // no join at all: repartition + partition-local fold
+    "q107_shuffled_pack" -> NoPairJoin, // no join at all: repartition + partition-local fold
+    "q108_cell_drift" -> NoPairJoin) // full-outer join of two <=numCells-row aggregates
 
   test("every registered query declares its pair-join pinning (and no stale entries)") {
     val names = Registry.all.map(_.name).toSet
