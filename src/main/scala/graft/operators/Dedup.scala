@@ -923,6 +923,62 @@ object Dedup {
   private def q72(s: SparkSession, d: String): DataFrame =
     dupProfile(Tables.documents(s, d), stagedClusters(s, d))
 
+  // ---- q109: cross-source duplication overlap matrix ---------------------
+  // q72 answers "how duplicated is each source"; this answers "WHICH
+  // sources duplicate WHICH" — the overlap matrix every multi-source
+  // dataset report publishes (and the input to source-precedence
+  // dedup: when two sources mirror each other, you keep the
+  // higher-trust one wholesale). For each unordered source pair
+  // (source_a < source_b): how many q44 clusters contain docs of BOTH,
+  // and how many cross-source near-dup doc pairs those clusters hold
+  // (Σ n_a·n_b per shared cluster — the count of (doc from a, doc
+  // from b) near-dup relations).
+  //
+  // Scale shape: rides the staged cluster map (dup-volume, the q72
+  // posture) — one doc_id equi-join to attach sources, a
+  // (cluster, source) aggregate, then a cluster-keyed self-join whose
+  // per-cluster fan is ≤ |sources|² — the SOURCE ALPHABET squared,
+  // structurally bounded like q64's 256 buckets, never corpus-volume —
+  // and a final ≤|sources|²-row aggregate. The corpus itself is never
+  // scanned beyond the thin (doc_id, source) projection.
+
+  /** Cross-source overlap over `docs` + a q44-shaped cluster map:
+    * `(source_a, source_b, n_shared_clusters, n_cross_pairs)` for
+    * every source pair sharing at least one cluster.
+    */
+  def sourceOverlap(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val cs = clusters
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("cluster_id"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    val a = cs.select(col("cluster_id"), col("source").as("source_a"),
+      col("n").as("n_a"))
+    val b = cs.select(col("cluster_id").as("cid_b"),
+      col("source").as("source_b"), col("n").as("n_b"))
+    a.join(b, col("cluster_id") === col("cid_b") &&
+        col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared_clusters"),
+        sum(col("n_a") * col("n_b")).as("n_cross_pairs"))
+  }
+
+  private def q109(s: SparkSession, d: String): DataFrame =
+    sourceOverlap(Tables.documents(s, d), stagedClusters(s, d))
+
+  private val o109 =
+    s"""WITH RECURSIVE $candidateCtes,
+       |$clusterCtes,
+       |cs AS (
+       |  SELECT cl.cluster_id, d.source, CAST(count(*) AS BIGINT) AS n
+       |  FROM cl JOIN documents d USING (doc_id)
+       |  GROUP BY cl.cluster_id, d.source)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |       CAST(count(*) AS BIGINT) AS n_shared_clusters,
+       |       CAST(sum(a.n * b.n) AS BIGINT) AS n_cross_pairs
+       |FROM cs a JOIN cs b
+       |  ON a.cluster_id = b.cluster_id AND a.source < b.source
+       |GROUP BY a.source, b.source""".stripMargin
+
   private val o72 =
     s"""WITH RECURSIVE $candidateCtes,
        |$clusterCtes,
@@ -1412,6 +1468,7 @@ object Dedup {
     GraftQuery("q65_containment_pairs", "max-containment re-scoring of LSH candidates (asymmetric copying)", q65, Some(o65)),
     GraftQuery("q66_dup_token_coverage", "ExactSubstr-shaped duplicated-token coverage fraction", q66, Some(o66)),
     GraftQuery("q72_dup_profile", "per-source duplication profile over q44's clusters", q72, Some(o72)),
+    GraftQuery("q109_source_overlap", "cross-source duplication overlap matrix (shared clusters + cross pairs)", q109, Some(o109)),
     GraftQuery("q74_lsh_quality", "LSH candidate precision / threshold-curve diagnostic", q74, Some(o74)),
     GraftQuery("q88_dup_spans", "longest shared verbatim token span per LSH candidate pair", q88, Some(o88)))
 }

@@ -514,6 +514,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rows("srcB") == ((3L, 1L, 2L, 1.0 / 3.0)))
   }
 
+  test("q109: overlap matrix counts shared clusters and exact cross pairs, ordered pairs only") {
+    // cluster 1: 2×srcA + 1×srcB + 1×srcC; cluster 2: 1×srcA + 2×srcB;
+    // cluster 3: srcB only (no overlap row for same-source clusters)
+    val d = Seq((1L, "srcA"), (2L, "srcA"), (3L, "srcB"), (4L, "srcC"),
+      (5L, "srcA"), (6L, "srcB"), (7L, "srcB"), (8L, "srcB"), (9L, "srcB"))
+      .toDF("doc_id", "source")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (5L, 2L), (6L, 2L), (7L, 2L), (8L, 3L), (9L, 3L))
+      .toDF("doc_id", "cluster_id")
+    val rows = Dedup.sourceOverlap(d, clusters).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        (r.getAs[Long]("n_shared_clusters"), r.getAs[Long]("n_cross_pairs"))).toMap
+    // A-B share clusters 1 (2×1 pairs) and 2 (1×2); A-C and B-C share cluster 1
+    assert(rows == Map(
+      ("srcA", "srcB") -> ((2L, 4L)),
+      ("srcA", "srcC") -> ((1L, 2L)),
+      ("srcB", "srcC") -> ((1L, 1L))))
+  }
+
   test("q95: hash embeddings are lossless vs sparse, cosine-1.0 on twins, near-orthogonal on disjoint vocab") {
     import spark.implicits._
     import graft.operators.TextAnalysis

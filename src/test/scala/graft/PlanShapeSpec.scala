@@ -246,7 +246,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q105_dist_drift" -> NoPairJoin, // vocab-keyed full-outer join, one row per word
     "q106_line_excision" -> NoPairJoin, // broadcast hot-line equi-join, row-bounded
     "q107_shuffled_pack" -> NoPairJoin, // no join at all: repartition + partition-local fold
-    "q108_cell_drift" -> NoPairJoin) // full-outer join of two <=numCells-row aggregates
+    "q108_cell_drift" -> NoPairJoin, // full-outer join of two <=numCells-row aggregates
+    "q109_source_overlap" -> NoPairJoin) // cluster-keyed self-join, fan <= |sources|^2 per cluster (bounded alphabet)
 
   test("every registered query declares its pair-join pinning (and no stale entries)") {
     val names = Registry.all.map(_.name).toSet

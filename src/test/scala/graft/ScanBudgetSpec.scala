@@ -156,7 +156,8 @@ class ScanBudgetSpec extends AnyFunSuite {
     "q105_dist_drift" -> ((2, 0)), // old side reads the token artifact; new-snapshot union scans docs twice
     "q106_line_excision" -> ((2, 0)), // line stream feeds the frequency branch and the regroup branch
     "q107_shuffled_pack" -> ((1, 0)), // one scan, shard repartition, partition-local fold
-    "q108_cell_drift" -> ((0, 4))) // old assign + centroid seed + 2-scan snapshot union; counts collapse map-side
+    "q108_cell_drift" -> ((0, 4)), // old assign + centroid seed + 2-scan snapshot union; counts collapse map-side
+    "q109_source_overlap" -> ((1, 0))) // thin (doc_id, source) attach; everything else rides the staged cluster map
 
   test("every registered query has a scan budget (and no stale entries linger)") {
     val names = Registry.all.map(_.name).toSet
