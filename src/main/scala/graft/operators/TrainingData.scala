@@ -205,15 +205,14 @@ object TrainingData {
   // test doc. No train-vs-test self-join: referencing the gram frame
   // twice would re-plan the whole explode subtree per side (two scans),
   // and a gram-level join could not be capped the same way.
-  /** Test docs sharing a long n-gram with any train doc (the q43 kernel
-    * over any frame carrying `doc_id`, `text`) — returns
-    * `(doc_id, n_shared_grams)`.
+  /** Shared q43 tail over a `(doc_id, split, gh)` gram stream: per
+    * gram, a has-train flag plus its (small) test-doc set, then one
+    * aggregate per contaminated test doc. collect_set dedupes, so an
+    * occurrence stream and a distinct `(doc_id, gh)` stream yield
+    * identical results (the staged-artifact equivalence).
     */
-  def contaminatedTestDocs(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("split", splitCol)
-      .select(col("doc_id"), col("split"),
-        explode(graft.functions.GramHashes(col("text"), 8, 16)).as("gh"))
+  private def contaminationTail(grams: DataFrame): DataFrame =
+    grams
       .groupBy(col("gh"))
       .agg(
         max(when(col("split") === "train", 1).otherwise(0)).as("has_train"),
@@ -222,6 +221,26 @@ object TrainingData {
       .select(explode(col("test_docs")).as("doc_id"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_grams"))
+
+  /** The q43 kernel over a frame that ALREADY carries its `split`
+    * column — the form a composed pipeline must call: Curate's stage-4
+    * split is cluster-coherent (q101), and re-deriving md5(doc_id)
+    * splits here would decontaminate under a DIFFERENT assignment than
+    * the one the pack stage trains on (found round 14: cluster
+    * survivors whose representative id differs from their own id flip
+    * splits between the two keys).
+    */
+  def contaminatedTestDocsWithSplit(docs: DataFrame): DataFrame =
+    contaminationTail(docs.select(col("doc_id"), col("split"),
+      explode(graft.functions.GramHashes(col("text"), 8, 16)).as("gh")))
+
+  /** Test docs sharing a long n-gram with any train doc (the q43 kernel
+    * over any frame carrying `doc_id`, `text`; the split derives from
+    * md5(doc_id) — the q40 registry semantics) — returns
+    * `(doc_id, n_shared_grams)`.
+    */
+  def contaminatedTestDocs(docs: DataFrame): DataFrame =
+    contaminatedTestDocsWithSplit(docs.withColumn("split", splitCol))
 
   private def q43(s: SparkSession, d: String): DataFrame =
     contaminatedTestDocs(Tables.documents(s, d))

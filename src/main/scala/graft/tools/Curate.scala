@@ -277,9 +277,12 @@ object Curate {
         .drop("cluster_id")
     }, "splits")
 
-    // 5. decontaminate: test docs sharing an 8-gram with train are out
+    // 5. decontaminate: test docs sharing an 8-gram with train are out —
+    // under the STORED stage-4 split (the WithSplit form; the bare
+    // kernel re-derives md5(doc_id) splits, which the cluster-coherent
+    // assignment deliberately diverges from — round-14 fix)
     val clean = stage({
-      val contaminated = TrainingData.contaminatedTestDocs(splitDocs)
+      val contaminated = TrainingData.contaminatedTestDocsWithSplit(splitDocs)
         .select("doc_id")
       splitDocs.join(contaminated, Seq("doc_id"), "left_anti")
     }, "clean")

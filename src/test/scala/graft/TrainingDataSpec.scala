@@ -279,6 +279,28 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got(1L) == ((1L, 0L, 10L)))
   }
 
+  test("q43 WithSplit honors the stored split where md5-derived splits disagree") {
+    import graft.operators.TrainingData
+    import spark.implicits._
+    // find two ids the md5 rule puts in TRAIN, so the bare kernel sees
+    // no test doc at all — then store a split that disagrees
+    val md5Splits = (1L to 60L).toDF("doc_id")
+      .withColumn("split", TrainingData.splitColumn)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val both = (1L to 60L).filter(id => md5Splits(id) == "train").take(2)
+    assert(both.size == 2, s"fixture ids exhausted: $md5Splits")
+    val shared = (1 to 8).map(i => s"g$i").mkString(" ")
+    val docs = Seq(
+      (both(0), s"$shared leading train doc body", "train"),
+      (both(1), s"$shared leaked into the held out doc", "test"))
+      .toDF("doc_id", "text", "split")
+    // bare kernel re-derives md5 splits -> both train -> no contamination
+    assert(TrainingData.contaminatedTestDocs(docs.drop("split")).isEmpty)
+    // the WithSplit form sees the STORED assignment and flags the leak
+    val got = TrainingData.contaminatedTestDocsWithSplit(docs).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(both(1)))
+  }
+
   test("q107: seeded shuffle packs reproduce under the seed and re-deal under another") {
     import graft.operators.TrainingData
     import spark.implicits._
@@ -333,6 +355,13 @@ class TrainingDataSpec extends AnyFunSuite {
     // every written stage is a readable parquet with the expected rows
     assert(spark.read.parquet(s"$out/clean").count() ==
       c.train + c.val_ + c.testClean)
+    // the decontam invariant under the STORED (cluster-coherent) split:
+    // nothing left in clean is contaminated under ITS OWN assignment
+    // (round 14: the bare kernel's md5 re-derivation would check a
+    // DIFFERENT split than the one the pack stage trains on)
+    assert(graft.operators.TrainingData
+      .contaminatedTestDocsWithSplit(spark.read.parquet(s"$out/clean"))
+      .isEmpty)
     val packed = spark.read.parquet(s"$out/train_packed")
     assert(packed.count() == c.train)
     // pack capacity (BPE symbols, round 14) respected except for
