@@ -163,17 +163,55 @@ object TrainingData {
       |       ELSE 0.0 END AS dup_frac
       |FROM g""".stripMargin
 
+  // ---- the staged 8-gram-hash artifact (round 14, late session) ----------
+  // The stage-aggregates boundary ("gram-volume branches recompute")
+  // held as prose until tools/GramStage priced it: staging the DISTINCT
+  // `(doc_id, gh)` 8-gram stream once per corpus fingerprint wins
+  // q42 25.2→3.6 s and q43 26.0→4.7 s at sf10 (3.4× each at sf1), with
+  // the cold write ≈ 1.4 raw queries — amortized from the second
+  // consumer on. The honest cost axis is BYTES: the artifact measures
+  // ~20× the compressed corpus (263 MB vs 13 MB at sf10), so at
+  // extreme scale it is a deliberate campaign artifact — exactly the
+  // posture of [[writeGramIndex]] — not a free lunch; the boundary
+  // stays for the HIGHER-volume expansions (q50's 3-gram text grams,
+  // q63/q104's positional grams), which this artifact's fixed-width
+  // hashes cannot serve. DISTINCT (doc_id, gh) is the exact consumer
+  // semantics: both q42's source sets and q43's test-doc sets dedupe
+  // per doc (collect_set), so the forms are value-identical
+  // (GramFormsSpec pins it). Keyed like every session stage.
+  private val stagedGramPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[graft] def stagedGramHashes(s: SparkSession, d: String): DataFrame = {
+    val key = new java.io.File(d).getCanonicalPath + "@" + Tables.fingerprint(d)
+    val path = stagedGramPaths.getOrElseUpdate(key, {
+      val out = java.nio.file.Files.createTempDirectory("graft-grams")
+        .toString + "/grams.parquet"
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.GramHashes(col("text"), 8, 16)).as("gh"))
+        .dropDuplicates("doc_id", "gh")
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
   // ---- q42: cross-source contamination (shared 8-gram count) -------------
   // Long n-grams make overlap evidence, not noise (the 13-gram idea from
-  // GPT-3 decontamination, sized to the fixture's docs). One documents
-  // scan; gram hashes explode map-side; ONE shuffle groups by the
-  // 128-bit hash; each gram's source set (≤ |sources|) explodes into
-  // ordered pairs map-side — never a gram-level self-join, so a gram
-  // shared by every source costs |sources|², not |corpus|².
-  private def q42(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("source"),
-        explode(graft.functions.GramHashes(col("text"), 8, 16)).as("gh"))
+  // GPT-3 decontamination, sized to the fixture's docs). The gram
+  // stream reads the staged artifact (sources re-attach via the thin
+  // (doc_id, source) projection — the q64 lang pattern); ONE shuffle
+  // groups by the 128-bit hash; each gram's source set (≤ |sources|)
+  // explodes into ordered pairs map-side — never a gram-level
+  // self-join, so a gram shared by every source costs |sources|², not
+  // |corpus|².
+
+  /** q42's tail over any `(source, gh)` stream (shared by the staged
+    * registry form and the raw form GramStage A/Bs).
+    */
+  private[graft] def sharedSourcePairs(srcGh: DataFrame): DataFrame =
+    srcGh
       .groupBy(col("gh"))
       .agg(sort_array(collect_set(col("source"))).as("srcs"))
       .filter(size(col("srcs")) >= 2)
@@ -183,6 +221,12 @@ object TrainingData {
           "y -> named_struct('sa', x, 'sb', y))))")).as("p"))
       .groupBy(col("p.sa").as("source_a"), col("p.sb").as("source_b"))
       .agg(count(lit(1)).as("n_shared"))
+
+  private def q42(s: SparkSession, d: String): DataFrame =
+    sharedSourcePairs(stagedGramHashes(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+        "doc_id")
+      .select(col("source"), col("gh")))
 
   private val o42 =
     s"""WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
@@ -242,8 +286,16 @@ object TrainingData {
   def contaminatedTestDocs(docs: DataFrame): DataFrame =
     contaminatedTestDocsWithSplit(docs.withColumn("split", splitCol))
 
+  /** [[contaminatedTestDocs]] over a staged `(doc_id, gh)` gram
+    * artifact: the md5 split derives row-locally from doc_id, and the
+    * distinct stream feeds the same set-semantics tail.
+    */
+  def contaminatedTestDocsFromGrams(grams: DataFrame): DataFrame =
+    contaminationTail(grams.select(col("doc_id"),
+      splitColumnOf(col("doc_id")).as("split"), col("gh")))
+
   private def q43(s: SparkSession, d: String): DataFrame =
-    contaminatedTestDocs(Tables.documents(s, d))
+    contaminatedTestDocsFromGrams(stagedGramHashes(s, d))
 
   private val o43 =
     s"""WITH s AS (

@@ -30,8 +30,14 @@ object GramStage {
     }
     def min3(f: => DataFrame): Double = Seq.fill(3)(time(f)).min
 
-    val q42raw = min3(graft.Registry.byName("q42_contamination").run(spark, d))
-    val q43raw = min3(graft.Registry.byName("q43_decontaminate").run(spark, d))
+    // raw forms built inline: the registry queries ride the staged
+    // artifact since this tool's sf1/sf10 verdict promoted it, so the
+    // A/B must reconstruct the pre-stage shapes explicitly
+    val q42raw = min3(TrainingData.sharedSourcePairs(
+      Tables.documents(spark, d).select(col("source"),
+        explode(graft.functions.GramHashes(col("text"), 8, 16)).as("gh"))))
+    val q43raw = min3(TrainingData.contaminatedTestDocs(
+      Tables.documents(spark, d)))
 
     val out = java.nio.file.Files.createTempDirectory("graft-grams")
       .toString + "/grams.parquet"
@@ -50,29 +56,13 @@ object GramStage {
       size(new java.io.File(out))
     }
 
-    // q42 off the artifact: thin (doc_id, source) attach, same tail
-    def q42stg = ghs
-      .join(Tables.documents(spark, d).select(col("doc_id"), col("source")), "doc_id")
-      .groupBy(col("gh"))
-      .agg(sort_array(collect_set(col("source"))).as("srcs"))
-      .filter(size(col("srcs")) >= 2)
-      .select(explode(expr(
-        "flatten(transform(srcs, (x, i) -> " +
-          "transform(slice(srcs, i + 2, size(srcs)), " +
-          "y -> named_struct('sa', x, 'sb', y))))")).as("p"))
-      .groupBy(col("p.sa").as("source_a"), col("p.sb").as("source_b"))
-      .agg(count(lit(1)).as("n_shared"))
-    // q43 off the artifact: split derives row-locally from doc_id
-    def q43stg = ghs
-      .withColumn("split", TrainingData.splitColumn)
-      .groupBy(col("gh"))
-      .agg(
-        max(when(col("split") === "train", 1).otherwise(0)).as("has_train"),
-        collect_set(when(col("split") === "test", col("doc_id"))).as("test_docs"))
-      .filter(col("has_train") === 1 && size(col("test_docs")) > 0)
-      .select(explode(col("test_docs")).as("doc_id"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shared_grams"))
+    // staged forms: the PROMOTED production kernels, fed this tool's
+    // own artifact copy (so cold cost is measured, not cache-served)
+    def q42stg = TrainingData.sharedSourcePairs(ghs
+      .join(Tables.documents(spark, d).select(col("doc_id"), col("source")),
+        "doc_id")
+      .select(col("source"), col("gh")))
+    def q43stg = TrainingData.contaminatedTestDocsFromGrams(ghs)
 
     val s42 = min3(q42stg)
     val s43 = min3(q43stg)

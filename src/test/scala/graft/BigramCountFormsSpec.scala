@@ -66,6 +66,43 @@ class BigramCountFormsSpec extends AnyFunSuite {
     assert(rowsOf(fromCounts) == rowsOf(fromText))
   }
 
+  test("contaminatedTestDocsFromGrams equals contaminatedTestDocs (distinct-stream set semantics)") {
+    import spark.implicits._
+    // in-doc gram repetition exercises the distinct-vs-occurrence axis
+    val shared = (1 to 8).map(i => s"g$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$shared $shared repeated twice in one doc"),
+      (2L, s"$shared leaked here"),
+      (3L, "nothing shared in this document at all body"),
+      (4L, s"also $shared present")
+    ).toDF("doc_id", "text")
+    val grams = corpus.select(col("doc_id"),
+      explode(graft.functions.GramHashes(col("text"), 8, 16)).as("gh"))
+      .dropDuplicates("doc_id", "gh")
+    assert(rowsOf(TrainingData.contaminatedTestDocsFromGrams(grams)) ==
+      rowsOf(TrainingData.contaminatedTestDocs(corpus)))
+  }
+
+  test("sharedSourcePairs off distinct grams equals the occurrence-stream form") {
+    import spark.implicits._
+    val shared = (1 to 8).map(i => s"h$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$shared $shared twice", "srcA"),
+      (2L, s"$shared once", "srcB"),
+      (3L, s"$shared again", "srcC"),
+      (4L, "fully distinct content words here body text", "srcA")
+    ).toDF("doc_id", "text", "source")
+    val raw = TrainingData.sharedSourcePairs(corpus.select(col("source"),
+      explode(graft.functions.GramHashes(col("text"), 8, 16)).as("gh")))
+    val staged = TrainingData.sharedSourcePairs(corpus
+      .select(col("doc_id"),
+        explode(graft.functions.GramHashes(col("text"), 8, 16)).as("gh"))
+      .dropDuplicates("doc_id", "gh")
+      .join(corpus.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("gh")))
+    assert(rowsOf(staged) == rowsOf(raw))
+  }
+
   test("staged bigram counts equal the inline pre-aggregate on the sf0.001 fixture") {
     val staged = TextAnalysis.stagedBigramCounts(spark, TestSpark.sf0001)
     val inline = bigrams(Tables.documents(spark, TestSpark.sf0001))

@@ -87,8 +87,8 @@ class ScanBudgetSpec extends AnyFunSuite {
     "q39_ivf_ann" -> ((0, 3)),
     "q40_train_split" -> ((1, 0)),
     "q41_repetition" -> ((1, 0)),
-    "q42_contamination" -> ((1, 0)),
-    "q43_decontaminate" -> ((1, 0)),
+    "q42_contamination" -> ((1, 0)), // staged gram artifact + thin (doc_id, source) scan (r14)
+    "q43_decontaminate" -> ((0, 0)), // staged gram artifact (r14)
     "q44_dup_clusters" -> ((0, 0)), // scans live in checkpointed iteration jobs
     "q45_quality_filter" -> ((1, 0)),
     "q46_pack_sequences" -> ((1, 0)),

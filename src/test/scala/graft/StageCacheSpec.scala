@@ -97,6 +97,9 @@ class StageCacheSpec extends AnyFunSuite {
     assert(big2.select("doc_id").distinct().count() == 9,
       "staged bigram counts must re-stage after an in-place corpus rewrite")
     assert(tok2.count() != tok1 || big2.count() != big1)
+    assert(graft.operators.TrainingData.stagedGramHashes(spark, dir)
+      .select("doc_id").distinct().count() == 9,
+      "staged gram hashes must key on the same fingerprint discipline")
   }
 
   test("aHash stage survives two corpus dirs sharing a basename (alias rewrite)") {
