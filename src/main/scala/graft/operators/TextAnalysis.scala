@@ -949,6 +949,39 @@ object TextAnalysis {
     s"""WITH ${bpeCtes()}
        |SELECT doc_id, n_ws_tokens, n_bpe_tokens, compression FROM bpedoc""".stripMargin
 
+  // ---- q110: per-language BPE fertility (tokenizer parity) ---------------
+  // The multilingual tokenizer-evaluation metric (Ács' fertility; Rust
+  // et al. 2021, "How Good is Your Tokenizer?"): BPE symbols per
+  // whitespace word, BY LANGUAGE. A language whose fertility is 2×
+  // another's pays twice the context window for the same text — the
+  // number a tokenizer-parity review reads before fixing the vocab
+  // allocation. Pure composition: per-doc counts are q99's kernel off
+  // the staged token artifact (ZERO corpus text scans), lang attaches
+  // via the thin (doc_id, lang) projection, one ≤|langs|-row
+  // aggregate. The fertility double is one division over exact BIGINT
+  // sums — same shape both engines.
+  private def q110(s: SparkSession, d: String): DataFrame =
+    bpeApplyFromCounts(stagedTokenCounts(s, d))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_ws_tokens")).as("n_ws_tokens"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+      .withColumn("fertility",
+        col("n_bpe_tokens").cast("double") / col("n_ws_tokens").cast("double"))
+
+  private val o110 =
+    s"""WITH ${bpeCtes()}
+       |SELECT d.lang,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(b.n_ws_tokens) AS BIGINT) AS n_ws_tokens,
+       |       CAST(sum(b.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       |       CAST(sum(b.n_bpe_tokens) AS DOUBLE) /
+       |         CAST(sum(b.n_ws_tokens) AS DOUBLE) AS fertility
+       |FROM bpedoc b JOIN documents d USING (doc_id)
+       |GROUP BY d.lang""".stripMargin
+
   // ---- q90: vocabulary coverage curve (tokenizer sizing) -----------------
   // THE tokenizer-budget question: what fraction of corpus tokens does
   // a top-N vocabulary cover? (The Zipf tail is what BPE merges exist
@@ -2309,6 +2342,7 @@ object TextAnalysis {
     GraftQuery("q106_line_excision", "corpus-frequent line excision (RefinedWeb line-dedup: lines in >= 5 docs removed from every page)", q106, Some(o106)),
     GraftQuery("q83_bpe_pairs", "BPE first-merge char-pair counts (vocabulary-weighted, not corpus-exploded)", q83, Some(o83)),
     GraftQuery("q99_bpe_apply", "BPE merge-table application: per-doc BPE vs whitespace token counts (placeholder-replace kernel, vocabulary-sized)", q99, Some(o99)),
+    GraftQuery("q110_bpe_fertility", "per-language BPE fertility (tokenizer-parity metric: BPE symbols per whitespace word by lang)", q110, Some(o110)),
     GraftQuery("q90_vocab_coverage", "top-N vocabulary token-coverage curve (tokenizer sizing)", q90, Some(o90)),
     GraftQuery("q95_hash_embed", "feature-hashed text embedding (sparse, integer-exact)", q95, Some(o95)),
     GraftQuery("q96_idf_hash_embed", "idf-weighted feature-hashed embedding (integer-exact idf)", q96, Some(o96)),

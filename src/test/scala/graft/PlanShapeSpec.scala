@@ -247,7 +247,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q106_line_excision" -> NoPairJoin, // broadcast hot-line equi-join, row-bounded
     "q107_shuffled_pack" -> NoPairJoin, // no join at all: repartition + partition-local fold
     "q108_cell_drift" -> NoPairJoin, // full-outer join of two <=numCells-row aggregates
-    "q109_source_overlap" -> NoPairJoin) // cluster-keyed self-join, fan <= |sources|^2 per cluster (bounded alphabet)
+    "q109_source_overlap" -> NoPairJoin, // cluster-keyed self-join, fan <= |sources|^2 per cluster (bounded alphabet)
+    "q110_bpe_fertility" -> NoPairJoin) // doc-level equi-join + <=|langs|-row aggregate
 
   test("every registered query declares its pair-join pinning (and no stale entries)") {
     val names = Registry.all.map(_.name).toSet

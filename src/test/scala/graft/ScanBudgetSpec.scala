@@ -157,7 +157,8 @@ class ScanBudgetSpec extends AnyFunSuite {
     "q106_line_excision" -> ((2, 0)), // line stream feeds the frequency branch and the regroup branch
     "q107_shuffled_pack" -> ((1, 0)), // one scan, shard repartition, partition-local fold
     "q108_cell_drift" -> ((0, 4)), // old assign + centroid seed + 2-scan snapshot union; counts collapse map-side
-    "q109_source_overlap" -> ((1, 0))) // thin (doc_id, source) attach; everything else rides the staged cluster map
+    "q109_source_overlap" -> ((1, 0)), // thin (doc_id, source) attach; everything else rides the staged cluster map
+    "q110_bpe_fertility" -> ((1, 0))) // q99 kernel off the staged tokens + thin (doc_id, lang) scan
 
   test("every registered query has a scan budget (and no stale entries linger)") {
     val names = Registry.all.map(_.name).toSet

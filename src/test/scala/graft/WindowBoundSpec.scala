@@ -50,7 +50,8 @@ class WindowBoundSpec extends AnyFunSuite {
     "q99_bpe_apply" -> 1,           // TakeOrdered(BpeMerges): ≤ 16 rows
     "q102_pack_bpe" -> 1,           // the q99 merge-rank window: ≤ 16 rows
     "q103_budget_bpe" -> 2,         // q78's quality-bucket aggregate: ≤ 100k rows
-    "q108_cell_drift" -> 1)         // joined per-cell frame: ≤ NumCells = 16 rows (both totals in one node)
+    "q108_cell_drift" -> 1,         // joined per-cell frame: ≤ NumCells = 16 rows (both totals in one node)
+    "q110_bpe_fertility" -> 1)      // the q99 merge-rank window: ≤ 16 rows
 
   test("registry-wide: single-partition windows are exactly the documented allow-list") {
     val found = Registry.all.map(q => q.name -> unpartitioned(q.name).size)
