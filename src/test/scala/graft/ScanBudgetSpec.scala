@@ -32,9 +32,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * definition sites: the former 3-scan token family (q37/q54/q58/q86/
   * q96/q99) now rides the staged `(doc_id, w, cnt)` token artifact
   * (`TextAnalysis.stagedTokenCounts`) and budgets 0–1 corpus scans —
-  * their branch reads hit the small staged parquet instead; q50 stays
-  * at (3,0) because its unit is word 3-GRAMS (gram-volume, the
-  * stage-aggregates boundary says recompute expansions) and q91 at
+  * their branch reads hit the small staged parquet instead; the
+  * gram-volume boundary was PRICED round 14 (tools/GramStage) and
+  * moved for the two set-semantics 8-gram consumers (q42/q43 ride
+  * `stagedGramHashes`); q50 stays
+  * at (3,0) because its unit is word 3-GRAMS (higher-volume text
+  * grams the fixed-width hash artifact cannot serve) and q91 at
   * (3,0) because its snapshots are content-hash derivations, not token
   * aggregates — both sub-second at sf1; q93 (6) and q94 (5) are recall
   * HARNESSES comparing an ANN/PQ path against its own brute-force

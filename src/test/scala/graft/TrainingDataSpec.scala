@@ -598,12 +598,24 @@ class TrainingDataSpec extends AnyFunSuite {
     rows.values.foreach { case (s, w) => assert(s.sign == math.signum(w).toLong) }
   }
 
-  test("q42 plans one documents scan and no gram-level self-join") {
+  test("q42 plans two scans (artifact + thin docs) and no gram-level self-join") {
+    // round 14: q42 rides the staged gram artifact, so the plan holds
+    // exactly TWO parquet scans — the artifact and the thin
+    // (doc_id, source) documents projection — and the only join is the
+    // doc_id-keyed source attach; pairs still explode from source
+    // sets, never through a gram-level self-join (which would show as
+    // a gh-keyed join)
     val df = Registry.byName("q42_contamination").run(spark, TestSpark.sf0001)
     val p = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     val scans = p.linesIterator.count(_.matches("""^\(\d+\) Scan parquet\s*$"""))
-    assert(scans == 1, s"expected one scan, got $scans")
-    assert(!p.contains("Join"), "pairs must explode from source sets, never join")
+    assert(scans == 2, s"expected artifact + thin docs scans, got $scans")
+    // the one join must key on doc_id (source attach), never on the
+    // gram hash — a gh-keyed join would be the gram-level self-join
+    // this query's shape exists to avoid
+    val joinKeys = p.linesIterator.filter(_.trim.startsWith("Left keys")).toSeq
+    assert(joinKeys.nonEmpty && joinKeys.forall(l =>
+      l.contains("doc_id") && !l.contains("gh")),
+      s"pairs must explode from source sets, never a gram-keyed join: $joinKeys")
   }
 
   test("q75: repeated spans are dropped on reassembly; clean docs pass through byte-identical") {
