@@ -662,6 +662,32 @@ object InvariantProps extends Properties("graft") {
       got == expected
     }
 
+  // q109: the overlap matrix equals a reference computation on random
+  // (doc → source, doc → cluster) assignments
+  property("q109 sourceOverlap equals the reference matrix on random assignments") =
+    Prop.forAllNoShrink(for {
+      n <- Gen.choose(2, 40)
+      srcs <- Gen.listOfN(n, Gen.oneOf("sA", "sB", "sC", "sD"))
+      cls <- Gen.listOfN(n, Gen.choose(0L, 6L))
+    } yield srcs.zip(cls).zipWithIndex.map { case ((s, c), i) => (i.toLong, s, c) }) {
+      rows =>
+        val byCluster = rows.groupBy(_._3).values
+        val expected = byCluster.flatMap { members =>
+          val bySrc = members.groupBy(_._2).map { case (s, xs) => s -> xs.size.toLong }
+          val srcs = bySrc.keys.toSeq.sorted
+          for { a <- srcs; b <- srcs if a < b }
+            yield ((a, b), (1L, bySrc(a) * bySrc(b)))
+        }.groupBy(_._1).map { case (k, xs) =>
+          k -> ((xs.map(_._2._1).sum, xs.map(_._2._2).sum))
+        }
+        val docs = rows.map(r => (r._1, r._2)).toDF("doc_id", "source")
+        val clusters = rows.map(r => (r._1, r._3)).toDF("doc_id", "cluster_id")
+        val got = graft.operators.Dedup.sourceOverlap(docs, clusters)
+          .collect().map(r => (r.getString(0), r.getString(1)) ->
+            ((r.getLong(2), r.getLong(3)))).toMap
+        got == expected
+    }
+
   // q107: shuffled packing equals the reference next-fit fold over the
   // md5-dealt order — seed, shard prefix, ordering and capacity rule
   // all re-derived independently
