@@ -58,6 +58,23 @@ object Tables {
     * files; at production scale the equivalent is the object-store
     * listing the driver already performs to plan the scan.
     */
+  /** Root directory for a new session-staged artifact. Local mode
+    * defaults to a JVM temp dir; a CLUSTER deployment must set
+    * `spark.graft.stageDir` to a shared filesystem URI (HDFS/S3/...)
+    * so every executor reads the artifact the driver's job wrote —
+    * a driver-local /tmp path is invisible to remote executors. The
+    * parquet writer creates the directory, so the conf path needs no
+    * local mkdir and accepts any Hadoop-FS URI.
+    */
+  private[graft] def stageDir(s: org.apache.spark.sql.SparkSession,
+      prefix: String): String =
+    s.conf.getOption("spark.graft.stageDir") match {
+      case Some(root) =>
+        s"$root/$prefix-${java.util.UUID.randomUUID().toString.take(8)}"
+      case None =>
+        java.nio.file.Files.createTempDirectory(prefix).toString
+    }
+
   def fingerprint(dir: String): String = {
     val root = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.exists(root)) return "absent"

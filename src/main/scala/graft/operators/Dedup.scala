@@ -461,8 +461,7 @@ object Dedup {
   private[graft] def stagedMemberShingles(s: SparkSession, d: String): DataFrame = {
     val key = new java.io.File(d).getCanonicalPath + "@" + Tables.fingerprint(d)
     val path = stagedShinglePaths.getOrElseUpdate(key, {
-      val out = java.nio.file.Files.createTempDirectory("graft-shingles")
-        .toString + "/shingles.parquet"
+      val out = Tables.stageDir(s, "graft-shingles") + "/shingles.parquet"
       shingleSetsFrame(Tables.documents(s, d)
           .join(candidateMembers(stagedCandidatePairs(s, d)),
             Seq("doc_id"), "left_semi"))
@@ -750,8 +749,7 @@ object Dedup {
   private[graft] def stagedClusters(s: SparkSession, d: String): DataFrame = {
     val key = new java.io.File(d).getCanonicalPath + "@" + Tables.fingerprint(d)
     val path = stagedClusterPaths.getOrElseUpdate(key, {
-      val out = java.nio.file.Files.createTempDirectory("graft-clusters")
-        .toString + "/clusters.parquet"
+      val out = Tables.stageDir(s, "graft-clusters") + "/clusters.parquet"
       dupClusters(stagedCandidatePairs(s, d))
         .write.mode("overwrite").parquet(out)
       out
@@ -782,8 +780,7 @@ object Dedup {
     // must invalidate the staged pairs, not serve the old corpus's)
     val key = new java.io.File(d).getCanonicalPath + "@" + Tables.fingerprint(d)
     val path = stagedPairPaths.getOrElseUpdate(key, {
-      val out = java.nio.file.Files.createTempDirectory("graft-cand")
-        .toString + "/cand.parquet"
+      val out = Tables.stageDir(s, "graft-cand") + "/cand.parquet"
       candidatePairs(s, d).write.mode("overwrite").parquet(out)
       out
     })

@@ -50,8 +50,7 @@ object TextAnalysis {
   private[graft] def stagedTokenCounts(s: SparkSession, d: String): DataFrame = {
     val key = new java.io.File(d).getCanonicalPath + "@" + Tables.fingerprint(d)
     val path = stagedTokenPaths.getOrElseUpdate(key, {
-      val out = java.nio.file.Files.createTempDirectory("graft-tokens")
-        .toString + "/tokens.parquet"
+      val out = Tables.stageDir(s, "graft-tokens") + "/tokens.parquet"
       Tables.documents(s, d)
         .select(col("doc_id"),
           explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
@@ -89,8 +88,7 @@ object TextAnalysis {
   private[graft] def stagedBigramCounts(s: SparkSession, d: String): DataFrame = {
     val key = new java.io.File(d).getCanonicalPath + "@" + Tables.fingerprint(d)
     val path = stagedBigramPaths.getOrElseUpdate(key, {
-      val out = java.nio.file.Files.createTempDirectory("graft-bigrams")
-        .toString + "/bigrams.parquet"
+      val out = Tables.stageDir(s, "graft-bigrams") + "/bigrams.parquet"
       Tables.documents(s, d)
         .select(col("doc_id"),
           explode(graft.functions.WordGrams(col("text"), 2)).as("g"))

@@ -185,8 +185,7 @@ object TrainingData {
   private[graft] def stagedGramHashes(s: SparkSession, d: String): DataFrame = {
     val key = new java.io.File(d).getCanonicalPath + "@" + Tables.fingerprint(d)
     val path = stagedGramPaths.getOrElseUpdate(key, {
-      val out = java.nio.file.Files.createTempDirectory("graft-grams")
-        .toString + "/grams.parquet"
+      val out = Tables.stageDir(s, "graft-grams") + "/grams.parquet"
       Tables.documents(s, d)
         .select(col("doc_id"),
           explode(graft.functions.GramHashes(col("text"), 8, 16)).as("gh"))

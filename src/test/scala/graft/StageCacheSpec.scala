@@ -102,6 +102,22 @@ class StageCacheSpec extends AnyFunSuite {
       "staged gram hashes must key on the same fingerprint discipline")
   }
 
+  test("spark.graft.stageDir routes new stage writes to the configured shared root") {
+    // cluster posture: a driver-local temp dir is invisible to remote
+    // executors, so deployments point the stages at shared storage
+    import graft.operators.TextAnalysis
+    val root = java.nio.file.Files.createTempDirectory("graft-stage-root").toString
+    spark.conf.set("spark.graft.stageDir", root)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft-stage-conf").toString
+      writeCorpus(dir, 1L to 5L, dupA = 2L, dupB = 4L, pad = "conf-root")
+      assert(TextAnalysis.stagedTokenCounts(spark, dir).count() > 0)
+      assert(Option(new java.io.File(root).listFiles()).exists(
+        _.exists(_.getName.startsWith("graft-tokens-"))),
+        s"stage must land under the configured root: $root")
+    } finally spark.conf.unset("spark.graft.stageDir")
+  }
+
   test("aHash stage survives two corpus dirs sharing a basename (alias rewrite)") {
     // both dirs are named "corpus": their q60b stages alias onto ONE
     // basename-derived parquet path, so returning to the FIRST dir
