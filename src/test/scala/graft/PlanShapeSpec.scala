@@ -155,9 +155,11 @@ class PlanShapeSpec extends AnyFunSuite {
   // that forgets the pin fails here with attribution.
   //
   // "none" entries either have no pair-producing join in their FINAL
-  // plan, or their expansion is structurally safe: q26/q39/q84/q93/q94
+  // plan, or their expansion is structurally safe: q26/q39/q84
   // expand through BROADCAST joins (no shuffle to coalesce —
   // parallelism is the probe side's scan/checkpoint partitioning);
+  // q93/q94 stopped expanding at all in round 14 — they score the
+  // session-staged retrieval logs (k·|queries|-row frames);
   // q44's pinned repartitions live in its checkpointed iteration jobs
   // (its own convergence/parallelism specs pin them) so its final plan
   // shows none; q42/q43/q67 fan through broadcast-pruned gram joins
@@ -248,7 +250,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q107_shuffled_pack" -> NoPairJoin, // no join at all: repartition + partition-local fold
     "q108_cell_drift" -> NoPairJoin, // full-outer join of two <=numCells-row aggregates
     "q109_source_overlap" -> NoPairJoin, // cluster-keyed self-join, fan <= |sources|^2 per cluster (bounded alphabet)
-    "q110_bpe_fertility" -> NoPairJoin) // doc-level equi-join + <=|langs|-row aggregate
+    "q110_bpe_fertility" -> NoPairJoin, // doc-level equi-join + <=|langs|-row aggregate
+    "q111_cell_quota" -> NoPairJoin) // CellArgmax map + doc-level equi-joins; no expansion anywhere
 
   test("every registered query declares its pair-join pinning (and no stale entries)") {
     val names = Registry.all.map(_.name).toSet

@@ -39,9 +39,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * at (3,0) because its unit is word 3-GRAMS (higher-volume text
   * grams the fixed-width hash artifact cannot serve) and q91 at
   * (3,0) because its snapshots are content-hash derivations, not token
-  * aggregates — both sub-second at sf1; q93 (6) and q94 (5) are recall
-  * HARNESSES comparing an ANN/PQ path against its own brute-force
-  * oracle, so they intentionally run the corpus through both sides.
+  * aggregates — both sub-second at sf1; q93/q94 dropped to (0, 0)
+  * when their four demo-point rankings became session-staged
+  * artifacts (Similarity.stagedRanking): the recall observables now
+  * score staged retrieval logs, and only the self-contained ranking
+  * benchmarks (q26/q39/q84) still run the corpus through a ranker.
   */
 class ScanBudgetSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -143,8 +145,8 @@ class ScanBudgetSpec extends AnyFunSuite {
     "q90_vocab_coverage" -> ((1, 0)),
     "q91_snapshot_diff" -> ((3, 0)),
     "q92_label_noise" -> ((0, 3)),
-    "q93_ann_recall" -> ((0, 6)), // ANN vs brute-force recall harness
-    "q94_pq_recall" -> ((0, 5)), // PQ vs brute-force recall harness
+    "q93_ann_recall" -> ((0, 0)), // scores the staged cos/ivf retrieval logs (r14)
+    "q94_pq_recall" -> ((0, 0)), // scores the staged l2/adc retrieval logs (r14)
     "q95_hash_embed" -> ((1, 0)),
     "q96_idf_hash_embed" -> ((0, 0)), // staged token artifact (r13)
     "q97_vocab_growth" -> ((1, 0)),
@@ -161,7 +163,8 @@ class ScanBudgetSpec extends AnyFunSuite {
     "q107_shuffled_pack" -> ((1, 0)), // one scan, shard repartition, partition-local fold
     "q108_cell_drift" -> ((0, 4)), // old assign + centroid seed + 2-scan snapshot union; counts collapse map-side
     "q109_source_overlap" -> ((1, 0)), // thin (doc_id, source) attach; everything else rides the staged cluster map
-    "q110_bpe_fertility" -> ((1, 0))) // q99 kernel off the staged tokens + thin (doc_id, lang) scan
+    "q110_bpe_fertility" -> ((1, 0)), // q99 kernel off the staged tokens + thin (doc_id, lang) scan
+    "q111_cell_quota" -> ((1, 1))) // CellArgmax over one embeddings scan + thin (doc_id, n_chars) quality attach
 
   test("every registered query has a scan budget (and no stale entries linger)") {
     val names = Registry.all.map(_.name).toSet
