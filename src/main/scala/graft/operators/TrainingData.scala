@@ -1407,6 +1407,161 @@ object TrainingData {
        |  FROM q JOIN bpedoc b ON q.doc_id = b.doc_id)
        |SELECT doc_id, n_tokens, cum <= $BpeTokenBudget AS kept FROM c""".stripMargin
 
+  // ---- q112: per-language BPE token budget (fertility-aware mixture) -----
+  // The multilingual composition q110 motivates: a trainer allocates
+  // MODEL-token budgets per language (the mixture is defined in context
+  // window space, not document space), and because fertility differs by
+  // language (q110's observable — BPE symbols per word), the same
+  // budget admits FEWER documents in a high-fertility language. q103's
+  // selection rule re-run independently inside every language: keep the
+  // highest-quality prefix whose BPE-token total stays within the
+  // per-language budget.
+  //
+  // Scale shape: q103's two-phase bucket selection with every window
+  // additionally partitioned by language — the bucket frame is
+  // langs×buckets-bounded (broadcast), non-boundary buckets are decided
+  // row-locally, and each language's one boundary bucket ranks docs
+  // within (lang, bkt). No unpartitioned doc-level window anywhere —
+  // the mega-language (an 80%-English corpus) never funnels through one
+  // task. Quality and BPE counts both ride the staged token artifact;
+  // the only corpus touch is the thin (doc_id, n_chars, lang)
+  // projection.
+  private[graft] val LangBpeBudget = 5000L
+
+  /** [[tokenBudgetKeepScored]] partitioned by `part`: the budget is
+    * spent independently within every partition value. `scored0` =
+    * `(doc_id, <part>, n_tokens, quality)`; returns `(doc_id, <part>,
+    * n_tokens, kept)`. With a constant `part` column this IS
+    * [[tokenBudgetKeepScored]] (spec-pinned differential).
+    */
+  def tokenBudgetKeepScoredBy(scored0: DataFrame, budget: Long,
+      part: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = scored0
+      .select(col("doc_id"), col(part), col("n_tokens"), col("quality"),
+        floor(col("quality") * BudgetBucketScale).as("bkt"))
+      .localCheckpoint()
+    val bw = Window.partitionBy(col(part)).orderBy(col("bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val buckets = scored.groupBy(col(part), col("bkt"))
+      .agg(sum(col("n_tokens").cast("long")).as("btok"))
+      .withColumn("cum_before", coalesce(sum(col("btok")).over(bw), lit(0L)))
+    val marked = scored.join(broadcast(buckets), Seq(part, "bkt"))
+    val isEdge = col("cum_before") < budget &&
+      col("cum_before") + col("btok") > budget
+    val settled = marked.filter(!isEdge)
+      .select(col("doc_id"), col(part), col("n_tokens"),
+        (col("cum_before") + col("btok") <= budget).as("kept"))
+    val dw = Window.partitionBy(col(part), col("bkt"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val edge = marked.filter(isEdge)
+      .withColumn("run", sum(col("n_tokens").cast("long")).over(dw))
+      .select(col("doc_id"), col(part), col("n_tokens"),
+        (col("cum_before") + col("run") <= budget).as("kept"))
+    settled.unionByName(edge)
+  }
+
+  private def q112(s: SparkSession, d: String): DataFrame = {
+    val bpe = TextAnalysis
+      .bpeApplyFromCounts(TextAnalysis.stagedTokenCounts(s, d))
+      .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens"))
+    val scored = TextAnalysis.qualityFromCountsOf(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars"), col("lang")),
+        TextAnalysis.stagedTokenCounts(s, d))
+      .select(col("doc_id"), col("lang"), col("quality"))
+    tokenBudgetKeepScoredBy(scored.join(bpe, "doc_id"), LangBpeBudget, "lang")
+  }
+
+  private val o112 =
+    s"""WITH ${TextAnalysis.qualityCtes("")},
+       |${TextAnalysis.bpeCtes()},
+       |dl AS (SELECT doc_id, lang FROM documents),
+       |c AS (
+       |  SELECT q.doc_id, dl.lang, b.n_bpe_tokens AS n_tokens,
+       |         sum(b.n_bpe_tokens) OVER (PARTITION BY dl.lang
+       |           ORDER BY q.quality DESC, q.doc_id
+       |           ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM q JOIN bpedoc b ON q.doc_id = b.doc_id
+       |         JOIN dl ON q.doc_id = dl.doc_id)
+       |SELECT doc_id, lang, n_tokens, cum <= $LangBpeBudget AS kept FROM c""".stripMargin
+
+  // ---- q113: output-shard manifest for packed sequences ------------------
+  // The delivery step after packing: training infrastructure consumes
+  // fixed-size FILES (WebDataset tars, Megatron .bin shards), so the
+  // packs q107 emits must be cut into files of ~FileTokens each, in the
+  // reproducible shuffled training order (shard ASC, pack_id ASC — the
+  // order q107 defines). A pack is never split: file f holds the packs
+  // whose preceding running total lies in [f·B, (f+1)·B), so every
+  // file's token count is B ± one pack. The manifest (one row per
+  // file: packs, docs, tokens) is what a shard writer executes and
+  // what an auditor checks against the corpus totals.
+  //
+  // Scale shape — the classic two-pass distributed prefix sum: pack
+  // totals aggregate map-side per (shard, pack_id); per-shard totals
+  // (≤256 rows, the md5-prefix alphabet) take a global running offset
+  // through ONE tiny window (WindowBoundSpec allow-listed); the
+  // within-shard running sum is a window PARTITIONED by shard; the
+  // global position is offset + within — no corpus-sized frame ever
+  // crosses a single-task window, and the manifest aggregate is
+  // output-file-bounded.
+  private[graft] val ShardFileTokens = 512L
+
+  /** Per-file manifest of a packed frame (`(doc_id, shard, pack_id,
+    * n_tokens)` rows, string or numeric shard): `(file_id, n_packs,
+    * n_docs, n_tokens)` under the preceding-total-div-budget cut rule.
+    */
+  def shardManifest(packs: DataFrame, fileTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val packTotals = packs.groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("pk_tokens"))
+    val sw = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = packTotals.groupBy(col("shard"))
+      .agg(sum(col("pk_tokens")).as("sh_tokens"))
+      .withColumn("sh_before", coalesce(sum(col("sh_tokens")).over(sw), lit(0L)))
+      .select(col("shard"), col("sh_before"))
+    val pw = Window.partitionBy(col("shard")).orderBy(col("pack_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    packTotals.join(broadcast(offsets), "shard")
+      .withColumn("within_before",
+        coalesce(sum(col("pk_tokens")).over(pw), lit(0L)))
+      .withColumn("file_id",
+        expr(s"(sh_before + within_before) div $fileTokens").cast("long"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_packs"), sum(col("n_docs")).as("n_docs"),
+        sum(col("pk_tokens")).as("n_tokens"))
+  }
+
+  private def q113(s: SparkSession, d: String): DataFrame =
+    shardManifest(q107(s, d), ShardFileTokens)
+
+  private val o113 =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id,
+       |         substr(md5('$ShuffleSeed' || CAST(doc_id AS VARCHAR)), 1, 2) AS shard,
+       |         len(string_split(text, ' ')) AS n_tokens,
+       |         row_number() OVER (
+       |           PARTITION BY substr(md5('$ShuffleSeed' || CAST(doc_id AS VARCHAR)), 1, 2)
+       |           ORDER BY md5('$ShuffleSeed' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |  FROM documents),
+       |${nextFitSql(PackCapacity)},
+       |pk AS (
+       |  SELECT shard, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_tokens) AS BIGINT) AS pk_tokens
+       |  FROM p GROUP BY shard, pack_id),
+       |cum AS (
+       |  SELECT n_docs, pk_tokens,
+       |         CAST(coalesce(sum(pk_tokens) OVER (ORDER BY shard, pack_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM pk)
+       |SELECT CAST(cum_before // $ShardFileTokens AS BIGINT) AS file_id,
+       |       CAST(count(*) AS BIGINT) AS n_packs,
+       |       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       |       CAST(sum(pk_tokens) AS BIGINT) AS n_tokens
+       |FROM cum GROUP BY 1""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q40_train_split", "deterministic hash train/val/test split stats", q40, Some(o40)),
     GraftQuery("q41_repetition", "repeated-3-gram fraction quality signal", q41, Some(o41)),
@@ -1428,5 +1583,7 @@ object TrainingData {
     GraftQuery("q102_pack_bpe", "next-fit packing under the q99 BPE token currency", q102, Some(o102)),
     GraftQuery("q103_budget_bpe", "token-budget prefix selection under the q99 BPE token currency", q103, Some(o103)),
     GraftQuery("q104_span_excision", "surgical benchmark-span excision from train docs (ExactSubstr removal action)", q104, Some(o104)),
-    GraftQuery("q107_shuffled_pack", "seeded reproducible global shuffle + next-fit packing (training-order decorrelation)", q107, Some(o107)))
+    GraftQuery("q107_shuffled_pack", "seeded reproducible global shuffle + next-fit packing (training-order decorrelation)", q107, Some(o107)),
+    GraftQuery("q112_lang_budget", "per-language BPE token budget (fertility-aware quality-prefix selection)", q112, Some(o112)),
+    GraftQuery("q113_shard_manifest", "output-file manifest cutting shuffled packs into ~fixed-token files", q113, Some(o113)))
 }

@@ -71,12 +71,16 @@ object Curate {
   // capacity sweep (tools/PackFill; fixture BPE compression ~3.6, mean
   // doc ~196 symbols — 2048 packs ~10 docs and fills ~0.87).
   private val PackCapacity = 2048L
+  // output-file budget for the shard manifest (q113, round 14): ~8
+  // packs per file — real shard writers cut far larger files, but the
+  // RATIO (file ≫ pack) is what exercises the cut rule at any scale
+  private val FileTokens = 8L * PackCapacity
 
   final case class StageCounts(input: Long, afterDedup: Long,
       afterSemDedup: Long, afterQuality: Long, afterMixture: Long,
       train: Long, val_ : Long, testClean: Long, testDropped: Long,
       trainPacks: Long, trainBenchDropped: Long = 0L,
-      trainTokensExcised: Long = 0L)
+      trainTokensExcised: Long = 0L, shardFiles: Long = 0L)
 
   /** Injected by tests between a stage's completed write and the next
     * stage's work — the crash point of the restartability contract.
@@ -357,6 +361,13 @@ object Curate {
       seed = TrainingData.ShuffleSeed, capacity = PackCapacity),
       "train_packed")
 
+    // 6c. shard manifest (q113, round 14): cut the packed train set
+    // into ~FileTokens-sized output files in the reproducible shuffled
+    // order — the plan a shard writer executes, and the auditor's
+    // conservation check against the packed totals (spec-pinned).
+    val manifest = stage(
+      TrainingData.shardManifest(packed, FileTokens), "shard_manifest")
+
     // counts read the written parquet (footer metadata, no recompute)
     val bySplit = clean.groupBy("split").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -373,7 +384,8 @@ object Curate {
         bySplit.getOrElse("test", 0L),
       trainPacks = packed.select("shard", "pack_id").distinct().count(),
       trainBenchDropped = benchDropped,
-      trainTokensExcised = excised)
+      trainTokensExcised = excised,
+      shardFiles = manifest.count())
   }
 
   /** Restart-from-stage: re-run ONLY the packing stage (6) against a

@@ -59,7 +59,7 @@ class CurateRestartSpec extends AnyFunSuite {
 
     // artifact content equality, stage by stage, against the reference
     val stages = preCrash ++ Seq("mixed", "mixture_report", "splits",
-      "clean", "train_packed")
+      "clean", "train_packed", "shard_manifest")
     stages.foreach { s =>
       assert(contentDigest(s"$out/$s") == contentDigest(s"$ref/$s"),
         s"stage '$s' content differs between the resumed and reference runs")

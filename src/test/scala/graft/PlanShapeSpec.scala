@@ -251,7 +251,9 @@ class PlanShapeSpec extends AnyFunSuite {
     "q108_cell_drift" -> NoPairJoin, // full-outer join of two <=numCells-row aggregates
     "q109_source_overlap" -> NoPairJoin, // cluster-keyed self-join, fan <= |sources|^2 per cluster (bounded alphabet)
     "q110_bpe_fertility" -> NoPairJoin, // doc-level equi-join + <=|langs|-row aggregate
-    "q111_cell_quota" -> NoPairJoin) // CellArgmax map + doc-level equi-joins; no expansion anywhere
+    "q111_cell_quota" -> NoPairJoin, // CellArgmax map + doc-level equi-joins; no expansion anywhere
+    "q112_lang_budget" -> NoPairJoin, // doc-level equi-joins + broadcast bucket attach
+    "q113_shard_manifest" -> NoPairJoin) // pack-volume aggregates + broadcast offset attach
 
   test("every registered query declares its pair-join pinning (and no stale entries)") {
     val names = Registry.all.map(_.name).toSet

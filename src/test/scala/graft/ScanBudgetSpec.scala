@@ -164,7 +164,9 @@ class ScanBudgetSpec extends AnyFunSuite {
     "q108_cell_drift" -> ((0, 4)), // old assign + centroid seed + 2-scan snapshot union; counts collapse map-side
     "q109_source_overlap" -> ((1, 0)), // thin (doc_id, source) attach; everything else rides the staged cluster map
     "q110_bpe_fertility" -> ((1, 0)), // q99 kernel off the staged tokens + thin (doc_id, lang) scan
-    "q111_cell_quota" -> ((1, 1))) // CellArgmax over one embeddings scan + thin (doc_id, n_chars) quality attach
+    "q111_cell_quota" -> ((1, 1)), // CellArgmax over one embeddings scan + thin (doc_id, n_chars) quality attach
+    "q112_lang_budget" -> ((1, 0)), // staged-token quality/BPE + thin (doc_id, n_chars, lang) scan
+    "q113_shard_manifest" -> ((1, 0))) // the q107 pack scan; manifest math is pack-volume
 
   test("every registered query has a scan budget (and no stale entries linger)") {
     val names = Registry.all.map(_.name).toSet

@@ -330,6 +330,56 @@ class TrainingDataSpec extends AnyFunSuite {
       .exists { case Seq(x, y) => y != x + 1 }))
   }
 
+  test("q112: the partitioned budget kernel equals tokenBudgetKeepScored under one partition value") {
+    // differential pin for the generalization: a constant part column
+    // must reproduce the unpartitioned kernel's verdicts exactly
+    val scored = (1L to 300L)
+      .map(i => (i, ((i * 37) % 100).toDouble, 5L + i % 11))
+      .toDF("doc_id", "quality", "n_tokens")
+    val base = TrainingData
+      .tokenBudgetKeepScored(scored.select(col("doc_id"), col("n_tokens"), col("quality")), 700L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val part = TrainingData
+      .tokenBudgetKeepScoredBy(scored.withColumn("lang", lit("xx")), 700L, "lang")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(part == base)
+  }
+
+  test("q112: each language spends its budget independently") {
+    // lang a: qualities 90 > 80 > 70 at 40 tokens each — budget 100
+    // keeps exactly the top two. lang b: the top-quality doc alone
+    // exceeds the budget, and the CUMULATIVE prefix rule (q78's, the
+    // oracle's running sum) means everything ranked at or below it is
+    // out too — same-language verdicts never reset.
+    val scored = Seq(
+      (1L, "a", 40L, 90.0), (2L, "a", 40L, 80.0), (3L, "a", 40L, 70.0),
+      (4L, "b", 200L, 99.0), (5L, "b", 50L, 10.0))
+      .toDF("doc_id", "lang", "n_tokens", "quality")
+    val out = TrainingData.tokenBudgetKeepScoredBy(scored, 100L, "lang")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out == Map(1L -> true, 2L -> true, 3L -> false,
+      4L -> false, 5L -> false))
+  }
+
+  test("q113: the manifest cuts packs into ~budget-sized files in shuffled order and conserves totals") {
+    import graft.operators.TrainingData
+    // hand-built packs: shards "aa" < "ab", budget 100; pack tokens
+    // chosen so a file boundary lands mid-shard AND a pack straddles
+    // the budget (file 0 ends at 110 > 100 because packs never split)
+    val packs = Seq(
+      // (doc_id, shard, pack_id, n_tokens) — doc-level rows, two per pack
+      (1L, "aa", 0L, 30L), (2L, "aa", 0L, 30L),   // pack aa/0: 60
+      (3L, "aa", 1L, 25L), (4L, "aa", 1L, 25L),   // pack aa/1: 50, cum_before 60 -> file 0
+      (5L, "ab", 0L, 40L), (6L, "ab", 0L, 40L),   // pack ab/0: 80, cum_before 110 -> file 1
+      (7L, "ab", 1L, 10L), (8L, "ab", 1L, 10L))   // pack ab/1: 20, cum_before 190 -> file 1
+      .toDF("doc_id", "shard", "pack_id", "n_tokens")
+    val out = TrainingData.shardManifest(packs, 100L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(0L -> ((2L, 4L, 110L)), 1L -> ((2L, 4L, 100L))))
+    // conservation: file totals sum to the corpus totals
+    assert(out.values.map(_._3).sum == 210L && out.values.map(_._2).sum == 8L)
+  }
+
   test("curation pipeline: stages compose, counts are consistent, output readable") {
     val out = java.nio.file.Files.createTempDirectory("curateout").toString
     val walls = scala.collection.mutable.ListBuffer.empty[(String, Double)]
@@ -339,7 +389,7 @@ class TrainingDataSpec extends AnyFunSuite {
     // every stage reports a positive mark-based wall, in pipeline order
     assert(walls.map(_._1).toSeq == Seq("audit", "deduped", "sem_deduped",
       "quality", "mixed", "mixture_report", "splits", "clean",
-      "bpe_counts", "train_packed"))
+      "bpe_counts", "train_packed", "shard_manifest"))
     assert(walls.forall(_._2 > 0))
     assert(c.afterDedup <= c.input && c.afterDedup > 0)
     // semantic dedup only removes docs, and keeps at least the cell seeds
@@ -370,6 +420,15 @@ class TrainingDataSpec extends AnyFunSuite {
       .agg(sum("n_tokens").as("tot"), count(lit(1)).as("n"))
       .filter(col("tot") > 2048 && col("n") > 1)
     assert(over.count() == 0)
+    // the shard manifest conserves the packed totals exactly (q113's
+    // conservation contract, composed): file token/doc sums == packed
+    val manifest = spark.read.parquet(s"$out/shard_manifest")
+    assert(c.shardFiles == manifest.count() && c.shardFiles > 0)
+    val Array(mTok, mDocs) = manifest
+      .agg(sum("n_tokens"), sum("n_docs")).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val pTok = packed.agg(sum("n_tokens")).collect()(0).getLong(0)
+    assert(mTok == pTok && mDocs == c.train)
     // restart-from-stage: re-running ONLY the packing stage against the
     // written clean artifact reproduces the same pack count (stages
     // 1-5 are never recomputed — repack reads $out/clean directly)

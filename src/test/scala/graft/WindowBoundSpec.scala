@@ -51,7 +51,11 @@ class WindowBoundSpec extends AnyFunSuite {
     "q102_pack_bpe" -> 1,           // the q99 merge-rank window: ≤ 16 rows
     "q103_budget_bpe" -> 2,         // q78's quality-bucket aggregate: ≤ 100k rows
     "q108_cell_drift" -> 1,         // joined per-cell frame: ≤ NumCells = 16 rows (both totals in one node)
-    "q110_bpe_fertility" -> 1)      // the q99 merge-rank window: ≤ 16 rows
+    "q110_bpe_fertility" -> 1,      // the q99 merge-rank window: ≤ 16 rows
+    "q113_shard_manifest" -> 1)     // per-shard offset aggregate: ≤ 256 rows
+  // q112_lang_budget is absent by construction: its q99 merge window
+  // sits BEHIND the kernel's localCheckpoint (never in the final plan)
+  // and both bucket windows are partitioned by language.
 
   test("registry-wide: single-partition windows are exactly the documented allow-list") {
     val found = Registry.all.map(q => q.name -> unpartitioned(q.name).size)
@@ -89,7 +93,8 @@ class WindowBoundSpec extends AnyFunSuite {
       "q90_vocab_coverage" -> Seq("take(100000)"),
       "q99_bpe_apply" -> Seq("take(16)"),
       "q102_pack_bpe" -> Seq("take(16)"),
-      "q103_budget_bpe" -> Seq("agg(bkt)", "agg(bkt)"))
+      "q103_budget_bpe" -> Seq("agg(bkt)", "agg(bkt)"),
+      "q113_shard_manifest" -> Seq("agg(shard)"))
     expected.foreach { case (name, want) =>
       val got = unpartitioned(name).map(boundOf).sorted
       assert(got == want.sorted, s"$name window bound drifted: $got != $want")
