@@ -133,8 +133,127 @@ object DomainCuration {
        |FROM p GROUP BY domain""".stripMargin
   }
 
+  // ---- q114: URL canonicalization + URL-level exact dedup ----------------
+  // The ZEROTH dedup pass of every crawl pipeline, upstream even of
+  // q22's content hash: the same page is fetched under many URL
+  // spellings (scheme, www, host case, trailing slash, tracking
+  // params, fragments), and crawl curation collapses those BEFORE
+  // paying to fetch/store/compare bodies (CommonCrawl dedups per
+  // snapshot by URL; FineWeb §3.1 applies URL-level filtering first).
+  // Canonical form: https scheme, lowercased host, `www.` stripped,
+  // fragment dropped, tracking params (`utm_*`/`ref`/`fbclid`)
+  // dropped, trailing slash stripped — semantic params (`id=`)
+  // survive. Output: one row per canonical URL with the kept
+  // representative (min doc_id), the group size and the distinct raw
+  // spellings it absorbed.
+  //
+  // Scale shape: canonicalization is a row-local regex chain over one
+  // corpus scan (codegen'd string ops, no UDF), then exactly q22's
+  // hash-groupBy — one partial-aggregating shuffle on the canonical
+  // key; map-side combine absorbs the Zipf head (hot pages). The
+  // fixture has no url column, so a deterministic MESSY url derives
+  // from doc_id on BOTH engines (the q100 planting pattern) with
+  // ~5 spellings per page identity.
+
+  /** Deterministic messy URL for a doc_id: page identity = doc_id %
+    * 101 (5 docs per page at sf0.01), spelling varies by doc_id —
+    * scheme (%2), www (%3), host case (%5), param shape (%4: id+utm /
+    * utm only / id only / bare), trailing slash (bare docs, %7),
+    * fragment (%11). Tracking params always follow semantic ones (the
+    * ordered-param fixture; a production canonicalizer sorts and
+    * filters the param multiset — same regex family, plus a sort).
+    */
+  def messyUrl(docId: Column): Column = {
+    val page = docId % 101
+    val host = concat(lit("site"), (page % 13).cast("string"), lit("."),
+      element_at(array(Tlds.map(lit): _*), (page % 5).cast("int") + 1))
+    val scheme = when(docId % 2 === 0, "http").otherwise("https")
+    val www = when(docId % 3 === 0, "www.").otherwise("")
+    val cased = when(docId % 5 === 0, upper(host)).otherwise(host)
+    val pageS = page.cast("string")
+    val query = when(docId % 4 === 0,
+        concat(lit("?id="), pageS, lit("&utm_source=s"), (docId % 7).cast("string")))
+      .when(docId % 4 === 1,
+        concat(lit("?utm_campaign=c"), (docId % 7).cast("string")))
+      .when(docId % 4 === 2, concat(lit("?id="), pageS))
+      .otherwise(when(docId % 7 === 0, "/").otherwise(""))
+    val frag = when(docId % 11 === 0,
+      concat(lit("#sec"), (docId % 3).cast("string"))).otherwise("")
+    concat(scheme, lit("://"), www, cased, lit("/p/"), pageS, query, frag)
+  }
+
+  /** Canonical form of a url column (row-local regex chain, identical
+    * value semantics to o114's DuckDB chain — replacement backref
+    * syntax differs, `$1` vs `\\1`, values don't).
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val noTrack = regexp_replace(noFrag,
+      "[?&](utm_[a-z]+|ref|fbclid)=[^&#]*", "")
+    val head = lower(regexp_extract(noTrack, "(?i)^https?://[^/]+", 0))
+    val rest = regexp_replace(noTrack, "(?i)^https?://[^/]+", "")
+    concat(
+      regexp_replace(regexp_replace(head, "^http://", "https://"),
+        "^(https://)www\\.", "$1"),
+      regexp_replace(rest, "/$", ""))
+  }
+
+  /** URL-level dedup groups of a `(doc_id, url)` frame: one row per
+    * canonical URL — `(canon_url, keep_id, n_docs, n_raw)`.
+    */
+  def urlDedupGroups(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("url"),
+        canonicalizeUrl(col("url")).as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"),
+        countDistinct(col("url")).as("n_raw"))
+
+  private def q114(s: SparkSession, d: String): DataFrame =
+    urlDedupGroups(Tables.documents(s, d)
+      .select(col("doc_id"), messyUrl(col("doc_id")).as("url")))
+
+  private val o114 =
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |         (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+       |         (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+       |         (CASE WHEN doc_id % 5 = 0
+       |               THEN upper('site' || CAST((doc_id % 101) % 13 AS VARCHAR) || '.' ||
+       |                    (['com', 'org', 'net', 'io', 'edu'])[CAST((doc_id % 101) % 5 AS INTEGER) + 1])
+       |               ELSE 'site' || CAST((doc_id % 101) % 13 AS VARCHAR) || '.' ||
+       |                    (['com', 'org', 'net', 'io', 'edu'])[CAST((doc_id % 101) % 5 AS INTEGER) + 1] END) ||
+       |         '/p/' || CAST(doc_id % 101 AS VARCHAR) ||
+       |         (CASE WHEN doc_id % 4 = 0
+       |               THEN '?id=' || CAST(doc_id % 101 AS VARCHAR) || '&utm_source=s' || CAST(doc_id % 7 AS VARCHAR)
+       |               WHEN doc_id % 4 = 1 THEN '?utm_campaign=c' || CAST(doc_id % 7 AS VARCHAR)
+       |               WHEN doc_id % 4 = 2 THEN '?id=' || CAST(doc_id % 101 AS VARCHAR)
+       |               WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) ||
+       |         (CASE WHEN doc_id % 11 = 0 THEN '#sec' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END)
+       |           AS url
+       |  FROM documents),
+       |nf AS (SELECT doc_id, url, regexp_replace(url, '#.*$$', '') AS u1 FROM u),
+       |nt AS (SELECT doc_id, url,
+       |              regexp_replace(u1, '[?&](utm_[a-z]+|ref|fbclid)=[^&#]*', '') AS u2
+       |       FROM nf),
+       |hp AS (SELECT doc_id, url,
+       |              lower(regexp_extract(u2, '(?i)^https?://[^/]+', 0)) AS head,
+       |              regexp_replace(u2, '(?i)^https?://[^/]+', '') AS rest
+       |       FROM nt),
+       |cn AS (SELECT doc_id, url,
+       |              regexp_replace(regexp_replace(head, '^http://', 'https://'),
+       |                             '^(https://)www\\.', '\\1') ||
+       |              regexp_replace(rest, '/$$', '') AS canon_url
+       |       FROM hp)
+       |SELECT canon_url, min(doc_id) AS keep_id,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(count(DISTINCT url) AS BIGINT) AS n_raw
+       |FROM cn GROUP BY canon_url""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q100_domain_profile",
       "domain blocklist gate + per-domain dup/quality curation profile",
-      q100, Some(o100)))
+      q100, Some(o100)),
+    GraftQuery("q114_url_canon",
+      "URL canonicalization + URL-level exact dedup groups",
+      q114, Some(o114)))
 }

@@ -48,4 +48,47 @@ class DomainCurationSpec extends AnyFunSuite {
     assert(DomainCuration.BlockedDomains.contains("site3.com"))
     assert(DomainCuration.BlockedDomains.forall(_.matches("site\\d+\\.[a-z]+")))
   }
+
+  test("q114: canonicalization collapses spelling variants, keeps semantic params, never merges pages") {
+    val urls = Seq(
+      // five spellings of ONE page, all must collapse
+      (1L, "http://www.Site1.com/p/9"),
+      (2L, "https://site1.com/p/9/"),
+      (3L, "https://SITE1.COM/p/9#sec2"),
+      (4L, "http://site1.com/p/9?utm_source=s1"),
+      (5L, "https://www.site1.com/p/9?utm_campaign=c2&ref=r"),
+      // same page WITH a semantic param: a distinct canonical group,
+      // tracking stripped but id= kept
+      (6L, "https://site1.com/p/9?id=9&utm_source=s3"),
+      (7L, "http://site1.com/p/9?id=9"),
+      // a different page on the same host stays separate
+      (8L, "https://site1.com/p/10")
+    ).toDF("doc_id", "url")
+    val out = DomainCuration.urlDedupGroups(urls).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      "https://site1.com/p/9" -> ((1L, 5L, 5L)),
+      "https://site1.com/p/9?id=9" -> ((6L, 2L, 2L)),
+      "https://site1.com/p/10" -> ((8L, 1L, 1L))))
+  }
+
+  test("q114: the messy-url fixture really exercises every variant axis") {
+    // over one full period of the spelling moduli, the canonical
+    // groups must absorb multiple raw spellings (n_raw > 1 somewhere
+    // on every axis-rich page) and group counts must conserve docs
+    val out = DomainCuration.urlDedupGroups(
+        spark.range(0, 500).select(col("id").as("doc_id"),
+          DomainCuration.messyUrl(col("id")).as("url")))
+      .collect()
+    assert(out.map(_.getLong(2)).sum == 500L)
+    assert(out.exists(_.getLong(2) > 1), "no URL-level dup groups formed")
+    assert(out.exists(r => r.getLong(3) > 1), "no spelling variance absorbed")
+    // canonical forms carry no tracking params, fragments, http scheme,
+    // www, uppercase, or trailing slash
+    out.map(_.getString(0)).foreach { c =>
+      assert(c.startsWith("https://site"), c)
+      assert(!c.contains("utm_") && !c.contains("#") && !c.contains("www."), c)
+      assert(!c.endsWith("/") && c == c.toLowerCase, c)
+    }
+  }
 }

@@ -717,4 +717,66 @@ object InvariantProps extends Properties("graft") {
             r.getLong(2), r.getLong(3))).toSet
         got == expected
     }
+
+  // q112: the partitioned budget kernel equals the reference
+  // per-partition cumulative prefix rule on random scored corpora —
+  // ordering, bucket phases and budget arithmetic re-derived
+  // independently
+  property("q112 per-partition budget equals the reference prefix rule") =
+    Prop.forAllNoShrink(for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        lang <- Gen.oneOf("en", "de", "zh")
+        tok <- Gen.choose(1L, 50L)
+        q <- Gen.choose(0, 2000).map(_ / 20.0) // coarse grid forces quality TIES
+      } yield (lang, tok, q))
+      budget <- Gen.choose(30L, 300L)
+    } yield (rows.zipWithIndex.map { case ((l, t, q), i) => (i.toLong, l, t, q) },
+      budget)) { case (rows, budget) =>
+      val expected = rows.groupBy(_._2).values.flatMap { xs =>
+        var cum = 0L
+        xs.sortBy(x => (-x._4, x._1)).map { case (id, _, tok, _) =>
+          cum += tok
+          id -> (cum <= budget)
+        }
+      }.toMap
+      val got = graft.operators.TrainingData.tokenBudgetKeepScoredBy(
+          rows.toDF("doc_id", "lang", "n_tokens", "quality"), budget, "lang")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+      got == expected
+    }
+
+  // q113: the shard manifest equals the reference cut on random pack
+  // sets, and every file's token total is bounded by budget + the
+  // largest single pack (packs never split)
+  property("q113 manifest equals the reference cut and respects the file bound") =
+    Prop.forAllNoShrink(for {
+      n <- Gen.choose(1, 50)
+      packs <- Gen.listOfN(n, for {
+        shard <- Gen.choose(0, 5).map(i => f"s$i")
+        pk <- Gen.choose(0L, 7L)
+        tok <- Gen.choose(1L, 120L) // occasionally exceeds the budget: oversized packs
+      } yield (shard, pk, tok))
+      budget <- Gen.choose(50L, 200L)
+    } yield (packs.zipWithIndex.map { case ((s, p, t), i) => (i.toLong, s, p, t) },
+      budget)) { case (docRows, budget) =>
+      // reference: doc rows -> pack totals in (shard, pack_id) order ->
+      // running cut
+      val packTotals = docRows.groupBy(r => (r._2, r._3)).toSeq
+        .map { case ((s, p), xs) => (s, p, xs.size.toLong, xs.map(_._4).sum) }
+        .sortBy(x => (x._1, x._2))
+      var cum = 0L
+      val expected = packTotals.map { case (_, _, nd, tok) =>
+        val f = cum / budget; cum += tok; (f, nd, tok)
+      }.groupBy(_._1).map { case (f, xs) =>
+        f -> ((xs.size.toLong, xs.map(_._2).sum, xs.map(_._3).sum))
+      }
+      val got = graft.operators.TrainingData.shardManifest(
+          docRows.toDF("doc_id", "shard", "pack_id", "n_tokens"), budget)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val maxPack = packTotals.map(_._4).max
+      got == expected &&
+        got.values.forall { case (_, _, tok) => tok <= budget + maxPack - 1 }
+    }
 }

@@ -253,7 +253,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q110_bpe_fertility" -> NoPairJoin, // doc-level equi-join + <=|langs|-row aggregate
     "q111_cell_quota" -> NoPairJoin, // CellArgmax map + doc-level equi-joins; no expansion anywhere
     "q112_lang_budget" -> NoPairJoin, // doc-level equi-joins + broadcast bucket attach
-    "q113_shard_manifest" -> NoPairJoin) // pack-volume aggregates + broadcast offset attach
+    "q113_shard_manifest" -> NoPairJoin, // pack-volume aggregates + broadcast offset attach
+    "q114_url_canon" -> NoPairJoin) // q22's hash-groupBy shape on the canonical key
 
   test("every registered query declares its pair-join pinning (and no stale entries)") {
     val names = Registry.all.map(_.name).toSet

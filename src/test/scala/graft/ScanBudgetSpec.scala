@@ -166,7 +166,8 @@ class ScanBudgetSpec extends AnyFunSuite {
     "q110_bpe_fertility" -> ((1, 0)), // q99 kernel off the staged tokens + thin (doc_id, lang) scan
     "q111_cell_quota" -> ((1, 1)), // CellArgmax over one embeddings scan + thin (doc_id, n_chars) quality attach
     "q112_lang_budget" -> ((1, 0)), // staged-token quality/BPE + thin (doc_id, n_chars, lang) scan
-    "q113_shard_manifest" -> ((1, 0))) // the q107 pack scan; manifest math is pack-volume
+    "q113_shard_manifest" -> ((1, 0)), // the q107 pack scan; manifest math is pack-volume
+    "q114_url_canon" -> ((1, 0))) // row-local canonicalization regex chain + one hash-groupBy
 
   test("every registered query has a scan budget (and no stale entries linger)") {
     val names = Registry.all.map(_.name).toSet
