@@ -991,6 +991,86 @@ object Dedup {
        |FROM asg a JOIN sizes s USING (cluster_id)
        |GROUP BY a.source""".stripMargin
 
+  // ---- q115: source-precedence canonical survivors -----------------------
+  // The dedup ACTION q109's overlap matrix is the input to: when a
+  // near-dup cluster spans sources, production pipelines keep the copy
+  // from the most TRUSTED source, not the highest-scoring one — The
+  // Pile / Dolma order their sources explicitly, and a curated copy
+  // beats a crawl copy even when the crawl copy happens to score
+  // higher (boilerplate can inflate q28-style scores; provenance
+  // can't be faked by formatting). Rule: per cluster keep the member
+  // with the LOWEST precedence tier (curated list; unlisted sources
+  // share the bottom tier), quality DESC then doc_id ASC within a
+  // tier. q53 stays the pure-quality selection; this is the
+  // provenance-aware variant a multi-source corpus actually ships.
+  //
+  // Scale shape: exactly q53's — one docs→cluster-map equi-join, one
+  // aggregation shuffle on cluster_id with `max_by` collapsing members
+  // map-side (ordering struct (-tier, quality, -doc_id)); quality and
+  // the thin (doc_id, n_chars, source) projection ride the staged
+  // token artifact, so the query never tokenizes text.
+
+  /** Curated source-precedence tiers: listed sources outrank (tier =
+    * 1-based list position) every unlisted source (tier 99).
+    */
+  val SourcePrecedence: Seq[String] = Seq("src7", "src3", "src11")
+
+  /** Tier column for a source column under [[SourcePrecedence]] —
+    * an explicit CASE so the DuckDB twin is expression-identical.
+    */
+  def precedenceTier(source: Column): Column =
+    SourcePrecedence.zipWithIndex.foldLeft(when(lit(false), 0)) {
+      case (acc, (s, i)) => acc.when(source === s, i + 1)
+    }.otherwise(99)
+
+  /** One surviving `(doc_id, cluster_id, cluster_size, source, tier,
+    * quality)` row per near-dup cluster under source precedence:
+    * lowest tier wins, then highest quality, then lowest doc_id.
+    * `scored` = `(doc_id, source, tier, quality)`; unclustered docs
+    * pass through as their own singleton cluster (the q53 convention).
+    */
+  def precedenceSurvivors(scored: DataFrame, clusters: DataFrame): DataFrame =
+    scored
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"),
+        max_by(struct(col("doc_id"), col("source"), col("tier"), col("quality")),
+          struct(-col("tier"), col("quality"), -col("doc_id"))).as("keep"))
+      .select(col("keep.doc_id").as("doc_id"), col("cluster_id"),
+        col("cluster_size"), col("keep.source").as("source"),
+        col("keep.tier").as("tier"), col("keep.quality").as("quality"))
+
+  private def q115(s: SparkSession, d: String): DataFrame = {
+    val scored = TextAnalysis.qualityFromCountsOf(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars"), col("source")),
+        TextAnalysis.stagedTokenCounts(s, d))
+      .select(col("doc_id"), col("source"),
+        precedenceTier(col("source")).as("tier"), col("quality"))
+    precedenceSurvivors(scored, stagedClusters(s, d))
+  }
+
+  private val o115 = {
+    val caseTier = SourcePrecedence.zipWithIndex
+      .map { case (s, i) => s"WHEN '$s' THEN ${i + 1}" }
+      .mkString("CASE pq.source ", " ", " ELSE 99 END")
+    s"""WITH RECURSIVE $candidateCtes,
+       |$clusterCtes,
+       |${TextAnalysis.qualityCtes("source,", "p")},
+       |asg AS (
+       |  SELECT coalesce(cl.cluster_id, pq.doc_id) AS cluster_id,
+       |         pq.doc_id, pq.source, pq.quality, $caseTier AS tier
+       |  FROM pq LEFT JOIN cl ON pq.doc_id = cl.doc_id),
+       |ranked AS (
+       |  SELECT cluster_id, doc_id, source, tier, quality,
+       |         row_number() OVER (PARTITION BY cluster_id
+       |                            ORDER BY tier ASC, quality DESC, doc_id ASC) AS rn,
+       |         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |  FROM asg)
+       |SELECT doc_id, cluster_id, cluster_size, source, tier, quality
+       |FROM ranked WHERE rn = 1""".stripMargin
+  }
+
   // ---- q57: incremental crawl dedup (new batch vs indexed corpus) --------
   // The daily-ingest pattern: the corpus is already signed into a
   // persistent MinHash band index; only TODAY'S batch gets signed and
@@ -1466,6 +1546,7 @@ object Dedup {
     GraftQuery("q66_dup_token_coverage", "ExactSubstr-shaped duplicated-token coverage fraction", q66, Some(o66)),
     GraftQuery("q72_dup_profile", "per-source duplication profile over q44's clusters", q72, Some(o72)),
     GraftQuery("q109_source_overlap", "cross-source duplication overlap matrix (shared clusters + cross pairs)", q109, Some(o109)),
+    GraftQuery("q115_precedence_dedup", "source-precedence canonical survivors (trusted copy beats high-scoring crawl copy)", q115, Some(o115)),
     GraftQuery("q74_lsh_quality", "LSH candidate precision / threshold-curve diagnostic", q74, Some(o74)),
     GraftQuery("q88_dup_spans", "longest shared verbatim token span per LSH candidate pair", q88, Some(o88)))
 }

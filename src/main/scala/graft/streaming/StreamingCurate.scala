@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.{Bucketing, Similarity, TextAnalysis, TrainingData}
+import graft.operators.{Bucketing, DomainCuration, Similarity, TextAnalysis, TrainingData}
 import graft.sources.Schemas
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -415,7 +415,8 @@ object StreamingCurate {
       maxDupFrac: Double = 1.0,
       maxMessagesPerTrigger: Option[Long] = None,
       statsWatermark: String = "1 hour",
-      driftBaseline: Option[DataFrame] = None): AllLegsReport = {
+      driftBaseline: Option[DataFrame] = None,
+      urlIndexTable: Option[String] = None): AllLegsReport = {
     val t0 = System.nanoTime()
     def docs: DataFrame = StreamingIngest.readFeedStream(spark, feed,
         maxMessagesPerTrigger = maxMessagesPerTrigger)
@@ -451,6 +452,13 @@ object StreamingCurate {
       docs.select(col("doc_id"), col("text"), ts.as("ts")), base,
       "ts", "60 seconds", s"$workDir/drift", s"$workDir/ckpt_drift",
       watermark = statsWatermark))
+    // URL-dedup leg only when a first-sighting index is supplied; the
+    // feed carries no url column, so the fixture convention derives
+    // the messy spelling from doc_id (the q114 planting pattern)
+    val qUrl = urlIndexTable.map(t => urlVerdictStream(
+      docs.select(col("doc_id"),
+        graft.operators.DomainCuration.messyUrl(col("doc_id")).as("url")),
+      t, s"$workDir/url_verdicts", s"$workDir/ckpt_url", buckets))
 
     val withCorrupt = Schemas.document
       .add("_corrupt", org.apache.spark.sql.types.StringType)
@@ -467,7 +475,7 @@ object StreamingCurate {
       }
       .start()
 
-    val legs = Seq(qCur, qDup, qStats, qSem, qDc, qDl) ++ qDrift
+    val legs = Seq(qCur, qDup, qStats, qSem, qDc, qDl) ++ qDrift ++ qUrl
     legs.foreach(_.processAllAvailable())
     val stateRows = Option(qDup.lastProgress)
       .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
@@ -475,7 +483,8 @@ object StreamingCurate {
       .map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)
     val legProgress = (Seq("curate" -> qCur, "neardup" -> qDup,
       "stats" -> qStats, "semantic" -> qSem, "decontam" -> qDc,
-      "deadletter" -> qDl) ++ qDrift.map("drift" -> _))
+      "deadletter" -> qDl) ++ qDrift.map("drift" -> _) ++
+      qUrl.map("urldedup" -> _))
       .map { case (n, q) => n -> progressOf(q) }.toMap
     legs.foreach(_.stop())
 
@@ -491,7 +500,7 @@ object StreamingCurate {
         "sem_verdicts" -> cnt("sem_verdicts"),
         "dc_verdicts" -> cnt("dc_verdicts"), "stats_rows" -> cnt("stats"),
         "delivered" -> cnt("delivered"), "quarantined" -> cnt("quarantine"),
-        "drift_rows" -> cnt("drift")),
+        "drift_rows" -> cnt("drift"), "url_verdicts" -> cnt("url_verdicts")),
       stateRows, stateBytes, (System.nanoTime() - t0) / 1e9, legProgress)
   }
 
@@ -516,6 +525,54 @@ object StreamingCurate {
         writeVerdictBatch(
           TrainingData.exciseBenchmarkSpans(batch, benchmark),
           batchId, outPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
+  /** q114 in flight — the crawl-frontier "have we seen this canonical
+    * URL?" gate, the cheapest dedup a streaming ingest can run because
+    * it fires BEFORE any text processing: each arriving doc's URL
+    * canonicalizes row-locally (the q114 regex chain), gets a duplicate
+    * verdict against the persisted canonical-URL index plus its own
+    * micro-batch (min doc_id is the batch's representative), and each
+    * batch appends its NEW canonical URLs to the index — the
+    * decontam/semantic-leg pattern: stream-static join against a
+    * canon-bucketed table, zero state store. Replay-idempotent BY
+    * CONSTRUCTION even though verdicts and appends touch the same
+    * rows: a doc is never `dup_of` itself (the self-match guard), so a
+    * replayed batch whose first attempt already appended its URLs
+    * reproduces byte-identical verdicts, and the append's anti-join
+    * adds nothing twice. Output rows: `(doc_id, url, canon_url,
+    * dup_of, batch_id)` — dup_of NULL for first sightings.
+    */
+  def urlVerdictStream(docs: DataFrame, indexTable: String,
+      outPath: String, checkpoint: String,
+      buckets: Int = 32): org.apache.spark.sql.streaming.StreamingQuery = {
+    StreamingIngest.requireBatchPartitionedLayout(docs.sparkSession, outPath)
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val canon = batch.select(col("doc_id"), col("url"),
+          DomainCuration.canonicalizeUrl(col("url")).as("canon_url"))
+        // resolve the table INSIDE the batch (decontam-leg rule) so
+        // each micro-batch sees every earlier batch's appended URLs
+        val index = spark.table(indexTable)
+        val batchRep = canon.groupBy(col("canon_url"))
+          .agg(min(col("doc_id")).as("batch_rep"))
+        val verdicts = canon
+          .join(index, Seq("canon_url"), "left")
+          .join(batchRep, Seq("canon_url"))
+          .select(col("doc_id"), col("url"), col("canon_url"),
+            coalesce(
+              when(col("first_doc_id") =!= col("doc_id"), col("first_doc_id")),
+              when(col("doc_id") =!= col("batch_rep"), col("batch_rep")))
+              .as("dup_of"))
+        writeVerdictBatch(verdicts, batchId, outPath)
+        val fresh = batchRep
+          .join(index, Seq("canon_url"), "left_anti")
+          .select(col("canon_url"), col("batch_rep").as("first_doc_id"))
+        Bucketing.appendBucketed(fresh, indexTable, "canon_url", buckets)
       }
       .option("checkpointLocation", checkpoint)
       .start()

@@ -29,7 +29,7 @@ object StreamSoak {
 
     // fresh index tables per run: drop any prior soak's tables AND
     // their managed locations (saveAsTable refuses a stale dir)
-    Seq("soak_cell_idx", "soak_gram_idx").foreach { t =>
+    Seq("soak_cell_idx", "soak_gram_idx", "soak_url_idx").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val loc = new java.io.File(s"spark-warehouse/$t")
       if (loc.exists()) {
@@ -50,6 +50,12 @@ object StreamSoak {
       histEmb.orderBy(col("vec_id")).limit(numCells))
     Similarity.writeCellIndex(histEmb, centroids, "soak_cell_idx", 32)
     TrainingData.writeGramIndex(hist, "soak_gram_idx", 32)
+    // URL first-sighting index from the seeding half's messy spellings
+    // (the q114 fixture convention — the feed carries no url column)
+    graft.operators.DomainCuration.writeUrlIndex(
+      hist.select(col("doc_id"),
+        graft.operators.DomainCuration.messyUrl(col("doc_id")).as("url")),
+      "soak_url_idx", 32)
 
     // replay the arriving half as JSON messages (the in-JVM feed is a
     // test double; the collect is soak tooling, not a query path)
@@ -74,7 +80,8 @@ object StreamSoak {
       // watermark lets the stats leg FINALIZE most windows inside the
       // soak, so the emitted row count is part of the evidence
       statsWatermark = "2 minutes",
-      driftBaseline = Some(baseline))
+      driftBaseline = Some(baseline),
+      urlIndexTable = Some("soak_url_idx"))
     val counts = rep.counts.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     // watermark lag per watermarked leg: replay event time is

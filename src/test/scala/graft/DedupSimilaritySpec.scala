@@ -618,6 +618,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(all.length == 6 && all.forall(_.getBoolean(3)))
   }
 
+  test("q115: precedence beats quality, quality breaks ties within a tier, singletons pass through") {
+    // cluster 10: a low-quality curated doc (tier 1) must beat a
+    // high-quality unlisted doc (tier 99). cluster 20: both tier 99 —
+    // quality decides. doc 7: unclustered singleton survives as-is.
+    val scored = Seq(
+      (1L, "src7", 1, 10.0), (2L, "srcX", 99, 90.0),  // cluster 10
+      (3L, "srcY", 99, 40.0), (4L, "srcZ", 99, 60.0), // cluster 20
+      (7L, "srcQ", 99, 5.0))                          // singleton
+      .toDF("doc_id", "source", "tier", "quality")
+    val clusters = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L))
+      .toDF("doc_id", "cluster_id")
+    val out = Dedup.precedenceSurvivors(scored, clusters).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(0), r.getString(3), r.getLong(2)))).toMap
+    assert(out == Map(10L -> ((1L, "src7", 2L)), 20L -> ((4L, "srcZ", 2L)),
+      7L -> ((7L, "srcQ", 1L))))
+    // the tier column itself: listed sources rank by position, the
+    // rest share the bottom tier
+    val tiers = Seq("src7", "src3", "src11", "src0").toDF("source")
+      .select(Dedup.precedenceTier(col("source")).as("t"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(tiers == Seq(1, 2, 3, 99))
+  }
+
   test("staged demo-point rankings equal their inline kernels row-for-row") {
     // the zero-drift claim q93/q94 rest on: each staged retrieval log is
     // written THROUGH the benchmark kernel, so staged == inline exactly

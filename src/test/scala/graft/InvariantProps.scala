@@ -779,4 +779,51 @@ object InvariantProps extends Properties("graft") {
       got == expected &&
         got.values.forall { case (_, _, tok) => tok <= budget + maxPack - 1 }
     }
+
+  // q114: canonicalization is IDEMPOTENT over the messy-url space — a
+  // canonical form re-canonicalizes to itself (the property that lets
+  // an incremental pipeline store canonical keys and re-process mixed
+  // raw/canonical inputs without drift)
+  property("q114 canonicalizeUrl is idempotent over messy urls") =
+    Prop.forAllNoShrink(Gen.listOfN(40, Gen.choose(0L, 100000L))) { ids =>
+      import graft.operators.DomainCuration
+      val out = ids.toDF("doc_id")
+        .select(DomainCuration.canonicalizeUrl(
+          DomainCuration.messyUrl(col("doc_id"))).as("c1"))
+        .select(col("c1"), DomainCuration.canonicalizeUrl(col("c1")).as("c2"))
+        .collect()
+      out.forall(r => r.getString(0) == r.getString(1))
+    }
+
+  // q115: precedence survivors equal a reference selection on random
+  // (cluster, tier, quality) assignments — the (tier ASC, quality
+  // DESC, doc_id ASC) rule re-derived independently, singleton
+  // fallthrough included
+  property("q115 precedenceSurvivors equals the reference selection") =
+    Prop.forAllNoShrink(for {
+      n <- Gen.choose(1, 50)
+      rows <- Gen.listOfN(n, for {
+        tier <- Gen.oneOf(1, 2, 99)
+        q <- Gen.choose(0, 100).map(_.toDouble) // coarse grid forces ties
+        clustered <- Gen.oneOf(true, false)
+        cid <- Gen.choose(0L, 5L)
+      } yield (tier, q, if (clustered) Some(cid + 1000L) else None))
+    } yield rows.zipWithIndex.map { case ((t, q, c), i) =>
+      (i.toLong, s"s$t", t, q, c)
+    }) { rows =>
+      val expected = rows
+        .groupBy(r => r._5.getOrElse(r._1))
+        .map { case (cid, xs) =>
+          val keep = xs.minBy(x => (x._3, -x._4, x._1))
+          cid -> ((keep._1, keep._2, xs.size.toLong))
+        }
+      val scored = rows.map(r => (r._1, r._2, r._3, r._4))
+        .toDF("doc_id", "source", "tier", "quality")
+      val clusters = rows.collect { case (id, _, _, _, Some(c)) => (id, c) }
+        .toDF("doc_id", "cluster_id")
+      val got = graft.operators.Dedup.precedenceSurvivors(scored, clusters)
+        .collect().map(r => r.getLong(1) ->
+          ((r.getLong(0), r.getString(3), r.getLong(2)))).toMap
+      got == expected
+    }
 }

@@ -254,7 +254,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q111_cell_quota" -> NoPairJoin, // CellArgmax map + doc-level equi-joins; no expansion anywhere
     "q112_lang_budget" -> NoPairJoin, // doc-level equi-joins + broadcast bucket attach
     "q113_shard_manifest" -> NoPairJoin, // pack-volume aggregates + broadcast offset attach
-    "q114_url_canon" -> NoPairJoin) // q22's hash-groupBy shape on the canonical key
+    "q114_url_canon" -> NoPairJoin, // q22's hash-groupBy shape on the canonical key
+    "q115_precedence_dedup" -> NoPairJoin) // q53's shape: doc-level equi-join + one max_by aggregation
 
   test("every registered query declares its pair-join pinning (and no stale entries)") {
     val names = Registry.all.map(_.name).toSet

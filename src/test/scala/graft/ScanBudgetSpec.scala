@@ -167,7 +167,8 @@ class ScanBudgetSpec extends AnyFunSuite {
     "q111_cell_quota" -> ((1, 1)), // CellArgmax over one embeddings scan + thin (doc_id, n_chars) quality attach
     "q112_lang_budget" -> ((1, 0)), // staged-token quality/BPE + thin (doc_id, n_chars, lang) scan
     "q113_shard_manifest" -> ((1, 0)), // the q107 pack scan; manifest math is pack-volume
-    "q114_url_canon" -> ((1, 0))) // row-local canonicalization regex chain + one hash-groupBy
+    "q114_url_canon" -> ((1, 0)), // row-local canonicalization regex chain + one hash-groupBy
+    "q115_precedence_dedup" -> ((1, 0))) // staged tokens + staged clusters + thin (doc_id, n_chars, source) scan
 
   test("every registered query has a scan budget (and no stale entries linger)") {
     val names = Registry.all.map(_.name).toSet
@@ -190,7 +191,8 @@ class ScanBudgetSpec extends AnyFunSuite {
   // complex-buffer sort over anything else must either take the
   // per-side-join/native-kernel wiring or justify itself onto this
   // list.
-  private val SortAggAllowed = Set("q53_canonical_docs", "q59_verified_ingest")
+  private val SortAggAllowed = Set("q53_canonical_docs", "q59_verified_ingest",
+    "q115_precedence_dedup") // q53's max_by regroup of the doc-volume staged cluster frame
 
   private def complexSortAggs(p: org.apache.spark.sql.execution.SparkPlan) =
     ScanAudit.deepNodes(p)

@@ -665,6 +665,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("gram_idx_stream").count() == 2L)
   }
 
+  test("stream-static URL dedup verdicts arrivals against a growing canonical-URL index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // seed: the frontier has already fetched page /p/1 (via a messy
+    // spelling — the index stores the CANONICAL form)
+    graft.operators.DomainCuration.writeUrlIndex(
+      Seq((1L, "http://www.ex.com/p/1?utm_source=a")).toDF("doc_id", "url"),
+      "url_idx_stream", 4)
+    val mem = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("urlvout").toString
+    val q = graft.streaming.StreamingCurate.urlVerdictStream(
+      mem.toDF().toDF("doc_id", "url"), "url_idx_stream", out,
+      Files.createTempDirectory("urlvck").toString, buckets = 4)
+    // batch 1: doc 10 respells the seeded page (dup of 1); docs 11/12
+    // are the SAME new page within one batch (12 dups 11); doc 13 new
+    mem.addData(
+      (10L, "https://ex.com/p/1#frag"),
+      (11L, "https://ex.com/p/2"),
+      (12L, "http://WWW.EX.com/p/2/"),
+      (13L, "https://ex.com/p/3?id=7&utm_campaign=x"))
+    q.processAllAvailable()
+    // batch 2: doc 20 hits batch 1's new page — known only from the
+    // appended index; doc 21 re-sends the semantic-param page
+    mem.addData((20L, "http://ex.com/p/2"), (21L, "https://ex.com/p/3?id=7"))
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "URL-dedup leg must not grow a state store")
+    q.stop()
+    val r = spark.read.parquet(out).collect()
+      .map(x => x.getAs[Long]("doc_id") -> Option(x.getAs[java.lang.Long]("dup_of"))).toMap
+    assert(r(10L).contains(1L), s"respelled seeded page must dup: $r")
+    assert(r(11L).isEmpty && r(12L).contains(11L), s"within-batch dup: $r")
+    assert(r(13L).isEmpty)
+    assert(r(20L).contains(11L), s"batch-2 vs batch-1 first sighting: $r")
+    assert(r(21L).contains(13L), s"semantic-param page remembered: $r")
+    // index grew by exactly the two new canonical pages
+    assert(spark.table("url_idx_stream").count() == 3L)
+  }
+
   test("stream-static span excision cleans leaked spans in flight, stateless and replay-idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -742,6 +781,10 @@ class StreamingSpec extends AnyFunSuite {
     val centroids = Similarity.asCentroids(histEmb)
     Similarity.writeCellIndex(histEmb, centroids, "all_legs_cell_idx", 4)
     TrainingData.writeGramIndex(hist, "all_legs_gram_idx", 4)
+    graft.operators.DomainCuration.writeUrlIndex(
+      hist.select(col("doc_id"),
+        graft.operators.DomainCuration.messyUrl(col("doc_id")).as("url")),
+      "all_legs_url_idx", 4)
     val work = Files.createTempDirectory("allegs").toString
     val good = "spark plans broadcast joins across partitioned parquet scans"
     graft.sources.FeedRegistry.clear("wsall")
@@ -753,7 +796,8 @@ class StreamingSpec extends AnyFunSuite {
       """{nope""") // malformed: dead-letter only
     val rep = graft.streaming.StreamingCurate.runAllLegs(
       spark, "wsall", work, minQuality = 50.0,
-      centroids, "all_legs_cell_idx", "all_legs_gram_idx")
+      centroids, "all_legs_cell_idx", "all_legs_gram_idx",
+      urlIndexTable = Some("all_legs_url_idx"))
     // curation + near-dup assembly: 11 fell to dedup, 13 to quality,
     // malformed never enters the doc legs
     val curated = spark.read.parquet(s"$work/curated")
@@ -774,6 +818,11 @@ class StreamingSpec extends AnyFunSuite {
     // decontam: doc splits are md5(doc_id)-derived; just assert the leg
     // ran and produced a readable (possibly empty) verdict set
     assert(rep.counts.contains("dc_verdicts"))
+    // URL leg: one verdict row per parseable arrival (the messy-url
+    // fixture derives spellings from doc_id, so dup hits depend on the
+    // seeded ids — presence and volume are the wiring pin here; the
+    // dedicated URL-leg test pins the verdict semantics)
+    assert(rep.counts("url_verdicts") == 4L, rep.counts.toString)
     assert(rep.wallSec > 0)
   }
 
