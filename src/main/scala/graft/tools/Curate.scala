@@ -407,6 +407,13 @@ object Curate {
         .join(spark.read.parquet(s"$outDir/bpe_counts"), Seq("doc_id")),
       seed = TrainingData.ShuffleSeed, capacity = PackCapacity)
     packed.write.mode("overwrite").parquet(s"$outDir/train_packed")
+    // recut the manifest from the rewritten packs — repack must leave a
+    // CONSISTENT tree (a stale manifest would describe files the packs
+    // no longer fill); same seed + currency means a pure repack
+    // reproduces it byte-identically, but the contract is re-derivation
+    TrainingData.shardManifest(
+        spark.read.parquet(s"$outDir/train_packed"), FileTokens)
+      .write.mode("overwrite").parquet(s"$outDir/shard_manifest")
     val n = spark.read.parquet(s"$outDir/train_packed")
       .select("shard", "pack_id").distinct().count()
     (n, (System.nanoTime() - t0) / 1e9)

@@ -434,6 +434,12 @@ class TrainingDataSpec extends AnyFunSuite {
     // 1-5 are never recomputed — repack reads $out/clean directly)
     val (repacked, _) = graft.tools.Curate.repack(spark, out)
     assert(repacked == c.trainPacks)
+    // repack leaves a CONSISTENT tree: the manifest was recut from the
+    // rewritten packs and still conserves their totals
+    val manifest2 = spark.read.parquet(s"$out/shard_manifest")
+    val pTok2 = spark.read.parquet(s"$out/train_packed")
+      .agg(sum("n_tokens")).collect()(0).getLong(0)
+    assert(manifest2.agg(sum("n_tokens")).collect()(0).getLong(0) == pTok2)
   }
 
   test("curation stage 5b drops train docs leaking an external benchmark") {
