@@ -157,11 +157,14 @@ object DomainCuration {
 
   /** Deterministic messy URL for a doc_id: page identity = doc_id %
     * 101 (5 docs per page at sf0.01), spelling varies by doc_id —
-    * scheme (%2), www (%3), host case (%5), param shape (%4: id+utm /
-    * utm only / id only / bare), trailing slash (bare docs, %7),
-    * fragment (%11). Tracking params always follow semantic ones (the
-    * ordered-param fixture; a production canonicalizer sorts and
-    * filters the param multiset — same regex family, plus a sort).
+    * scheme (%2), www (%3), host case (%5), default port `:80`/`:443`
+    * (%13), percent-escape case in the path (%17, paired with %2 so
+    * both hex casings occur), param shape (%8: id+utm / utm only /
+    * id / bare / utm-LEADING-then-id / id+two-tracking / id / bare),
+    * trailing slash (bare docs, %7), fragment (%11). The %8=4 shape
+    * puts a tracking param FIRST (exercises the `&`→`?` separator
+    * repair) and %8=5 carries TWO tracking params (exercises
+    * replace-ALL semantics — DuckDB needs the explicit 'g' flag).
     */
   def messyUrl(docId: Column): Column = {
     val page = docId % 101
@@ -170,32 +173,77 @@ object DomainCuration {
     val scheme = when(docId % 2 === 0, "http").otherwise("https")
     val www = when(docId % 3 === 0, "www.").otherwise("")
     val cased = when(docId % 5 === 0, upper(host)).otherwise(host)
+    val port = when(docId % 13 === 0,
+      when(docId % 2 === 0, ":80").otherwise(":443")).otherwise("")
     val pageS = page.cast("string")
-    val query = when(docId % 4 === 0,
-        concat(lit("?id="), pageS, lit("&utm_source=s"), (docId % 7).cast("string")))
-      .when(docId % 4 === 1,
-        concat(lit("?utm_campaign=c"), (docId % 7).cast("string")))
-      .when(docId % 4 === 2, concat(lit("?id="), pageS))
+    val path = when(docId % 17 === 0,
+        concat(lit("/p%"), when(docId % 2 === 0, "2f").otherwise("2F"),
+          lit("x/"), pageS))
+      .otherwise(concat(lit("/p/"), pageS))
+    val trk = (docId % 7).cast("string")
+    val query = when(docId % 8 === 0,
+        concat(lit("?id="), pageS, lit("&utm_source=s"), trk))
+      .when(docId % 8 === 1, concat(lit("?utm_campaign=c"), trk))
+      .when(docId % 8 === 2, concat(lit("?id="), pageS))
+      .when(docId % 8 === 4,
+        concat(lit("?utm_campaign=c"), trk, lit("&id="), pageS))
+      .when(docId % 8 === 5,
+        concat(lit("?id="), pageS, lit("&utm_source=s"), trk,
+          lit("&ref=r"), (docId % 3).cast("string")))
+      .when(docId % 8 === 6, concat(lit("?id="), pageS))
       .otherwise(when(docId % 7 === 0, "/").otherwise(""))
     val frag = when(docId % 11 === 0,
       concat(lit("#sec"), (docId % 3).cast("string"))).otherwise("")
-    concat(scheme, lit("://"), www, cased, lit("/p/"), pageS, query, frag)
+    concat(scheme, lit("://"), www, cased, port, path, query, frag)
   }
 
-  /** Canonical form of a url column (row-local regex chain, identical
-    * value semantics to o114's DuckDB chain — replacement backref
-    * syntax differs, `$1` vs `\\1`, values don't).
+  /** Uppercase the hex of every %XX percent-escape (RFC 3986 §6.2.2.1:
+    * escape hex is case-insensitive, so `%2f` and `%2F` are the same
+    * octet and must share a canonical spelling). Row-local: one split
+    * on '%', a guarded two-char uppercase per segment, rejoin. A '%'
+    * not followed by two hex chars (malformed escape) passes through
+    * untouched.
+    */
+  private[operators] def pctUpper(u: Column): Column = {
+    val parts = split(u, "%", -1)
+    when(size(parts) === 1, u).otherwise(concat(
+      element_at(parts, 1), lit("%"),
+      array_join(transform(slice(parts, lit(2), size(parts)), x =>
+        when(substring(x, 1, 2).rlike("^[0-9a-fA-F]{2}$"),
+          concat(upper(substring(x, 1, 2)), substring(x, 3, Int.MaxValue)))
+          .otherwise(x)), "%")))
+  }
+
+  /** Canonical form of a url column (row-local, codegen'd — a regex
+    * chain plus the [[pctUpper]] split and the [[graft.functions.IdnAsciiHost]]
+    * native fold). Steps, in order: drop the fragment; strip tracking
+    * params (`utm_*`/`ref`/`fbclid`, ALL occurrences); repair a
+    * now-leading `&` back to `?` (a stripped FIRST param leaves
+    * `/p&id=9` otherwise — round-14 ADVICE); lowercase the
+    * scheme+host head and force https; strip `www.`; strip the
+    * default `:80`/`:443` port; punycode-fold a non-ASCII host
+    * (ASCII = identity, so the DuckDB twin — which has no punycode —
+    * matches on any ASCII corpus and DomainCurationSpec pins the
+    * Unicode case); uppercase percent-escape hex in the path+query;
+    * strip one trailing slash. The DuckDB twin in o114 mirrors every
+    * step with the same regexes (backref syntax `$1` vs `\\1` and the
+    * explicit 'g' flag are the only differences).
     */
   def canonicalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val noTrack = regexp_replace(noFrag,
       "[?&](utm_[a-z]+|ref|fbclid)=[^&#]*", "")
-    val head = lower(regexp_extract(noTrack, "(?i)^https?://[^/]+", 0))
-    val rest = regexp_replace(noTrack, "(?i)^https?://[^/]+", "")
-    concat(
+    // a stripped LEADING tracking param leaves '&' as the first
+    // separator: rewrite the first '&' to '?' when no '?' precedes it
+    val fixedSep = regexp_replace(noTrack, "^([^?&]*)&", "$1?")
+    val head = lower(regexp_extract(fixedSep, "(?i)^https?://[^/?#]+", 0))
+    val rest = regexp_replace(fixedSep, "(?i)^https?://[^/?#]+", "")
+    val normHead = regexp_replace(
       regexp_replace(regexp_replace(head, "^http://", "https://"),
         "^(https://)www\\.", "$1"),
-      regexp_replace(rest, "/$", ""))
+      ":(80|443)$", "")
+    concat(graft.functions.IdnAsciiHost(normHead),
+      pctUpper(regexp_replace(rest, "/$", "")))
   }
 
   /** Persist a canonical-URL first-sighting index from a `(doc_id,
@@ -238,28 +286,52 @@ object DomainCuration {
        |                    (['com', 'org', 'net', 'io', 'edu'])[CAST((doc_id % 101) % 5 AS INTEGER) + 1])
        |               ELSE 'site' || CAST((doc_id % 101) % 13 AS VARCHAR) || '.' ||
        |                    (['com', 'org', 'net', 'io', 'edu'])[CAST((doc_id % 101) % 5 AS INTEGER) + 1] END) ||
-       |         '/p/' || CAST(doc_id % 101 AS VARCHAR) ||
-       |         (CASE WHEN doc_id % 4 = 0
+       |         (CASE WHEN doc_id % 13 = 0
+       |               THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+       |               ELSE '' END) ||
+       |         (CASE WHEN doc_id % 17 = 0
+       |               THEN '/p%' || (CASE WHEN doc_id % 2 = 0 THEN '2f' ELSE '2F' END) ||
+       |                    'x/' || CAST(doc_id % 101 AS VARCHAR)
+       |               ELSE '/p/' || CAST(doc_id % 101 AS VARCHAR) END) ||
+       |         (CASE WHEN doc_id % 8 = 0
        |               THEN '?id=' || CAST(doc_id % 101 AS VARCHAR) || '&utm_source=s' || CAST(doc_id % 7 AS VARCHAR)
-       |               WHEN doc_id % 4 = 1 THEN '?utm_campaign=c' || CAST(doc_id % 7 AS VARCHAR)
-       |               WHEN doc_id % 4 = 2 THEN '?id=' || CAST(doc_id % 101 AS VARCHAR)
+       |               WHEN doc_id % 8 = 1 THEN '?utm_campaign=c' || CAST(doc_id % 7 AS VARCHAR)
+       |               WHEN doc_id % 8 = 2 THEN '?id=' || CAST(doc_id % 101 AS VARCHAR)
+       |               WHEN doc_id % 8 = 4
+       |               THEN '?utm_campaign=c' || CAST(doc_id % 7 AS VARCHAR) || '&id=' || CAST(doc_id % 101 AS VARCHAR)
+       |               WHEN doc_id % 8 = 5
+       |               THEN '?id=' || CAST(doc_id % 101 AS VARCHAR) || '&utm_source=s' || CAST(doc_id % 7 AS VARCHAR) || '&ref=r' || CAST(doc_id % 3 AS VARCHAR)
+       |               WHEN doc_id % 8 = 6 THEN '?id=' || CAST(doc_id % 101 AS VARCHAR)
        |               WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) ||
        |         (CASE WHEN doc_id % 11 = 0 THEN '#sec' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END)
        |           AS url
        |  FROM documents),
        |nf AS (SELECT doc_id, url, regexp_replace(url, '#.*$$', '') AS u1 FROM u),
        |nt AS (SELECT doc_id, url,
-       |              regexp_replace(u1, '[?&](utm_[a-z]+|ref|fbclid)=[^&#]*', '') AS u2
+       |              regexp_replace(u1, '[?&](utm_[a-z]+|ref|fbclid)=[^&#]*', '', 'g') AS u2
        |       FROM nf),
-       |hp AS (SELECT doc_id, url,
-       |              lower(regexp_extract(u2, '(?i)^https?://[^/]+', 0)) AS head,
-       |              regexp_replace(u2, '(?i)^https?://[^/]+', '') AS rest
+       |fs AS (SELECT doc_id, url,
+       |              regexp_replace(u2, '^([^?&]*)&', '\\1?') AS u3
        |       FROM nt),
-       |cn AS (SELECT doc_id, url,
-       |              regexp_replace(regexp_replace(head, '^http://', 'https://'),
-       |                             '^(https://)www\\.', '\\1') ||
-       |              regexp_replace(rest, '/$$', '') AS canon_url
-       |       FROM hp)
+       |hp AS (SELECT doc_id, url,
+       |              lower(regexp_extract(u3, '(?i)^https?://[^/?#]+', 0)) AS head,
+       |              regexp_replace(u3, '(?i)^https?://[^/?#]+', '') AS rest
+       |       FROM fs),
+       |nh AS (SELECT doc_id, url,
+       |              regexp_replace(regexp_replace(regexp_replace(head,
+       |                '^http://', 'https://'), '^(https://)www\\.', '\\1'),
+       |                ':(80|443)$$', '') AS head2,
+       |              regexp_replace(rest, '/$$', '') AS rest2
+       |       FROM hp),
+       |pc AS (SELECT doc_id, url, head2,
+       |              CASE WHEN len(string_split(rest2, '%')) = 1 THEN rest2
+       |                   ELSE string_split(rest2, '%')[1] || '%' ||
+       |                        array_to_string(list_transform(string_split(rest2, '%')[2:],
+       |                          x -> CASE WHEN regexp_matches(x[1:2], '^[0-9a-fA-F]{2}$$')
+       |                                    THEN upper(x[1:2]) || x[3:] ELSE x END), '%')
+       |              END AS rest3
+       |       FROM nh),
+       |cn AS (SELECT doc_id, url, head2 || rest3 AS canon_url FROM pc)
        |SELECT canon_url, min(doc_id) AS keep_id,
        |       CAST(count(*) AS BIGINT) AS n_docs,
        |       CAST(count(DISTINCT url) AS BIGINT) AS n_raw

@@ -1303,6 +1303,159 @@ object Similarity {
        |LEFT JOIN hits h ON g.qid = h.qid
        |LEFT JOIN rr ON g.qid = rr.qid""".stripMargin
 
+  // ---- q117: sample-bounded recall evaluation with sampling CI -----------
+  // q93's honest scale problem (round-14 verdict): its ground truth is
+  // q26's brute-force pass over the vec_id % QueryStride query set —
+  // a query COUNT that grows with the corpus, so the exact-ranking
+  // staging cost is quadratic (measured ~6 min at sf10, unusable
+  // beyond). Production ANN evaluation bounds it the standard way:
+  // ground truth for a FIXED-SIZE query sample (corpus-independent K),
+  // recall reported with its binomial sampling CI so the operating
+  // point is read as an estimate, not a census. The sample is the q69
+  // discipline applied to vec_ids — the K smallest salted-md5 hashes,
+  // reproducible across runs/engines/corpus growth, drawn by a
+  // distributed TakeOrdered (never a full sort). The exact pass then
+  // costs K·|corpus| at ANY scale — the sf10 staging receipt in
+  // SCALE.md shows the full-stride pass vs this sample-bounded one.
+
+  private val SampleQueries = 24
+
+  /** The fixed-size deterministic query sample: K vec_ids with the
+    * smallest `md5('rs' || vec_id)` — a label-blind reproducible draw
+    * (q69's salt discipline; 'rs' collides with no other salt in the
+    * repo). Returned as a collected Seq: K is a corpus-independent
+    * constant, so this is a bounded driver collect (the ivfTopK
+    * centroid precedent), and the ids feed both rankers' query
+    * predicates as an In filter that pushes into the scan.
+    */
+  private[graft] def sampledQueryIds(embeddings: DataFrame, k: Int): Seq[Long] =
+    embeddings.select(col("vec_id"))
+      .withColumn("h",
+        md5(concat(lit("rs"), col("vec_id").cast("string")).cast("binary")))
+      .orderBy(col("h").asc, col("vec_id").asc).limit(k)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+
+  private[graft] def stagedSampledExact(s: SparkSession, d: String): DataFrame =
+    stagedRanking(s, d, "cos-smp") {
+      val ids = sampledQueryIds(Tables.embeddings(s, d), SampleQueries)
+      cosineTopK(Tables.embeddings(s, d),
+        col("vec_id").isInCollection(ids), TopK)
+    }
+
+  private[graft] def stagedSampledIvf(s: SparkSession, d: String): DataFrame =
+    stagedRanking(s, d, "ivf-smp") {
+      val ids = sampledQueryIds(Tables.embeddings(s, d), SampleQueries)
+      ivfTopK(Tables.embeddings(s, d),
+        col("vec_id").isInCollection(ids), TopK)
+    }
+
+  /** One-row recall summary of an approximate ranking against a
+    * sampled exact ranking: `(n_queries, mean_recall, ci_lo, ci_hi,
+    * mean_rr)` — mean recall@k over the query sample with its 95%
+    * normal-approximation binomial CI (clamped to [0,1]), and mean
+    * reciprocal rank. Double sums go through DECIMAL(18,6) (registry
+    * determinism rule) so both engines aggregate exactly.
+    */
+  def annRecallSummary(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val per = annRecall(exact, approx)
+    val n = col("n_queries").cast("double")
+    val p = (col("rsum").cast("double") / n).as("mean_recall")
+    per.agg(count(lit(1)).as("n_queries"),
+        sum(col("recall").cast("decimal(18,6)")).as("rsum"),
+        sum(col("rr").cast("decimal(18,6)")).as("rrsum"))
+      .select(col("n_queries"), p,
+        greatest(lit(0.0), col("rsum").cast("double") / n -
+          lit(1.96) * sqrt((col("rsum").cast("double") / n) *
+            (lit(1.0) - col("rsum").cast("double") / n) / n)).as("ci_lo"),
+        least(lit(1.0), col("rsum").cast("double") / n +
+          lit(1.96) * sqrt((col("rsum").cast("double") / n) *
+            (lit(1.0) - col("rsum").cast("double") / n) / n)).as("ci_hi"),
+        (col("rrsum").cast("double") / n).as("mean_rr"))
+  }
+
+  private def q117(s: SparkSession, d: String): DataFrame =
+    annRecallSummary(stagedSampledExact(s, d), stagedSampledIvf(s, d))
+
+  private val o117 =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |smp AS (
+       |  SELECT vec_id FROM embeddings
+       |  ORDER BY md5('rs' || CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $SampleQueries),
+       |n AS (
+       |  SELECT vec_id, v,
+       |         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+       |  FROM v),
+       |p AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |         list_reduce(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]),
+       |                     (a, b) -> a + b) / (q.nrm * c.nrm) AS sim
+       |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id IN (SELECT vec_id FROM smp)),
+       |exact AS (
+       |  SELECT qid, nid, rk FROM (
+       |    SELECT qid, nid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk
+       |    FROM p)
+       |  WHERE rk <= $TopK),
+       |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < $NumCells),
+       |scored AS (
+       |  SELECT n.vec_id, n.v, n.nrm, c.cid,
+       |         list_reduce(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i]),
+       |                     (a, b) -> a + b) / (n.nrm * c.cn) AS csim
+       |  FROM n CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id AS nid, cid, v AS nv, nrm AS nn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS ark
+       |    FROM scored)
+       |  WHERE ark = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, cid, v AS qv, nrm AS qn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS prk
+       |    FROM scored WHERE vec_id IN (SELECT vec_id FROM smp))
+       |  WHERE prk <= $NProbe),
+       |asims AS (
+       |  SELECT p.qid, a.nid,
+       |         list_reduce(list_transform(range(1, len(p.qv) + 1), i -> p.qv[i] * a.nv[i]),
+       |                     (x, y) -> x + y) / (p.qn * a.nn) AS sim
+       |  FROM assigned a JOIN probes p USING (cid)
+       |  WHERE p.qid <> a.nid),
+       |approx AS (
+       |  SELECT qid, nid, rk FROM (
+       |    SELECT qid, nid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk
+       |    FROM asims)
+       |  WHERE rk <= $TopK),
+       |hits AS (
+       |  SELECT e.qid, count(*) AS n_hit
+       |  FROM exact e JOIN approx a ON e.qid = a.qid AND e.nid = a.nid
+       |  GROUP BY e.qid),
+       |rr AS (
+       |  SELECT e.qid, 1.0 / CAST(a.rk AS DOUBLE) AS rr
+       |  FROM exact e JOIN approx a ON e.qid = a.qid AND e.nid = a.nid
+       |  WHERE e.rk = 1),
+       |per AS (
+       |  SELECT g.qid,
+       |         CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(g.n_exact AS DOUBLE) AS recall,
+       |         coalesce(rr.rr, 0.0) AS rr
+       |  FROM (SELECT qid, count(*) AS n_exact FROM exact GROUP BY qid) g
+       |  LEFT JOIN hits h ON g.qid = h.qid
+       |  LEFT JOIN rr ON g.qid = rr.qid)
+       |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       |       CAST(sum(CAST(recall AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_recall,
+       |       greatest(0.0, CAST(sum(CAST(recall AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) -
+       |         1.96 * sqrt((CAST(sum(CAST(recall AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)) *
+       |           (1.0 - CAST(sum(CAST(recall AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)) /
+       |           CAST(count(*) AS DOUBLE))) AS ci_lo,
+       |       least(1.0, CAST(sum(CAST(recall AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) +
+       |         1.96 * sqrt((CAST(sum(CAST(recall AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)) *
+       |           (1.0 - CAST(sum(CAST(recall AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)) /
+       |           CAST(count(*) AS DOUBLE))) AS ci_hi,
+       |       CAST(sum(CAST(rr AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_rr
+       |FROM per""".stripMargin
+
   // ---- q92: kNN label-noise detection ------------------------------------
   // Confident-learning-lite (Northcutt et al. 2021's observable, without
   // the calibration matrix): a labeled example whose nearest neighbors
@@ -1450,6 +1603,7 @@ object Similarity {
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q92_label_noise", "kNN neighborhood label-agreement (label-error triage)", q92, Some(o92)),
     GraftQuery("q93_ann_recall", "per-query IVF recall@k + reciprocal rank vs exact top-k", q93, Some(o93)),
+    GraftQuery("q117_sampled_recall", "sample-bounded recall@k with binomial CI (fixed-K query sample)", q117, Some(o117)),
     GraftQuery("q26_cosine_topk", "brute-force cosine top-k (broadcast queries)", q26, Some(o26)),
     GraftQuery("q34_ann_lsh", "hyperplane-LSH bucketed cosine near-dup", q34, Some(o34)),
     GraftQuery("q39_ivf_ann", "IVF cell-probed approximate cosine top-k", q39, Some(o39)),

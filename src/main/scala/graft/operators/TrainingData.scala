@@ -1507,6 +1507,14 @@ object TrainingData {
   // output-file-bounded.
   private[graft] val ShardFileTokens = 512L
 
+  /** Hard bound on the manifest's shard alphabet — the size past which
+    * the global offset window's single sort partition stops being an
+    * "exact-bounded tiny frame" and becomes a straggler. Real shard
+    * layouts are ≤256 (2 hex chars); 4096 leaves headroom for 3-hex
+    * schemes while still being one comfortable task.
+    */
+  private[graft] val MaxManifestShards = 4096L
+
   /** Per-file manifest of a packed frame (`(doc_id, shard, pack_id,
     * n_tokens)` rows, string or numeric shard): `(file_id, n_packs,
     * n_docs, n_tokens)` under the preceding-total-div-budget cut rule.
@@ -1518,9 +1526,29 @@ object TrainingData {
         sum(col("n_tokens").cast("long")).as("pk_tokens"))
     val sw = Window.orderBy(col("shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // STRUCTURAL cardinality guard (round 15): the global offset window
+    // is exact-bounded only because shard alphabets are layout
+    // constants (q107's 2-hex prefix = ≤256) — a caller feeding
+    // high-cardinality shards would silently single-partition. The
+    // guard counts shards INSIDE the same window exchange (same empty
+    // partition spec + order, one WindowExec, zero extra scans) and
+    // raise_error()s past MaxManifestShards — loud failure instead of
+    // a silent straggler. It can't pre-empt the window's sort, but the
+    // sorted frame is one row per shard, so the failure arrives in the
+    // first stage that would have misbehaved.
+    val swAll = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val offsets = packTotals.groupBy(col("shard"))
       .agg(sum(col("pk_tokens")).as("sh_tokens"))
-      .withColumn("sh_before", coalesce(sum(col("sh_tokens")).over(sw), lit(0L)))
+      .withColumn("n_sh", count(lit(1)).over(swAll))
+      .withColumn("sh_before",
+        when(col("n_sh") <= lit(MaxManifestShards),
+          coalesce(sum(col("sh_tokens")).over(sw), lit(0L)))
+          .otherwise(raise_error(concat(
+            lit("shardManifest: "), col("n_sh").cast("string"),
+            lit(s" distinct shards exceed the $MaxManifestShards cap — " +
+              "the global offset window would single-partition; " +
+              "pre-bucket shards to a bounded alphabet")))))
       .select(col("shard"), col("sh_before"))
     val pw = Window.partitionBy(col("shard")).orderBy(col("pack_id"))
       .rowsBetween(Window.unboundedPreceding, -1)

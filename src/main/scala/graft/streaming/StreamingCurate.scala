@@ -181,14 +181,18 @@ object StreamingCurate {
     * wave in the FEED shows up one window after it starts, instead of
     * at the next batch q105 run.
     *
-    * Semantics note (deliberate asymmetry vs batch q105): the stream
-    * can only monitor ARRIVING mass — surging and brand-new words; a
-    * word that vanishes from the feed has no row in the window and is
-    * invisible here. Vanished-word drift needs the full-vocabulary
-    * outer diff, which is exactly the batch query. Same integer
-    * arithmetic (both `div` operands nonnegative), so a window's
-    * dp_scaled for a word equals what batch q105 would compute for a
-    * corpus equal to that window.
+    * VANISHED words are reconciled per finalized window (round 15,
+    * closing the round-14 asymmetry): baseline words with no arriving
+    * row in a window enter the ranking as cnt = 0 — the outer-diff
+    * half of batch q105, paid only when a window finalizes and costing
+    * |baseline vocab| rows per window (the honest floor for seeing a
+    * disappearance; the in-stream state is untouched because the
+    * reconciliation happens in the per-batch report join, not in the
+    * windowed aggregation). Same integer arithmetic as batch q105
+    * (both `div` operands nonnegative), so a window's dp_scaled for a
+    * word equals what the batch query would compute for a corpus equal
+    * to that window — including the vanished ones, whose dp_scaled is
+    * exactly the negated baseline share.
     *
     * Scale shape: the in-stream state is one row per (window, w) —
     * vocab × windows-in-watermark, the honest floor for a distribution
@@ -219,7 +223,16 @@ object StreamingCurate {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val winTot = batch.groupBy(col("window"))
           .agg(sum(col("cnt")).as("tot_new"))
-        val scored = batch
+        // vanished-word reconciliation: every baseline word absent from
+        // a finalized window enters with cnt = 0 (one |vocab| diff per
+        // window — the outer half of batch q105)
+        val withVanished = batch.unionByName(
+          batch.select(col("window")).distinct()
+            .crossJoin(base.select(col("w")))
+            .join(batch.select(col("window"), col("w")),
+              Seq("window", "w"), "left_anti")
+            .withColumn("cnt", lit(0L)))
+        val scored = withVanished
           .join(broadcast(winTot), Seq("window"))
           .join(base, Seq("w"), "left")
           .na.fill(0L, Seq("cnt_base"))
@@ -560,13 +573,22 @@ object StreamingCurate {
         val index = spark.table(indexTable)
         val batchRep = canon.groupBy(col("canon_url"))
           .agg(min(col("doc_id")).as("batch_rep"))
+        // An INDEXED canon_url's verdict comes entirely from the index:
+        // dup_of = null for the recorded first sighting itself, else
+        // first_doc_id. The within-batch rule applies ONLY to unindexed
+        // URLs. (Round-14 ADVICE: the earlier coalesce fell through to
+        // the batch rule when doc_id == first_doc_id, so a redelivered
+        // first sighting arriving alongside a LOWER-id copy produced a
+        // mutual dup_of cycle — a consumer dropping dup_of-non-null
+        // rows lost every copy of the page.)
         val verdicts = canon
           .join(index, Seq("canon_url"), "left")
           .join(batchRep, Seq("canon_url"))
           .select(col("doc_id"), col("url"), col("canon_url"),
-            coalesce(
-              when(col("first_doc_id") =!= col("doc_id"), col("first_doc_id")),
-              when(col("doc_id") =!= col("batch_rep"), col("batch_rep")))
+            when(col("first_doc_id").isNotNull,
+              when(col("first_doc_id") =!= col("doc_id"), col("first_doc_id")))
+              .otherwise(
+                when(col("doc_id") =!= col("batch_rep"), col("batch_rep")))
               .as("dup_of"))
         writeVerdictBatch(verdicts, batchId, outPath)
         val fresh = batchRep

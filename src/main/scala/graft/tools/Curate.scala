@@ -93,9 +93,28 @@ object Curate {
       stageWalls: Option[scala.collection.mutable.ListBuffer[(String, Double)]] = None,
       resume: Boolean = false,
       failAfter: Option[String] = None,
-      exciseBenchmark: Boolean = false)
+      exciseBenchmark: Boolean = false,
+      clusterStateDir: Option[String] = None)
       : StageCounts = {
     val docs = Tables.documents(spark, sfDir)
+
+    // The dedup head's cluster map. Default: the per-JVM staged full
+    // re-cluster (one q44 loop per corpus fingerprint). With
+    // `clusterStateDir`: the INCREMENTAL head (round 15) — the first
+    // run initializes persistent state (map + capped band index + id
+    // roster), and every later run on a GROWN corpus folds only the
+    // new docs in via the batch-bounded merge (Dedup.syncClusterState)
+    // instead of re-running the label-propagation loop over the whole
+    // corpus. This was the pipeline's one super-linear stage (the q44
+    // re-run was 141 s of sf10's 183 s wall); with state it costs
+    // O(batch). Lazy so a resumed run whose dedup/splits artifacts are
+    // both on disk never pays the sync at all.
+    lazy val clusterMap: org.apache.spark.sql.DataFrame =
+      clusterStateDir match {
+        case Some(cs) =>
+          Dedup.syncClusterState(spark, cs, docs.select("doc_id", "text"))
+        case None => Dedup.stagedClusters(spark, sfDir)
+      }
 
     // write a stage, then hand back the WRITTEN parquet: downstream
     // stages and counts read the file, never the stage's lineage.
@@ -199,8 +218,7 @@ object Curate {
     // splits stage ballooned 0.2→21.1 s before this reuse; with it the
     // map computes once and the splits join is sub-second).
     val deduped = stage({
-      val survivors = Dedup.canonicalDocsPreScored(scoredDocs,
-          Dedup.stagedClusters(spark, sfDir))
+      val survivors = Dedup.canonicalDocsPreScored(scoredDocs, clusterMap)
         .select("doc_id")
       scoredDocs.join(survivors, Seq("doc_id"), "left_semi")
     }, "deduped")
@@ -274,7 +292,7 @@ object Curate {
     // across runs: a pure function of (doc_id, cluster map), and the
     // map is itself a pure function of the corpus.
     val splitDocs = stage({
-      val cmap = Dedup.stagedClusters(spark, sfDir)
+      val cmap = clusterMap
       mixed.join(cmap, Seq("doc_id"), "left")
         .withColumn("split", TrainingData.splitColumnOf(
           coalesce(col("cluster_id"), col("doc_id"))))
@@ -420,8 +438,14 @@ object Curate {
   }
 
   def main(args: Array[String]): Unit = {
-    val rest = args.filterNot(a => a == "--repack" || a == "--resume")
-    require(rest.nonEmpty, "usage: Curate <sfDir> [outDir] [--repack|--resume]")
+    val clusterState = args.collectFirst {
+      case a if a.startsWith("--cluster-state=") =>
+        a.stripPrefix("--cluster-state=")
+    }
+    val rest = args.filterNot(a => a == "--repack" || a == "--resume" ||
+      a.startsWith("--cluster-state="))
+    require(rest.nonEmpty,
+      "usage: Curate <sfDir> [outDir] [--repack|--resume|--cluster-state=DIR]")
     val outDir = if (rest.length > 1) rest(1)
       else java.nio.file.Files.createTempDirectory("curate").toString
     val spark = graft.GraftSession.local("graft-curate")
@@ -432,7 +456,7 @@ object Curate {
       val walls = scala.collection.mutable.ListBuffer.empty[(String, Double)]
       val t0 = System.nanoTime()
       val c = run(spark, rest(0), outDir, stageWalls = Some(walls),
-        resume = args.contains("--resume"))
+        resume = args.contains("--resume"), clusterStateDir = clusterState)
       val total = (System.nanoTime() - t0) / 1e9
       val stages = walls.map { case (n, s) => s""""$n":$s""" }.mkString("{", ",", "}")
       println(s"curate: $c -> $outDir")

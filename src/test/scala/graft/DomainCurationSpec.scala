@@ -72,6 +72,37 @@ class DomainCurationSpec extends AnyFunSuite {
       "https://site1.com/p/10" -> ((8L, 1L, 1L))))
   }
 
+  test("q114 round 15: leading-tracking repair, multi-tracking, default ports, escape case, IDN hosts") {
+    def canon(u: String): String =
+      Seq(u).toDF("url")
+        .select(DomainCuration.canonicalizeUrl(col("url")).as("c"))
+        .head().getString(0)
+    // a stripped LEADING tracking param must repair '&'→'?' (round-14
+    // ADVICE: the page used to split into two canonical groups)
+    assert(canon("https://h.com/p?utm_x=1&id=9") == "https://h.com/p?id=9")
+    assert(canon("https://h.com/p?id=9&utm_x=1") == "https://h.com/p?id=9")
+    // TWO tracking params both strip (the DuckDB twin needs 'g')
+    assert(canon("https://h.com/p?utm_campaign=c2&ref=r") == "https://h.com/p")
+    assert(canon("https://h.com/p?id=1&utm_source=s&ref=r") == "https://h.com/p?id=1")
+    // default ports strip; a real port survives
+    assert(canon("https://h.com:443/p") == "https://h.com/p")
+    assert(canon("http://h.com:80/p") == "https://h.com/p")
+    assert(canon("https://h.com:8443/p") == "https://h.com:8443/p")
+    // percent-escape hex case normalizes; malformed escapes untouched
+    assert(canon("https://h.com/a%2fb?x=%3d") == "https://h.com/a%2Fb?x=%3D")
+    assert(canon("https://h.com/a%2Fb") == "https://h.com/a%2Fb")
+    assert(canon("https://h.com/100%a") == "https://h.com/100%a")
+    // IDN host folds to punycode (DuckDB can't express this — spec-
+    // pinned here; ASCII hosts are untouched so q114 stays hash-green)
+    assert(canon("https://bücher.example/x") == "https://xn--bcher-kva.example/x")
+    assert(canon("http://www.BÜCHER.example/x/") == "https://xn--bcher-kva.example/x")
+    // non-ASCII OUTSIDE the host folds nothing
+    assert(canon("https://h.com/päth") == "https://h.com/päth")
+    // all the axes at once
+    assert(canon("http://www.H.com:80/a%2fb?utm_x=1&id=2&ref=r#frag") ==
+      "https://h.com/a%2Fb?id=2")
+  }
+
   test("q114: the messy-url fixture really exercises every variant axis") {
     // over one full period of the spelling moduli, the canonical
     // groups must absorb multiple raw spellings (n_raw > 1 somewhere
@@ -84,11 +115,19 @@ class DomainCurationSpec extends AnyFunSuite {
     assert(out.exists(_.getLong(2) > 1), "no URL-level dup groups formed")
     assert(out.exists(r => r.getLong(3) > 1), "no spelling variance absorbed")
     // canonical forms carry no tracking params, fragments, http scheme,
-    // www, uppercase, or trailing slash
+    // www, default ports, uppercase (outside %XX escape hex, which is
+    // canonically UPPER), or trailing slash
     out.map(_.getString(0)).foreach { c =>
       assert(c.startsWith("https://site"), c)
       assert(!c.contains("utm_") && !c.contains("#") && !c.contains("www."), c)
-      assert(!c.endsWith("/") && c == c.toLowerCase, c)
+      assert(!c.contains(":80") && !c.contains(":443"), c)
+      val noEsc = c.replaceAll("%[0-9A-F]{2}", "")
+      assert(!c.endsWith("/") && noEsc == noEsc.toLowerCase, c)
+      assert(!c.matches(".*%[0-9a-f]{2}.*"), s"lowercase escape hex survived: $c")
     }
+    // the %8=4 leading-tracking shape repaired its separator: every
+    // canonical query starts with '?', never a bare '&' after the path
+    assert(!out.map(_.getString(0)).exists(_.matches("[^?]*&.*")),
+      "a canonical URL kept '&' as its first query separator")
   }
 }

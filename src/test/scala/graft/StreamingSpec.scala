@@ -511,12 +511,17 @@ class StreamingSpec extends AnyFunSuite {
         r.getAs[String]("w")) ->
         (r.getAs[Long]("cnt"), r.getAs[Long]("cnt_base"), r.getAs[Long]("dp_scaled")))
       .toMap
-    // only the finalized [60,120) window reports; the 600s window is open
-    assert(rows.keySet == Set((60L, "alpha"), (60L, "spamtoken")))
+    // only the finalized [60,120) window reports; the 600s window is
+    // open. beta VANISHED from the feed (baseline mass, zero arrivals)
+    // and must surface in the report — the round-15 reconciliation leg
+    assert(rows.keySet ==
+      Set((60L, "alpha"), (60L, "spamtoken"), (60L, "beta")))
     // spamtoken: 3/5 arriving vs 0 baseline -> +600000000
     assert(rows((60L, "spamtoken")) == ((3L, 0L, 600000000L)))
     // alpha: 2/5 arriving vs 5/10 baseline -> 400000000 - 500000000
     assert(rows((60L, "alpha")) == ((2L, 5L, -100000000L)))
+    // beta: 0/5 arriving vs 5/10 baseline -> the negated baseline share
+    assert(rows((60L, "beta")) == ((0L, 5L, -500000000L)))
   }
 
   test("stream-static incremental dedup verdicts micro-batches against the persisted index") {
@@ -702,6 +707,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(r(21L).contains(13L), s"semantic-param page remembered: $r")
     // index grew by exactly the two new canonical pages
     assert(spark.table("url_idx_stream").count() == 3L)
+  }
+
+  test("URL dedup: a redelivered first sighting never forms a mutual dup_of cycle") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // index records doc 5 as the page's first sighting
+    graft.operators.DomainCuration.writeUrlIndex(
+      Seq((5L, "https://cyc.com/p/1")).toDF("doc_id", "url"),
+      "url_idx_cycle", 4)
+    val mem = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("urlcout").toString
+    val q = graft.streaming.StreamingCurate.urlVerdictStream(
+      mem.toDF().toDF("doc_id", "url"), "url_idx_cycle", out,
+      Files.createTempDirectory("urlcck").toString, buckets = 4)
+    // at-least-once redelivery: the indexed first sighting (doc 5)
+    // arrives AGAIN, alongside a LOWER-id copy of the same page. The
+    // old coalesce gave 5 dup_of=3 (batch rep) and 3 dup_of=5 — a
+    // cycle where dropping dup_of-non-null rows loses every copy. The
+    // index must rule: 5 stays canonical, 3 dups onto 5.
+    mem.addData((5L, "https://cyc.com/p/1"), (3L, "http://www.cyc.com/p/1/"))
+    q.processAllAvailable()
+    q.stop()
+    val r = spark.read.parquet(out).collect()
+      .map(x => x.getAs[Long]("doc_id") -> Option(x.getAs[java.lang.Long]("dup_of"))).toMap
+    assert(r(5L).isEmpty, s"redelivered first sighting must stay canonical: $r")
+    assert(r(3L).contains(5L), s"lower-id copy must dup onto the INDEXED rep: $r")
+    // and the index did not grow a second entry for the page
+    assert(spark.table("url_idx_cycle").count() == 1L)
   }
 
   test("stream-static span excision cleans leaked spans in flight, stateless and replay-idempotent") {

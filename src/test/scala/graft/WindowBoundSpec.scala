@@ -108,6 +108,26 @@ class WindowBoundSpec extends AnyFunSuite {
     }
   }
 
+  test("shardManifest's cardinality guard fires on a high-cardinality shard alphabet") {
+    import spark.implicits._
+    // 5000 distinct shards > MaxManifestShards: the offset window must
+    // raise_error instead of silently single-partitioning the frame
+    val packs = (0 until 5000)
+      .map(i => (i.toLong, f"s$i%04d", 0L, 10L))
+      .toDF("doc_id", "shard", "pack_id", "n_tokens")
+    val e = intercept[Exception] {
+      graft.operators.TrainingData.shardManifest(packs, 512L).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("distinct shards exceed")),
+      s"expected the shard-cardinality guard, got: $e")
+    // and a bounded alphabet still works (the q113 shape)
+    val ok = (0 until 50).map(i => (i.toLong, f"s${i % 8}", i.toLong / 4, 10L))
+      .toDF("doc_id", "shard", "pack_id", "n_tokens")
+    assert(graft.operators.TrainingData.shardManifest(ok, 60L).count() > 0)
+  }
+
   test("1:1 frames: actual rows through the window respect the documented cap") {
     // q73 emits one row per IVF cell — the window frame IS the result
     assert(run("q73_cell_balance").count() <= 16L, "cell-balance frame exceeded NumCells")
