@@ -241,7 +241,99 @@ object ImageCodec {
   def decodeAny(bytes: Array[Byte]): Image =
     if (isBmp(bytes)) decode(bytes)
     else if (isJpeg(bytes)) decodeJpeg(bytes)
-    else sys.error("payload is neither BMP nor JPEG")
+    else if (isPng(bytes)) decodePng(bytes)
+    else sys.error("payload is not BMP, JPEG, or PNG")
+
+  // ---- PNG via the JDK's ImageIO plugin (round 15) ------------------------
+  // The most common web image format the pipeline would actually
+  // ingest, through the same zero-dependency ImageIO door as JPEG:
+  // per-thread reader/writer reuse, no disk-backed stream cache, one
+  // bulk ARGB pull. PNG is lossless, so decode(encode(img)) == img
+  // exactly (InvariantProps pins the round-trip) — unlike the JPEG
+  // twin, whose quality knob PNG has no equivalent of.
+
+  /** Cheap sniff: the 8-byte PNG signature. */
+  def isPng(b: Array[Byte]): Boolean =
+    b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P'.toByte &&
+      b(2) == 'N'.toByte && b(3) == 'G'.toByte && (b(4) & 0xff) == 0x0d &&
+      (b(5) & 0xff) == 0x0a && (b(6) & 0xff) == 0x1a && (b(7) & 0xff) == 0x0a
+
+  /** Decodes a PNG payload to the same top-down BGR raster [[decode]]
+    * produces (alpha dropped — the dedup rasters are opaque). Throws
+    * on undecodable bytes so Spark stages fall back to the stub.
+    */
+  def decodePng(b: Array[Byte]): Image = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val reader = pngReader.get()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    val bi = try {
+      reader.setInput(iis)
+      reader.read(0)
+    } finally iis.close()
+    require(bi != null, "ImageIO could not decode PNG payload")
+    val w = bi.getWidth
+    val h = bi.getHeight
+    require(w > 0 && h > 0, s"bad PNG dimensions ${w}x$h")
+    val out = new Array[Byte](w * h * 3)
+    val argb = bi.getRGB(0, 0, w, h, null, 0, w)
+    var i = 0
+    while (i < w * h) {
+      val p = argb(i)
+      out(i * 3) = (p & 0xff).toByte            // B
+      out(i * 3 + 1) = ((p >> 8) & 0xff).toByte // G
+      out(i * 3 + 2) = ((p >> 16) & 0xff).toByte // R
+      i += 1
+    }
+    Image(w, h, out)
+  }
+
+  /** Encodes the raster as a PNG via the JDK writer (lossless). */
+  def encodePng(img: Image): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(img.width, img.height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val argb = new Array[Int](img.width * img.height)
+    var i = 0
+    while (i < argb.length) {
+      argb(i) = ((img.pixels(i * 3 + 2) & 0xff) << 16) |
+        ((img.pixels(i * 3 + 1) & 0xff) << 8) | (img.pixels(i * 3) & 0xff)
+      i += 1
+    }
+    bi.setRGB(0, 0, img.width, img.height, argb, 0, img.width)
+    val writer = pngWriter.get()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), null)
+    } finally { ios.close() }
+    bos.toByteArray
+  }
+
+  private val pngWriter =
+    new ThreadLocal[javax.imageio.ImageWriter] {
+      override def initialValue(): javax.imageio.ImageWriter = {
+        javax.imageio.ImageIO.setUseCache(false)
+        val ws = javax.imageio.ImageIO.getImageWritersByFormatName("png")
+        require(ws.hasNext, "JDK has no PNG writer registered")
+        ws.next()
+      }
+    }
+
+  private val pngReader =
+    new ThreadLocal[javax.imageio.ImageReader] {
+      override def initialValue(): javax.imageio.ImageReader = {
+        val rs = javax.imageio.ImageIO.getImageReadersByFormatName("png")
+        require(rs.hasNext, "JDK has no PNG reader registered")
+        rs.next()
+      }
+    }
+
+  /** decode → resize → re-encode for PNG payloads — the lossless twin
+    * of [[resizeJpeg]], same bytes-to-bytes contract.
+    */
+  def resizePng(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] =
+    encodePng(resize(decodePng(bytes), targetW, targetH))
 
   /** Average-hash (aHash) perceptual fingerprint: decode, nearest-
     * neighbor resample to 8×8, integer grayscale (b+g+r per pixel —

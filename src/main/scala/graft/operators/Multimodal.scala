@@ -153,6 +153,9 @@ object Multimodal {
       else if (r.media_type == "image" && ImageCodec.isJpeg(r.content))
         scala.util.Try(r.copy(content = ImageCodec.resizeJpeg(r.content, targetW, targetH)))
           .getOrElse(StubCodec.resize(r, targetW * targetH * 3))
+      else if (r.media_type == "image" && ImageCodec.isPng(r.content))
+        scala.util.Try(r.copy(content = ImageCodec.resizePng(r.content, targetW, targetH)))
+          .getOrElse(StubCodec.resize(r, targetW * targetH * 3))
       else StubCodec.resize(r, targetW * targetH * 3)
     })
   }
@@ -233,7 +236,11 @@ object Multimodal {
   def imageAHashes(records: Dataset[MediaRecord]): DataFrame = {
     import records.sparkSession.implicits._
     records.mapPartitions(_.flatMap { r =>
-      if (r.media_type == "image" && ImageCodec.isBmp(r.content))
+      // format-sniffing door (BMP / JPEG / PNG via ImageCodec.aHash's
+      // decodeAny); the Try keeps a sniff-positive-but-malformed
+      // payload from failing the task
+      if (r.media_type == "image" && (ImageCodec.isBmp(r.content) ||
+          ImageCodec.isJpeg(r.content) || ImageCodec.isPng(r.content)))
         scala.util.Try(ImageCodec.aHash(r.content)).toOption
           .map(h => (r.media_id, h))
       else None

@@ -94,8 +94,11 @@ object Curate {
       resume: Boolean = false,
       failAfter: Option[String] = None,
       exciseBenchmark: Boolean = false,
-      clusterStateDir: Option[String] = None)
+      clusterStateDir: Option[String] = None,
+      decontamMinSharedGrams: Long = 1L)
       : StageCounts = {
+    require(decontamMinSharedGrams >= 1L,
+      "decontamMinSharedGrams must be >= 1 (1 = any shared 8-gram drops the test doc)")
     val docs = Tables.documents(spark, sfDir)
 
     // The dedup head's cluster map. Default: the per-JVM staged full
@@ -150,8 +153,13 @@ object Curate {
     // deterministic: same corpus + same chain => same content.
     var mark = System.nanoTime()
     var chain = s"corpus:${Tables.fingerprint(sfDir)}"
-    def stage(df: => DataFrame, name: String): DataFrame = {
-      chain = s"$chain/$name"
+    // `tag` folds stage PARAMETERS into the stamp chain without moving
+    // the artifact path (downstream stages and repack() address stages
+    // by name): a run under a different parameter value stamps a
+    // different chain and recomputes instead of resuming into the
+    // other setting's artifact.
+    def stage(df: => DataFrame, name: String, tag: String = ""): DataFrame = {
+      chain = s"$chain/$name$tag"
       val path = s"$outDir/$name"
       val stamp = java.nio.file.Paths.get(path, "_GRAFT_STAMP")
       val complete = new java.io.File(s"$path/_SUCCESS").exists &&
@@ -303,11 +311,22 @@ object Curate {
     // under the STORED stage-4 split (the WithSplit form; the bare
     // kernel re-derives md5(doc_id) splits, which the cluster-coherent
     // assignment deliberately diverges from — round-14 fix)
+    // The drop threshold is CONFIG (round 15): 1 shared 8-gram is the
+    // GPT-3-style conservative default, but on corpora with heavy
+    // near-dup families (sf10's planted replicas: the gate at 1 drops
+    // 99.4% of replica test docs) an operator may deliberately trade
+    // eval purity for eval coverage — the threshold-sweep receipt in
+    // SCALE.md records what each setting keeps. The stamp tag carries
+    // the threshold so a resume can never reuse an artifact built
+    // under a different gate (path stays `clean` — repack addresses it
+    // by name).
     val clean = stage({
       val contaminated = TrainingData.contaminatedTestDocsWithSplit(splitDocs)
+        .filter(col("n_shared_grams") >= decontamMinSharedGrams)
         .select("doc_id")
       splitDocs.join(contaminated, Seq("doc_id"), "left_anti")
-    }, "clean")
+    }, "clean",
+      if (decontamMinSharedGrams == 1L) "" else s"(g=$decontamMinSharedGrams)")
 
     // 5b. optional external-benchmark decontamination of the TRAIN
     // split: stage 5 protects this corpus's own held-out split;
@@ -442,10 +461,15 @@ object Curate {
       case a if a.startsWith("--cluster-state=") =>
         a.stripPrefix("--cluster-state=")
     }
+    val minGrams = args.collectFirst {
+      case a if a.startsWith("--decontam-min-grams=") =>
+        a.stripPrefix("--decontam-min-grams=").toLong
+    }.getOrElse(1L)
     val rest = args.filterNot(a => a == "--repack" || a == "--resume" ||
-      a.startsWith("--cluster-state="))
+      a.startsWith("--cluster-state=") || a.startsWith("--decontam-min-grams="))
     require(rest.nonEmpty,
-      "usage: Curate <sfDir> [outDir] [--repack|--resume|--cluster-state=DIR]")
+      "usage: Curate <sfDir> [outDir] [--repack|--resume|" +
+        "--cluster-state=DIR|--decontam-min-grams=N]")
     val outDir = if (rest.length > 1) rest(1)
       else java.nio.file.Files.createTempDirectory("curate").toString
     val spark = graft.GraftSession.local("graft-curate")
@@ -456,7 +480,8 @@ object Curate {
       val walls = scala.collection.mutable.ListBuffer.empty[(String, Double)]
       val t0 = System.nanoTime()
       val c = run(spark, rest(0), outDir, stageWalls = Some(walls),
-        resume = args.contains("--resume"), clusterStateDir = clusterState)
+        resume = args.contains("--resume"), clusterStateDir = clusterState,
+        decontamMinSharedGrams = minGrams)
       val total = (System.nanoTime() - t0) / 1e9
       val stages = walls.map { case (n, s) => s""""$n":$s""" }.mkString("{", ",", "}")
       println(s"curate: $c -> $outDir")

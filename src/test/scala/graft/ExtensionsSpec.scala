@@ -438,6 +438,49 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(ImageCodec.decodeJpeg(out.content).width == 8)
   }
 
+  test("multimodal: real PNG codec (JDK ImageIO) round-trips losslessly and dedups through the file door") {
+    import graft.operators.{Dedup, ImageCodec}
+    val w = 16; val h = 12
+    val px = Array.tabulate(w * h * 3) { i =>
+      if ((i / 3) % w < w / 2) 16.toByte else 240.toByte
+    }
+    val img = ImageCodec.Image(w, h, px)
+    val png = ImageCodec.encodePng(img)
+    assert(ImageCodec.isPng(png) && !ImageCodec.isJpeg(png) && !ImageCodec.isBmp(png))
+    // PNG is lossless: decode(encode(img)) == img EXACTLY
+    val back = ImageCodec.decodePng(png)
+    assert(back.width == w && back.height == h)
+    assert(back.pixels.toSeq == px.toSeq, "PNG round-trip must be exact")
+    // the same raster hashes identically through all three doors
+    assert(ImageCodec.aHash(png) == ImageCodec.aHash(ImageCodec.encode(img)))
+    // resizePng emits a decodable PNG at the target size
+    val thumb = ImageCodec.resizePng(png, 8, 6)
+    assert(ImageCodec.isPng(thumb))
+    assert(ImageCodec.decodePng(thumb).width == 8)
+    // Spark resize stage routes PNG through the real codec
+    val outRec = Multimodal.resizeImages(spark.createDataset(Seq(
+        Multimodal.MediaRecord(1L, png, "image", "s")))(
+        org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord]), 8, 6)
+      .collect().head
+    assert(ImageCodec.isPng(outRec.content))
+    // planted-copy dedup through the FILE door: a PNG copy of the same
+    // raster pairs with its BMP twin under the banded-hamming index —
+    // the q60-family recall contract extended to the PNG modality
+    val px2 = px.clone(); px2(0) = 17.toByte // near-identical variant
+    val records = spark.createDataset(Seq(
+      Multimodal.MediaRecord(1L, ImageCodec.encode(img), "image", "s"),
+      Multimodal.MediaRecord(2L, ImageCodec.encodePng(ImageCodec.Image(w, h, px2)), "image", "s"),
+      Multimodal.MediaRecord(3L, png, "image", "s")))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord])
+    val hashes = Multimodal.imageAHashes(records)
+    assert(hashes.count() == 3L, "PNG payloads must reach the aHash door")
+    val pairs = Dedup.bandedHammingPairs(hashes, bits = 64, nBands = 4,
+        maxHamming = 3, bandCap = 100)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)) && pairs.contains((1L, 2L)),
+      s"planted PNG copies must pair with the BMP original: $pairs")
+  }
+
   test("q98: planted near-dup clips pair on keyframe aHash; blank keyframes emit no print") {
     import spark.implicits._
     import graft.operators.{Dedup, ImageCodec, Multimodal, VideoCodec}

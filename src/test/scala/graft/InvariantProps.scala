@@ -95,6 +95,14 @@ object InvariantProps extends Properties("graft") {
         a.pixels.toSeq == ImageCodec.decodeJpeg(j).pixels.toSeq
     }
 
+  property("PNG encode/decode is an exact lossless round-trip for any raster") =
+    Prop.forAllNoShrink(imageGen) { img =>
+      val p = ImageCodec.encodePng(img)
+      val a = ImageCodec.decodePng(p)
+      ImageCodec.isPng(p) && a.width == img.width && a.height == img.height &&
+        a.pixels.toSeq == img.pixels.toSeq
+    }
+
   property("MJPEG AVI mux/demux preserves frame count, dims and rate for any clip") =
     Prop.forAllNoShrink(for {
       img <- imageGen
