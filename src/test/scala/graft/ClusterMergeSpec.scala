@@ -51,7 +51,7 @@ class ClusterMergeSpec extends AnyFunSuite {
     val again = asMap(Dedup.updateClusterState(spark, dir, docsAll))
     val after = java.nio.file.Files.readString(
       java.nio.file.Paths.get(dir, "_LATEST"))
-    assert(before == after, "no-op snapshot bumped the map version")
+    assert(before == after, "no-op snapshot bumped the map version/base")
     assert(again == fullRebuild)
   }
 
@@ -111,18 +111,21 @@ class ClusterMergeSpec extends AnyFunSuite {
     val out1 = java.nio.file.Files.createTempDirectory("curate-i1").toString
     val out2 = java.nio.file.Files.createTempDirectory("curate-i2").toString
 
+    def latest(): Int = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(state, "_LATEST")).trim.split("\\s+")(0).toInt
+
     val t1 = System.nanoTime()
     Curate.run(spark, base, out1, clusterStateDir = Some(state))
     val w1 = (System.nanoTime() - t1) / 1e9
-    assert(java.nio.file.Files.readString(
-      java.nio.file.Paths.get(state, "_LATEST")).trim == "1")
+    assert(latest() == 1)
 
     val t2 = System.nanoTime()
     val c2 = Curate.run(spark, grown, out2, clusterStateDir = Some(state))
     val w2 = (System.nanoTime() - t2) / 1e9
-    assert(java.nio.file.Files.readString(
-      java.nio.file.Paths.get(state, "_LATEST")).trim == "2",
-      "run-2 must fold the batch in as ONE incremental version bump")
+    // run-2 folded the batch in incrementally: one delta version, plus
+    // at most one compaction version on top — never a re-init to v1
+    assert(latest() == 2 || latest() == 3,
+      s"run-2 must fold the batch in incrementally, got v${latest()}")
 
     // the stored map after run-2 equals the from-scratch re-cluster of
     // the grown corpus — the identity that makes incremental Curate

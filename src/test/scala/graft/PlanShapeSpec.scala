@@ -256,7 +256,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "q113_shard_manifest" -> NoPairJoin, // pack-volume aggregates + broadcast offset attach
     "q114_url_canon" -> NoPairJoin, // q22's hash-groupBy shape on the canonical key
     "q115_precedence_dedup" -> NoPairJoin, // q53's shape: doc-level equi-join + one max_by aggregation
-    "q116_cluster_merge" -> Pinned, // batch-band vs capped-index exchange (cappedIndexRows pin); star agg is linear
+    "q116_cluster_merge" -> NoPairJoin, // star-edge agg: output rows = Σ bucket sizes ≈ input rows (LINEAR, the q25 measured-negative class — the quadratic clique explode never materializes); stored base state is staged parquet, CC loops checkpointed
     "q117_sampled_recall" -> NoPairJoin) // one-row aggregate over the staged sampled logs
 
   test("every registered query declares its pair-join pinning (and no stale entries)") {

@@ -169,7 +169,7 @@ class ScanBudgetSpec extends AnyFunSuite {
     "q113_shard_manifest" -> ((1, 0)), // the q107 pack scan; manifest math is pack-volume
     "q114_url_canon" -> ((1, 0)), // row-local canonicalization regex chain + one hash-groupBy
     "q115_precedence_dedup" -> ((1, 0)), // staged tokens + staged clusters + thin (doc_id, n_chars, source) scan
-    "q116_cluster_merge" -> ((2, 0)), // batch bands + capped-index signing; base pairs + both CC loops live in checkpointed jobs
+    "q116_cluster_merge" -> ((1, 0)), // batch-band signing only; the stored base state is session-staged parquet and the merge CC loop lives in checkpointed jobs
     "q117_sampled_recall" -> ((0, 0))) // scores the staged SAMPLED cos/ivf retrieval logs (r15)
 
   test("every registered query has a scan budget (and no stale entries linger)") {
