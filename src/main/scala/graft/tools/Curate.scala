@@ -94,29 +94,37 @@ object Curate {
       resume: Boolean = false,
       failAfter: Option[String] = None,
       exciseBenchmark: Boolean = false,
-      clusterStateDir: Option[String] = None,
+      stateDir: Option[String] = None,
       decontamMinSharedGrams: Long = 1L)
       : StageCounts = {
     require(decontamMinSharedGrams >= 1L,
       "decontamMinSharedGrams must be >= 1 (1 = any shared 8-gram drops the test doc)")
     val docs = Tables.documents(spark, sfDir)
 
-    // The dedup head's cluster map. Default: the per-JVM staged full
-    // re-cluster (one q44 loop per corpus fingerprint). With
-    // `clusterStateDir`: the INCREMENTAL head (round 15) — the first
-    // run initializes persistent state (map + capped band index + id
-    // roster), and every later run on a GROWN corpus folds only the
-    // new docs in via the batch-bounded merge (Dedup.syncClusterState)
-    // instead of re-running the label-propagation loop over the whole
-    // corpus. This was the pipeline's one super-linear stage (the q44
-    // re-run was 141 s of sf10's 183 s wall); with state it costs
-    // O(batch). Lazy so a resumed run whose dedup/splits artifacts are
-    // both on disk never pays the sync at all.
+    // The dedup head's cluster map and the corpus token artifact.
+    // Default: the per-JVM fingerprint-keyed session stages (one q44
+    // loop + one full tokenize per corpus fingerprint). With
+    // `stateDir`: the INCREMENTAL heads (round 15) — the first run
+    // initializes persistent state (cluster map + capped band index +
+    // id roster under $stateDir/clusters; versioned token parts under
+    // $stateDir/tokens), and every later run on a GROWN corpus pays
+    // only its NEW docs: the cluster merge is the batch-bounded
+    // contraction (Dedup.syncClusterState — the q44 re-run was 141 s
+    // of sf10's 183 s wall), and the token sync appends the batch's
+    // rows (exact: the artifact is row-local per doc). Lazy so a
+    // resumed run whose downstream artifacts are on disk never pays
+    // either sync.
     lazy val clusterMap: org.apache.spark.sql.DataFrame =
-      clusterStateDir match {
-        case Some(cs) =>
-          Dedup.syncClusterState(spark, cs, docs.select("doc_id", "text"))
+      stateDir match {
+        case Some(sd) => Dedup.syncClusterState(spark, s"$sd/clusters",
+          docs.select("doc_id", "text"))
         case None => Dedup.stagedClusters(spark, sfDir)
+      }
+    lazy val corpusTokens: org.apache.spark.sql.DataFrame =
+      stateDir match {
+        case Some(sd) => TextAnalysis.syncTokenState(spark, s"$sd/tokens",
+          docs.select("doc_id", "text"))
+        case None => TextAnalysis.stagedTokenCounts(spark, sfDir)
       }
 
     // write a stage, then hand back the WRITTEN parquet: downstream
@@ -206,15 +214,19 @@ object Curate {
     // stage-2 percentile gate both reuse the persisted column instead
     // of re-tokenizing the text (quality is row-local + deterministic,
     // so scoring before vs after dedup is value-identical).
-    // quality rides the staged token artifact (withQualityFromCounts —
+    // quality rides the token artifact (qualityFromCountsOf —
     // bit-identical to the tokenize form, TokenCountFormsSpec): the
     // pipeline builds the artifact anyway for the bpe_counts stage, so
     // scoring from it deletes the one full-corpus tokenize pass this
-    // projection used to pay (measured at sf10: see SCALE.md round 14)
-    val scoredDocs = docs
+    // projection used to pay (measured at sf10: see SCALE.md round 14).
+    // `corpusTokens` is the incremental state when stateDir is set —
+    // the artifact path every token consumer below shares. Lazy so a
+    // resumed run never pays the sync/staging at construction.
+    lazy val scoredDocs = docs
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"))
-      .join(TextAnalysis.withQualityFromCounts(spark, sfDir)
+      .join(TextAnalysis.qualityFromCountsOf(
+          docs.select(col("doc_id"), col("n_chars")), corpusTokens)
         .select(col("doc_id"), col("quality")), Seq("doc_id"))
     // the survivor selection lives INSIDE the stage thunk: clustering's
     // label-propagation rounds run eagerly at construction, and a
@@ -375,7 +387,6 @@ object Curate {
     // (what the packer actually packs) under the same corpus-trained
     // merge table (bpeApplyWithMerges — tokenizer fixed, text moved).
     val bpeCounts = stage({
-      val corpusTokens = TextAnalysis.stagedTokenCounts(spark, sfDir)
       val priced =
         if (excised > 0L)
           TextAnalysis.bpeApplyWithMerges(corpusTokens,
@@ -458,18 +469,20 @@ object Curate {
 
   def main(args: Array[String]): Unit = {
     val clusterState = args.collectFirst {
+      case a if a.startsWith("--state=") => a.stripPrefix("--state=")
       case a if a.startsWith("--cluster-state=") =>
-        a.stripPrefix("--cluster-state=")
+        a.stripPrefix("--cluster-state=") // round-15 alias, kept for scripts
     }
     val minGrams = args.collectFirst {
       case a if a.startsWith("--decontam-min-grams=") =>
         a.stripPrefix("--decontam-min-grams=").toLong
     }.getOrElse(1L)
     val rest = args.filterNot(a => a == "--repack" || a == "--resume" ||
-      a.startsWith("--cluster-state=") || a.startsWith("--decontam-min-grams="))
+      a.startsWith("--state=") || a.startsWith("--cluster-state=") ||
+      a.startsWith("--decontam-min-grams="))
     require(rest.nonEmpty,
       "usage: Curate <sfDir> [outDir] [--repack|--resume|" +
-        "--cluster-state=DIR|--decontam-min-grams=N]")
+        "--state=DIR|--decontam-min-grams=N]")
     val outDir = if (rest.length > 1) rest(1)
       else java.nio.file.Files.createTempDirectory("curate").toString
     val spark = graft.GraftSession.local("graft-curate")
@@ -480,7 +493,7 @@ object Curate {
       val walls = scala.collection.mutable.ListBuffer.empty[(String, Double)]
       val t0 = System.nanoTime()
       val c = run(spark, rest(0), outDir, stageWalls = Some(walls),
-        resume = args.contains("--resume"), clusterStateDir = clusterState,
+        resume = args.contains("--resume"), stateDir = clusterState,
         decontamMinSharedGrams = minGrams)
       val total = (System.nanoTime() - t0) / 1e9
       val stages = walls.map { case (n, s) => s""""$n":$s""" }.mkString("{", ",", "}")

@@ -112,15 +112,15 @@ class ClusterMergeSpec extends AnyFunSuite {
     val out2 = java.nio.file.Files.createTempDirectory("curate-i2").toString
 
     def latest(): Int = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(state, "_LATEST")).trim.split("\\s+")(0).toInt
+      java.nio.file.Paths.get(state, "clusters", "_LATEST")).trim.split("\\s+")(0).toInt
 
     val t1 = System.nanoTime()
-    Curate.run(spark, base, out1, clusterStateDir = Some(state))
+    Curate.run(spark, base, out1, stateDir = Some(state))
     val w1 = (System.nanoTime() - t1) / 1e9
     assert(latest() == 1)
 
     val t2 = System.nanoTime()
-    val c2 = Curate.run(spark, grown, out2, clusterStateDir = Some(state))
+    val c2 = Curate.run(spark, grown, out2, stateDir = Some(state))
     val w2 = (System.nanoTime() - t2) / 1e9
     // run-2 folded the batch in incrementally: one delta version, plus
     // at most one compaction version on top — never a re-init to v1
@@ -130,9 +130,22 @@ class ClusterMergeSpec extends AnyFunSuite {
     // the stored map after run-2 equals the from-scratch re-cluster of
     // the grown corpus — the identity that makes incremental Curate
     // safe to substitute for the full dedup head
-    val stored = asMap(Dedup.readClusterState(spark, state))
+    val stored = asMap(Dedup.readClusterState(spark, s"$state/clusters"))
     assert(stored == fullRebuild,
       "Curate's incremental state diverged from the full re-cluster")
+
+    // the incremental TOKEN artifact is row-identical to a from-scratch
+    // tokenize of the grown corpus (the exactness that makes it safe)
+    def tokSet(df: DataFrame): Map[(Long, String), Long] = df.collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val stateTokens = tokSet(
+      graft.operators.TextAnalysis.readTokenState(spark, s"$state/tokens"))
+    val scratchTokens = tokSet(Tables.documents(spark, grown)
+      .select(col("doc_id"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt")))
+    assert(stateTokens == scratchTokens,
+      "incremental token artifact diverged from a from-scratch tokenize")
 
     // and the pipeline consumed it: run-2's outputs are a valid curation
     // of the grown corpus (non-degenerate stage flow)
