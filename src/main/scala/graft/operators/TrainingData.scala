@@ -1174,6 +1174,104 @@ object TrainingData {
        |         ${TempTokenBudget}.0 / CAST(n_tok AS DOUBLE) AS epochs
        |FROM sc CROSS JOIN tot""".stripMargin
 
+  // ---- q118: data-constrained epoch allocation (round 15) ----------------
+  // The planning step BETWEEN q70's temperature weights and the budget
+  // cuts (q78/q103/q112): when the token budget exceeds a source's
+  // unique supply, the source REPEATS — and repeated tokens are worth
+  // less than fresh ones (Muennighoff et al. 2023, "Scaling
+  // Data-Constrained Language Models": returns on repetition decay
+  // roughly geometrically and plateau after a few epochs). This query
+  // turns (per-source unique supply, temperature weights, total
+  // budget) into the numbers a training plan is actually written
+  // from: allocated tokens, full epochs, EFFECTIVE unique-equivalent
+  // tokens under a halving-per-epoch value decay, and the allocation's
+  // utilization (effective / allocated — low utilization flags budget
+  // wasted on an exhausted source that a mixture rebalance should
+  // redirect).
+  //
+  // Determinism discipline (both engines, bit-identical): weights ride
+  // q70's floor(sqrt·scale) INTEGER trick; the allocation is integer
+  // `div`; the decay term is 0.5^e computed as 1/(1<<e) — EXACT powers
+  // of two in binary floating point, never libm pow — with e capped at
+  // MaxDecayEpochs (beyond it the geometric tail is below 2⁻¹⁶ of the
+  // supply and the remainder term absorbs it). Effective tokens:
+  //   eff = u·(2 − 2·d) + rem·d,   d = 0.5^min(full_epochs, cap)
+  // (the closed form of u·Σ_{i<e}0.5^i plus the partial epoch's rem
+  // tokens valued at the current decay).
+  //
+  // Scale shape: per-doc token sums ride the STAGED token artifact;
+  // source attaches by a thin (doc_id, source) scan; everything after
+  // is a ≤|sources|-row frame through the same allow-listed 1-row
+  // window q70 uses.
+  private[graft] val EpochBudget = 1000000L
+  private val MaxDecayEpochs = 16
+
+  /** Per-source epoch allocation of `budget` whitespace tokens over a
+    * `(source, n_tok)` supply frame: `(source, n_tok, alloc_tok,
+    * full_epochs, eff_tok, utilization)`.
+    */
+  def epochAllocation(supply: DataFrame, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    // 0.5^min(full_epochs, cap) as 1/(1<<e): exact binary powers of
+    // two — identical bits on both engines, no libm pow anywhere
+    val d = expr("1.0 / cast(shiftleft(1L, " +
+      s"cast(least(full_epochs, ${MaxDecayEpochs}L) as int)) as double)")
+    supply
+      .withColumn("w_scaled",
+        floor(sqrt(col("n_tok").cast("double")) * lit(TempScale.toDouble))
+          .cast("long"))
+      .withColumn("tot_scaled", sum(col("w_scaled")).over(w))
+      .withColumn("alloc_tok",
+        expr(s"(w_scaled * ${budget}L) div tot_scaled"))
+      .withColumn("full_epochs", expr("alloc_tok div n_tok"))
+      .withColumn("rem_tok", col("alloc_tok") - col("full_epochs") * col("n_tok"))
+      .select(col("source"), col("n_tok"), col("alloc_tok"), col("full_epochs"),
+        (col("n_tok").cast("double") * (lit(2.0) - lit(2.0) * d) +
+          col("rem_tok").cast("double") * d).as("eff_tok"),
+        ((col("n_tok").cast("double") * (lit(2.0) - lit(2.0) * d) +
+          col("rem_tok").cast("double") * d) /
+          col("alloc_tok").cast("double")).as("utilization"))
+  }
+
+  private def q118(s: SparkSession, d: String): DataFrame =
+    epochAllocation(
+      Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .join(TextAnalysis.stagedTokenCounts(s, d)
+          .groupBy(col("doc_id")).agg(sum(col("cnt")).as("n")), "doc_id")
+        .groupBy(col("source")).agg(sum(col("n")).as("n_tok")),
+      EpochBudget)
+
+  private val o118 =
+    s"""WITH per AS (
+       |  SELECT source,
+       |         CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT) AS n_tok
+       |  FROM documents GROUP BY source),
+       |sc AS (
+       |  SELECT source, n_tok,
+       |         CAST(floor(sqrt(CAST(n_tok AS DOUBLE)) * ${TempScale}.0) AS BIGINT) AS w_scaled
+       |  FROM per),
+       |tot AS (SELECT CAST(sum(w_scaled) AS BIGINT) AS tot_scaled FROM sc),
+       |al AS (
+       |  SELECT source, n_tok,
+       |         (w_scaled * $EpochBudget) // tot_scaled AS alloc_tok
+       |  FROM sc CROSS JOIN tot),
+       |ep AS (
+       |  SELECT source, n_tok, alloc_tok,
+       |         alloc_tok // n_tok AS full_epochs,
+       |         alloc_tok - (alloc_tok // n_tok) * n_tok AS rem_tok
+       |  FROM al),
+       |dc AS (
+       |  SELECT *, 1.0 / CAST((CAST(1 AS BIGINT) <<
+       |           least(full_epochs, $MaxDecayEpochs)) AS DOUBLE) AS d
+       |  FROM ep)
+       |SELECT source, n_tok, alloc_tok, full_epochs,
+       |       CAST(n_tok AS DOUBLE) * (2.0 - 2.0 * d) +
+       |         CAST(rem_tok AS DOUBLE) * d AS eff_tok,
+       |       (CAST(n_tok AS DOUBLE) * (2.0 - 2.0 * d) +
+       |         CAST(rem_tok AS DOUBLE) * d) /
+       |         CAST(alloc_tok AS DOUBLE) AS utilization
+       |FROM dc""".stripMargin
+
   // ---- q75: intra-document span dedup (the repetition-removal ACTION) ----
   // q41 SCORES repeated content; this REMOVES it: cut each document
   // into non-overlapping IntraSpanWords-word spans (the tail keeps its
@@ -1613,5 +1711,6 @@ object TrainingData {
     GraftQuery("q104_span_excision", "surgical benchmark-span excision from train docs (ExactSubstr removal action)", q104, Some(o104)),
     GraftQuery("q107_shuffled_pack", "seeded reproducible global shuffle + next-fit packing (training-order decorrelation)", q107, Some(o107)),
     GraftQuery("q112_lang_budget", "per-language BPE token budget (fertility-aware quality-prefix selection)", q112, Some(o112)),
-    GraftQuery("q113_shard_manifest", "output-file manifest cutting shuffled packs into ~fixed-token files", q113, Some(o113)))
+    GraftQuery("q113_shard_manifest", "output-file manifest cutting shuffled packs into ~fixed-token files", q113, Some(o113)),
+    GraftQuery("q118_epoch_mix", "data-constrained epoch allocation (effective tokens under repetition decay)", q118, Some(o118)))
 }

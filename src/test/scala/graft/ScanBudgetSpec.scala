@@ -170,7 +170,8 @@ class ScanBudgetSpec extends AnyFunSuite {
     "q114_url_canon" -> ((1, 0)), // row-local canonicalization regex chain + one hash-groupBy
     "q115_precedence_dedup" -> ((1, 0)), // staged tokens + staged clusters + thin (doc_id, n_chars, source) scan
     "q116_cluster_merge" -> ((1, 0)), // batch-band signing only; the stored base state is session-staged parquet and the merge CC loop lives in checkpointed jobs
-    "q117_sampled_recall" -> ((0, 0))) // scores the staged SAMPLED cos/ivf retrieval logs (r15)
+    "q117_sampled_recall" -> ((0, 0)), // scores the staged SAMPLED cos/ivf retrieval logs (r15)
+    "q118_epoch_mix" -> ((1, 0))) // staged tokens + thin (doc_id, source) scan; tail is a <=|sources|-row frame
 
   test("every registered query has a scan budget (and no stale entries linger)") {
     val names = Registry.all.map(_.name).toSet

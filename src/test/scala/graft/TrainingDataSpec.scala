@@ -750,4 +750,33 @@ class TrainingDataSpec extends AnyFunSuite {
     // epochs = weight · budget / n_tok: the small source repeats more
     assert(rows("srcA")._4 > rows("srcB")._4)
   }
+
+  test("q118: allocation conserves the budget; repetition decays effective value toward the 2u plateau") {
+    import spark.implicits._
+    // srcBig can absorb its share fresh; srcTiny must repeat hard
+    val supply = Seq(("srcBig", 500000L), ("srcTiny", 100L))
+      .toDF("source", "n_tok")
+    val rows = TrainingData.epochAllocation(supply, budget = 100000L)
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tok"), r.getAs[Long]("alloc_tok"),
+          r.getAs[Long]("full_epochs"), r.getAs[Double]("eff_tok"),
+          r.getAs[Double]("utilization"))).toMap
+    // integer-floor allocation never exceeds the budget
+    assert(rows.values.map(_._2).sum <= 100000L)
+    val big = rows("srcBig"); val tiny = rows("srcTiny")
+    // fresh-data source: zero full epochs, every allocated token is
+    // worth itself — eff == alloc EXACTLY, utilization exactly 1.0
+    assert(big._3 == 0L && big._4 == big._2.toDouble && big._5 == 1.0)
+    // repeating source: many epochs, effective value capped below the
+    // 2u geometric plateau, utilization well under 1
+    assert(tiny._3 >= 1L)
+    assert(tiny._4 < 2.0 * tiny._1 && tiny._4 >= tiny._1.toDouble)
+    assert(tiny._5 < 0.5, s"utilization should collapse: ${tiny._5}")
+    // monotone: a bigger budget never lowers any source's eff_tok
+    val rows2 = TrainingData.epochAllocation(supply, budget = 200000L)
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Double]("eff_tok")).toMap
+    assert(rows2("srcBig") >= big._4 && rows2("srcTiny") >= tiny._4)
+  }
 }
