@@ -709,6 +709,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("url_idx_stream").count() == 3L)
   }
 
+  test("cluster-state stream: micro-batches fold into the SAME persistent map the batch head reads") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text")
+    val state = Files.createTempDirectory("cs-stream").toString
+    val out = Files.createTempDirectory("cs-out").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.clusterStateStream(
+      mem.toDF().toDF("doc_id", "text"), state, out,
+      Files.createTempDirectory("cs-ck").toString)
+    // feed the corpus as three snapshots growing by doc_id % 10
+    def part(p: Long => Boolean): Seq[(Long, String)] = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1))).filter(x => p(x._1 % 10)).toSeq
+    mem.addData(part(_ < 8): _*)
+    q.processAllAvailable()
+    mem.addData(part(_ == 8): _*)
+    q.processAllAvailable()
+    // at-least-once: batch 2 redelivered alongside the final batch
+    mem.addData((part(_ == 8) ++ part(_ == 9)): _*)
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "cluster-state leg must not grow a state store")
+    q.stop()
+    // the stored map equals the from-scratch re-cluster of everything
+    // that arrived — the same identity the batch Curate head pins
+    val stored = graft.operators.Dedup.readClusterState(spark, state)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scratch = graft.operators.Dedup.dupClusters(
+        graft.operators.Dedup.candidatePairsOf(docs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stored == scratch,
+      "streamed cluster state diverged from the from-scratch re-cluster")
+  }
+
   test("URL dedup: a redelivered first sighting never forms a mutual dup_of cycle") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
