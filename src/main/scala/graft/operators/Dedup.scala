@@ -1585,6 +1585,26 @@ object Dedup {
       .filter(col("n_full") > BandCap &&
         (col("n_base") <= BandCap || col("n_batch") <= BandCap))
 
+  /** Garbage-collect map versions BELOW the current base — superseded
+    * by the last compaction and unreachable from any pointer state
+    * (readers resolve versions through `_LATEST`, which never points
+    * under the base). Safe to run any time after compaction; a janitor
+    * cadence, not a correctness step. Returns the number of version
+    * directories removed.
+    */
+  def gcClusterState(dir: String): Int = {
+    val (_, base) = stateVersions(dir)
+    (1 until base).count { v =>
+      val p = java.nio.file.Paths.get(dir, s"clusters_v$v")
+      java.nio.file.Files.exists(p) && {
+        import scala.jdk.CollectionConverters._
+        val files = java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        files.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+        true
+      }
+    }
+  }
+
   /** Idempotent head for a pipeline stage: first call on a state dir
     * initializes it from the corpus, later calls fold in whatever the
     * snapshot added. Always returns the map CURRENT for `docs`.

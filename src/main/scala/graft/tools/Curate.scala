@@ -126,6 +126,18 @@ object Curate {
           docs.select("doc_id", "text"))
         case None => TextAnalysis.stagedTokenCounts(spark, sfDir)
       }
+    // Stage 1b (semantic dedup) is DELIBERATELY not incremental: it
+    // operates on stage-1's SURVIVORS, and a grown corpus can REPLACE a
+    // family's survivor with a higher-quality new member — a persisted
+    // cell-survivor index would then hold the exited doc's vector and
+    // verdict its replacement as a duplicate OF A DOC NO LONGER IN THE
+    // CORPUS, silently dropping the whole family. Incremental semantics
+    // over a shifting derived set needs index invalidation (tracked
+    // survivor exits), which is a different contract from the
+    // append-only first-come-wins index the STREAMING semantic leg
+    // documents over a stable arrival order. Stage 1b is ~13% of the
+    // sf10 wall; the super-linear stages were 1 (clusters) and the
+    // corpus tokenize, both incremental above.
 
     // write a stage, then hand back the WRITTEN parquet: downstream
     // stages and counts read the file, never the stage's lineage.

@@ -69,6 +69,26 @@ class ClusterMergeSpec extends AnyFunSuite {
     assert(v2 == fullRebuild)
   }
 
+  test("gc removes only versions below the base and readers still resolve") {
+    val dir = java.nio.file.Files.createTempDirectory("cstate5").toString
+    Dedup.writeClusterState(docsAll.filter(col("doc_id") % 10 < 8), dir)
+    Dedup.updateClusterState(spark, dir, docsAll.filter(col("doc_id") % 10 < 9))
+    Dedup.updateClusterState(spark, dir, docsAll)
+    val (latest, base) = {
+      val parts = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir, "_LATEST")).trim.split("\\s+")
+      (parts(0).toInt, parts(1).toInt)
+    }
+    val removed = Dedup.gcClusterState(dir)
+    assert(removed == base - 1,
+      s"gc must remove exactly the versions below base=$base, got $removed")
+    (base to latest).foreach(v => assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, s"clusters_v$v")),
+      s"gc must not touch live version $v"))
+    assert(asMap(Dedup.readClusterState(spark, dir)) == fullRebuild,
+      "stored map must still resolve after gc")
+  }
+
   test("merge handles an edge between two docs the map has never seen") {
     import spark.implicits._
     val old = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id")
