@@ -1323,19 +1323,26 @@ object Dedup {
     * batch slice's size).
     */
   private[graft] def starEdgesFromBands(bands: DataFrame,
-      index: DataFrame): DataFrame =
-    bands.select(col("doc_id"), col("bk")).withColumn("new", lit(1))
+      index: DataFrame): DataFrame = {
+    val all = bands.select(col("doc_id"), col("bk")).withColumn("new", lit(1))
       .unionByName(index.select(col("idx_id").as("doc_id"), col("bk"))
         .withColumn("new", lit(0)))
-      .groupBy("bk")
-      .agg(collect_set(col("doc_id")).as("ids"),
-        sum(col("new")).as("nb"), count(lit(1)).as("n"))
+    // star centers as a plain aggregate + join-back — NOT a per-bucket
+    // collect_set: the set form buffered whole buckets in the agg (the
+    // one unbounded buffer in this path — a degenerate all-identical
+    // batch bucket with an index hub is kept by design and must not
+    // OOM a task). Two passes over the band rows, both streaming.
+    val centers = all.groupBy(col("bk"))
+      .agg(min(col("doc_id")).as("ctr"), sum(col("new")).as("nb"),
+        count(lit(1)).as("n"))
       .filter(col("nb") >= 1 &&
         (col("nb") <= BandCap || col("n") > col("nb")) &&
-        size(col("ids")) >= 2)
-      .select(array_min(col("ids")).as("doc_a"), explode(col("ids")).as("doc_b"))
-      .filter(col("doc_a") =!= col("doc_b"))
+        col("n") >= 2)
+    all.join(centers.select(col("bk"), col("ctr")), "bk")
+      .filter(col("doc_id") =!= col("ctr"))
+      .select(col("ctr").as("doc_a"), col("doc_id").as("doc_b"))
       .distinct()
+  }
 
   /** The merge's two output frames, shared by the full-map and
     * delta-only forms: relabeled old rows (keeping `old_id` so the
