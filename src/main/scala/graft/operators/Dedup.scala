@@ -1465,6 +1465,11 @@ object Dedup {
   // deltas compact into a new full version once they exceed this
   // fraction of the base map's rows — the LSM read/write balance knob
   private val CompactFraction = 0.3
+  // ...or once this many delta VERSIONS stack up regardless of mass: a
+  // stream of small micro-batches (clusterStateStream) accumulates
+  // rows slowly but versions fast, and the fold's read cost is per
+  // part dir, not per row
+  private val MaxDeltaVersions = 64
 
   /** The stored cluster map: the base full version with every delta
     * above it folded in (latest version wins per doc). A just-compacted
@@ -1565,7 +1570,8 @@ object Dedup {
     val deltaRows = (base + 1 to v)
       .map(x => s.read.parquet(s"$dir/clusters_v$x").count()).sum
     if (deltaRows > CompactFraction *
-        s.read.parquet(s"$dir/clusters_v$base").count()) {
+        s.read.parquet(s"$dir/clusters_v$base").count() ||
+      v - base >= MaxDeltaVersions) {
       val nv = v + 1
       readClusterState(s, dir).write.mode("overwrite")
         .parquet(s"$dir/clusters_v$nv")

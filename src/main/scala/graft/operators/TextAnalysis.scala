@@ -80,18 +80,32 @@ object TextAnalysis {
   private def tokenPointer(dir: String): java.nio.file.Path =
     java.nio.file.Paths.get(dir, "_LATEST")
 
-  private def tokenVersion(dir: String): Int = {
+  /** `(latest, base)` part versions; base = the most recent COMPACTED
+    * part (holds every doc up to its version), parts above it are
+    * per-batch appends. Reads union base..latest.
+    */
+  private def tokenVersions(dir: String): (Int, Int) = {
     val p = tokenPointer(dir)
-    if (java.nio.file.Files.exists(p))
-      new String(java.nio.file.Files.readAllBytes(p),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
-    else 0
+    if (!java.nio.file.Files.exists(p)) return (0, 0)
+    val parts = new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")
+    (parts(0).toInt, if (parts.length > 1) parts(1).toInt else 1)
   }
 
+  private def writeTokenPointer(dir: String, latest: Int, base: Int): Unit =
+    java.nio.file.Files.write(tokenPointer(dir),
+      s"$latest $base".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  // parts compact into one merged part past this count: rows never
+  // change (pure union), but the fold's read cost is per part DIR, and
+  // a micro-batch stream stacks parts fast
+  private val MaxTokenParts = 64
+
   /** The stored token-count artifact: union of all committed parts. */
-  def readTokenState(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet((1 to tokenVersion(dir))
-      .map(v => s"$dir/tokens_v$v"): _*)
+  def readTokenState(s: SparkSession, dir: String): DataFrame = {
+    val (latest, base) = tokenVersions(dir)
+    s.read.parquet((base to latest).map(v => s"$dir/tokens_v$v"): _*)
+  }
 
   private def tokenCountsOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
@@ -104,21 +118,33 @@ object TextAnalysis {
     * the artifact is row-local per doc, so incremental append has no
     * divergence corner at all). Same snapshot ⇒ no version bump.
     */
-  def syncTokenState(s: SparkSession, dir: String, docs: DataFrame): DataFrame = {
+  def syncTokenState(s: SparkSession, dir: String, docs: DataFrame,
+      maxParts: Int = MaxTokenParts): DataFrame = {
     val d = docs.select(col("doc_id"), col("text"))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    val v = tokenVersion(dir)
+    val (v, base) = tokenVersions(dir)
     val batch =
       if (v == 0) d
       else d.join(
-        s.read.parquet((1 to v).map(x => s"$dir/ids_v$x"): _*),
+        s.read.parquet((base to v).map(x => s"$dir/ids_v$x"): _*),
         Seq("doc_id"), "left_anti")
     if (v > 0 && batch.isEmpty) return readTokenState(s, dir)
     val nv = v + 1
     tokenCountsOf(batch).write.mode("overwrite").parquet(s"$dir/tokens_v$nv")
     batch.select("doc_id").write.mode("overwrite").parquet(s"$dir/ids_v$nv")
-    java.nio.file.Files.write(tokenPointer(dir),
-      nv.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    writeTokenPointer(dir, nv, if (v == 0) 1 else base)
+    // part-count compaction (pure union — rows never change, only the
+    // per-dir read cost does): merge base..nv into one part, same for
+    // the roster, pointer flips last so a crash leaves the un-compacted
+    // state live
+    if (nv - (if (v == 0) 1 else base) + 1 >= maxParts) {
+      val cv = nv + 1
+      readTokenState(s, dir).write.mode("overwrite")
+        .parquet(s"$dir/tokens_v$cv")
+      s.read.parquet((base to nv).map(x => s"$dir/ids_v$x"): _*)
+        .write.mode("overwrite").parquet(s"$dir/ids_v$cv")
+      writeTokenPointer(dir, cv, cv)
+    }
     readTokenState(s, dir)
   }
 

@@ -89,6 +89,35 @@ class ClusterMergeSpec extends AnyFunSuite {
       "stored map must still resolve after gc")
   }
 
+  test("token-state compaction merges parts without changing a single row") {
+    import graft.operators.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("tstate").toString
+    def tokSet(df: DataFrame): Map[(Long, String), Long] = df.collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // three growing snapshots with maxParts = 3: the third sync trips
+    // the part-count compaction
+    TextAnalysis.syncTokenState(spark, dir,
+      docsAll.filter(col("doc_id") % 10 < 8), maxParts = 3)
+    TextAnalysis.syncTokenState(spark, dir,
+      docsAll.filter(col("doc_id") % 10 < 9), maxParts = 3)
+    val folded = tokSet(
+      TextAnalysis.syncTokenState(spark, dir, docsAll, maxParts = 3))
+    val ptr = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "_LATEST")).trim.split("\\s+")
+    assert(ptr(0) == ptr(1) && ptr(0).toInt >= 4,
+      s"third sync must compact (latest == base), got ${ptr.mkString(" ")}")
+    val scratch = tokSet(docsAll
+      .select(col("doc_id"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt")))
+    assert(folded == scratch, "compaction changed artifact content")
+    // a fourth sync on an unchanged snapshot is a no-op on the pointer
+    TextAnalysis.syncTokenState(spark, dir, docsAll, maxParts = 3)
+    val ptr2 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "_LATEST")).trim
+    assert(ptr2 == ptr.mkString(" "), "no-op snapshot moved the pointer")
+  }
+
   test("merge handles an edge between two docs the map has never seen") {
     import spark.implicits._
     val old = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id")
