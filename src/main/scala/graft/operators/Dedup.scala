@@ -1352,9 +1352,23 @@ object Dedup {
   private def mergePieces(oldClusters: DataFrame, newEdges: DataFrame,
       checkpointDir: Option[String]): (DataFrame, DataFrame) = {
     val cl = oldClusters.select(col("doc_id"), col("cluster_id"))
+    // materialize the edge frame ONCE: it is referenced by the
+    // contraction below AND the first-seen branch, and its subtree
+    // (batch signing + the star aggregate) would otherwise re-plan —
+    // and re-scan the batch — per reference (the branch-duplication
+    // trap; caught by ScanBudgetSpec at 3 documents scans). Edge
+    // volume is star-LINEAR in the batch's band rows, so the snapshot
+    // is small; durability mirrors dupClusters' contract.
+    val snap: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        newEdges.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
+    val edges = snap(newEdges)
     // contract endpoints to stored reps (self when unclustered); a
     // within-component edge contracts to a self-loop and drops here
-    val contracted = newEdges
+    val contracted = edges
       .join(cl.select(col("doc_id").as("doc_a"), col("cluster_id").as("ra")),
         Seq("doc_a"), "left")
       .join(cl.select(col("doc_id").as("doc_b"), col("cluster_id").as("rb")),
@@ -1374,8 +1388,8 @@ object Dedup {
     // such doc is its own rep; the coalesce covers an edge whose twin
     // endpoint contracted it away as a self-loop — impossible for
     // distinct unclustered ids, kept as a structural guard)
-    val newRows = newEdges.select(col("doc_a").as("doc_id"))
-      .union(newEdges.select(col("doc_b").as("doc_id"))).distinct()
+    val newRows = edges.select(col("doc_a").as("doc_id"))
+      .union(edges.select(col("doc_b").as("doc_id"))).distinct()
       .join(cl.select("doc_id"), Seq("doc_id"), "left_anti")
       .join(repMap, col("doc_id") === repMap("rep"), "left")
       .select(col("doc_id"),
