@@ -959,6 +959,102 @@ object TrainingData {
        |SELECT tr.doc_id, count(*) AS n_shared_grams
        |FROM tr JOIN te USING (gh) GROUP BY 1""".stripMargin
 
+  // ---- q119: per-benchmark contamination report (round 15) ---------------
+  // The PUBLISHABLE artifact of the decontamination family: q42/q43/q67
+  // detect and drop, but what a dataset card reports (GPT-3 Appendix C;
+  // every Llama-class paper since) is per EVAL SET: how many of its
+  // docs are dirty against the training corpus, and how much of each
+  // doc leaks. Per benchmark (fixture: the test split grouped by
+  // source — 20 pseudo-benchmarks): doc count, dirty count (≥1 shared
+  // 8-gram), dirty fraction, and the mean leaked-gram fraction. Docs
+  // with no leak — and short docs with no grams at all — count in the
+  // denominator, which is exactly what the drop-only queries can't
+  // report.
+  //
+  // Determinism: per-doc leak fractions go through INTEGER parts-per-
+  // million ((n_leaked·10⁶) div n_grams) — a decimal cast of the raw
+  // double would hit rounding-mode ties at power-of-two gram counts
+  // (1/128 = 0.0078125 is a 6-decimal half-tie) — and the ppm sum is
+  // exact BIGINT on both engines.
+  //
+  // Scale shape: benchmark grams shuffle once on the gram hash against
+  // the DISTINCT train gram set (production joins the persisted
+  // [[writeGramIndex]] table exchange-free — the q43 index path);
+  // everything after is benchmark-doc-keyed, and the report is
+  // |benchmarks| rows.
+
+  /** Per-benchmark contamination summary: `(source, n_docs, n_dirty,
+    * dirty_frac, mean_leak_frac)` of `benchmark` docs (needs `doc_id`,
+    * `source`, `text`) against `train`'s 8-gram set.
+    */
+  def benchmarkContaminationReport(train: DataFrame,
+      benchmark: DataFrame): DataFrame = {
+    // ONE pass over the benchmark gram stream: totals and leaked counts
+    // fold in the same aggregation off a left join against the DISTINCT
+    // train gram set (gh unique ⇒ the join is 1:1, no fan-out) — the
+    // separate semi-join form re-planned the gram explode per branch
+    // (ScanBudgetSpec caught 4 documents scans)
+    val bg = benchmark.select(col("doc_id"),
+        explode(graft.functions.GramHashes(col("text"), 8, 16)).as("gh"))
+      .dropDuplicates("doc_id", "gh")
+    val perDoc = bg
+      .join(gramRowsOf(train).withColumn("hit", lit(1L)), Seq("gh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_leaked"))
+    benchmark.select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_grams", "n_leaked"))
+      .withColumn("ppm", when(col("n_grams") > 0,
+        expr("(n_leaked * 1000000L) div n_grams")).otherwise(lit(0L)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_leaked") > 0, 1L).otherwise(0L)).as("n_dirty"),
+        sum(col("ppm")).as("ppm_sum"))
+      .select(col("source"), col("n_docs"), col("n_dirty"),
+        (col("n_dirty").cast("double") / col("n_docs").cast("double"))
+          .as("dirty_frac"),
+        (col("ppm_sum").cast("double") / lit(1000000.0) /
+          col("n_docs").cast("double")).as("mean_leak_frac"))
+  }
+
+  private def q119(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).withColumn("split", splitCol)
+    benchmarkContaminationReport(
+      docs.filter(col("split") === "train"),
+      docs.filter(col("split") === "test"))
+  }
+
+  private val o119 =
+    s"""WITH s AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS ws, $splitSql AS split
+       |  FROM documents),
+       |g0 AS (SELECT doc_id, source, split, unnest($gramHashSql) AS gh FROM s),
+       |d AS (SELECT DISTINCT doc_id, split, gh FROM g0),
+       |tr AS (SELECT DISTINCT gh FROM d WHERE split = 'train'),
+       |bd AS (SELECT doc_id, count(*) AS n_grams FROM d WHERE split = 'test' GROUP BY 1),
+       |lk AS (
+       |  SELECT d.doc_id, count(*) AS n_leaked
+       |  FROM d JOIN tr USING (gh) WHERE d.split = 'test' GROUP BY 1),
+       |bdocs AS (SELECT doc_id, source FROM s WHERE split = 'test'),
+       |per AS (
+       |  SELECT b.doc_id, b.source,
+       |         coalesce(bd.n_grams, 0) AS n_grams,
+       |         coalesce(lk.n_leaked, 0) AS n_leaked
+       |  FROM bdocs b LEFT JOIN bd USING (doc_id) LEFT JOIN lk USING (doc_id)),
+       |pp AS (
+       |  SELECT source, n_leaked,
+       |         CASE WHEN n_grams > 0 THEN (n_leaked * 1000000) // n_grams
+       |              ELSE 0 END AS ppm
+       |  FROM per)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN n_leaked > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dirty,
+       |       CAST(sum(CASE WHEN n_leaked > 0 THEN 1 ELSE 0 END) AS DOUBLE) /
+       |         CAST(count(*) AS DOUBLE) AS dirty_frac,
+       |       CAST(CAST(sum(ppm) AS BIGINT) AS DOUBLE) / 1000000.0 /
+       |         CAST(count(*) AS DOUBLE) AS mean_leak_frac
+       |FROM pp GROUP BY source""".stripMargin
+
   // ---- q104: surgical span excision (the ExactSubstr REMOVAL action) -----
   // Every decontamination operator so far DROPS whole documents (q43
   // drops test docs, q67 drops train docs) — but Lee et al.'s
@@ -1712,5 +1808,6 @@ object TrainingData {
     GraftQuery("q107_shuffled_pack", "seeded reproducible global shuffle + next-fit packing (training-order decorrelation)", q107, Some(o107)),
     GraftQuery("q112_lang_budget", "per-language BPE token budget (fertility-aware quality-prefix selection)", q112, Some(o112)),
     GraftQuery("q113_shard_manifest", "output-file manifest cutting shuffled packs into ~fixed-token files", q113, Some(o113)),
-    GraftQuery("q118_epoch_mix", "data-constrained epoch allocation (effective tokens under repetition decay)", q118, Some(o118)))
+    GraftQuery("q118_epoch_mix", "data-constrained epoch allocation (effective tokens under repetition decay)", q118, Some(o118)),
+    GraftQuery("q119_benchmark_report", "per-benchmark contamination report (dirty fraction + mean leaked-gram fraction)", q119, Some(o119)))
 }

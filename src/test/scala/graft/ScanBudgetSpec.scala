@@ -171,7 +171,8 @@ class ScanBudgetSpec extends AnyFunSuite {
     "q115_precedence_dedup" -> ((1, 0)), // staged tokens + staged clusters + thin (doc_id, n_chars, source) scan
     "q116_cluster_merge" -> ((1, 0)), // batch-band signing only; the stored base state is session-staged parquet and the merge CC loop lives in checkpointed jobs
     "q117_sampled_recall" -> ((0, 0)), // scores the staged SAMPLED cos/ivf retrieval logs (r15)
-    "q118_epoch_mix" -> ((1, 0))) // staged tokens + thin (doc_id, source) scan; tail is a <=|sources|-row frame
+    "q118_epoch_mix" -> ((1, 0)), // staged tokens + thin (doc_id, source) scan; tail is a <=|sources|-row frame
+    "q119_benchmark_report" -> ((3, 0))) // benchmark grams + train grams + thin (doc_id, source) attach (gram-volume recompute boundary, the q67 class)
 
   test("every registered query has a scan budget (and no stale entries linger)") {
     val names = Registry.all.map(_.name).toSet
