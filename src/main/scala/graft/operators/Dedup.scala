@@ -1344,13 +1344,88 @@ object Dedup {
       .distinct()
   }
 
-  /** The merge's two output frames, shared by the full-map and
-    * delta-only forms: relabeled old rows (keeping `old_id` so the
-    * delta form can filter to genuinely CHANGED rows) and the
-    * first-seen rows.
+  /** Per-bucket bookkeeping for one incremental batch, restricted to
+    * the buckets the batch touches: `(bk, bmin, nb, imin, ni, t, sat)`
+    * where `nb`/`bmin` aggregate the batch slice, `ni`/`imin` the
+    * stored index slice, `t = nb + ni` is the TRUE corpus-wide bucket
+    * size for never-saturated buckets (the index holds every member of
+    * a bucket that never exceeded [[BandCap]] — induction over the
+    * append rule below), and `sat` marks buckets that crossed the cap
+    * in an earlier batch (their index slice is frozen, so `t` would
+    * undercount — they are permanently ineligible either way). The
+    * index/saturated aggregates are computed only over the batch's own
+    * bucket keys (semi-join pushdown), so the stats frame is O(batch
+    * buckets) regardless of corpus size; callers localCheckpoint it
+    * because eligibility, the index append, and the saturation append
+    * all read it (the branch-duplication trap).
+    */
+  private def bucketStatsOf(bands: DataFrame, index: DataFrame,
+      saturated: DataFrame): DataFrame = {
+    val b = bands.select(col("doc_id"), col("bk"))
+    val bAgg = b.groupBy("bk")
+      .agg(min(col("doc_id")).as("bmin"), count(lit(1)).as("nb"))
+    val iAgg = index.select(col("bk"), col("idx_id"))
+      .join(bAgg.select("bk"), Seq("bk"), "left_semi")
+      .groupBy("bk")
+      .agg(min(col("idx_id")).as("imin"), count(lit(1)).as("ni"))
+    bAgg
+      .join(iAgg, Seq("bk"), "left")
+      .join(saturated.select(col("bk")).distinct()
+        .join(bAgg.select("bk"), Seq("bk"), "left_semi")
+        .withColumn("s", lit(true)), Seq("bk"), "left")
+      .select(col("bk"), col("bmin"), col("nb"),
+        col("imin"), coalesce(col("ni"), lit(0L)).as("ni"),
+        (col("nb") + coalesce(col("ni"), lit(0L))).as("t"),
+        coalesce(col("s"), lit(false)).as("sat"))
+  }
+
+  /** Star-collapsed connectivity edges under the GLOBAL cap (round 16,
+    * the rebuild-equality mode): a bucket proposes edges iff its TRUE
+    * corpus-wide size after this batch is within [[BandCap]] — exactly
+    * the eligibility a from-scratch rebuild of the grown corpus
+    * applies, so the merge proposes exactly the rebuild's connectivity
+    * (the scope-local rules of [[starEdgesFromBands]] — batch-slice
+    * caps and the index-hub exemption — are the opt-in `permissive`
+    * recall mode). Per eligible bucket the star spans the batch
+    * members plus ONE stored member (the index min): prior members of
+    * a never-saturated bucket are already mutually connected in the
+    * map — each arrived in a batch whose star spanned the bucket at
+    * that time — so a single hub edge links the batch to the stored
+    * component, keeping edge volume O(nb + 1) per bucket instead of
+    * O(t). The one remaining divergence from a rebuild is the CROSSING
+    * corner, inherent to never-retroactively-unlinking ingest: edges
+    * proposed while a bucket was still under the cap persist after it
+    * crosses, while the rebuild (whose count is the final one) drops
+    * the whole bucket. tools/IncrCluster traces every surviving diff
+    * row to a crossing bucket and fails on anything else.
+    */
+  private[graft] def starEdgesGlobalCap(bands: DataFrame,
+      stats: DataFrame): DataFrame = {
+    val elig = stats
+      .filter(!col("sat") && col("t") <= BandCap && col("t") >= 2)
+      .select(col("bk"),
+        least(col("bmin"), coalesce(col("imin"), col("bmin"))).as("ctr"),
+        col("imin"))
+    bands.select(col("doc_id"), col("bk"))
+      .join(elig.select("bk", "ctr"), "bk")
+      .filter(col("doc_id") =!= col("ctr"))
+      .select(col("ctr").as("doc_a"), col("doc_id").as("doc_b"))
+      .unionByName(elig
+        .filter(col("imin").isNotNull && col("imin") =!= col("ctr"))
+        .select(col("ctr").as("doc_a"), col("imin").as("doc_b")))
+      .distinct()
+  }
+
+  /** The merge's output frames, shared by the full-map and delta-only
+    * forms: relabeled old rows (keeping `old_id` so the delta form can
+    * filter to genuinely CHANGED rows), the first-seen rows, and the
+    * contracted rep map `(rep, merged_id)` — one row per contracted
+    * node, which the survivor-state update consumes (an absorbed old
+    * cluster is summarized EXACTLY by its stored survivor row, because
+    * `max_by` and size-sums compose over the membership partition).
     */
   private def mergePieces(oldClusters: DataFrame, newEdges: DataFrame,
-      checkpointDir: Option[String]): (DataFrame, DataFrame) = {
+      checkpointDir: Option[String]): (DataFrame, DataFrame, DataFrame) = {
     val cl = oldClusters.select(col("doc_id"), col("cluster_id"))
     // materialize the edge frame ONCE: it is referenced by the
     // contraction below AND the first-seen branch, and its subtree
@@ -1394,7 +1469,8 @@ object Dedup {
       .join(repMap, col("doc_id") === repMap("rep"), "left")
       .select(col("doc_id"),
         coalesce(col("merged_id"), col("doc_id")).as("cluster_id"))
-    (relabeled, newRows)
+    (relabeled, newRows,
+      repMap.select(col("rep"), col("merged_id")))
   }
 
   /** Merge verified `(doc_a, doc_b)` edges into a stored `(doc_id,
@@ -1406,20 +1482,24 @@ object Dedup {
     */
   def mergeIntoClusters(oldClusters: DataFrame, newEdges: DataFrame,
       checkpointDir: Option[String] = None): DataFrame = {
-    val (relabeled, newRows) = mergePieces(oldClusters, newEdges, checkpointDir)
+    val (relabeled, newRows, _) = mergePieces(oldClusters, newEdges, checkpointDir)
     relabeled.select(col("doc_id"), col("cluster_id")).unionByName(newRows)
   }
 
   /** The merge's DELTA only: rows whose label actually changed plus
     * first-seen rows — what [[updateClusterState]] persists per batch,
     * so the per-ingest WRITE is O(touched + batch), never O(corpus).
+    * Returns `(delta, newRows, repMap)`; the latter two feed the
+    * survivor-state update.
     */
   private def mergeDelta(oldClusters: DataFrame, newEdges: DataFrame,
-      checkpointDir: Option[String]): DataFrame = {
-    val (relabeled, newRows) = mergePieces(oldClusters, newEdges, checkpointDir)
-    relabeled.filter(col("cluster_id") =!= col("old_id"))
+      checkpointDir: Option[String]): (DataFrame, DataFrame, DataFrame) = {
+    val (relabeled, newRows, repMap) =
+      mergePieces(oldClusters, newEdges, checkpointDir)
+    (relabeled.filter(col("cluster_id") =!= col("old_id"))
       .select(col("doc_id"), col("cluster_id"))
-      .unionByName(newRows)
+      .unionByName(newRows),
+      newRows, repMap)
   }
 
   /** One-call incremental head over a new batch: propose connectivity
@@ -1438,43 +1518,56 @@ object Dedup {
       checkpointDir)
 
   // ---- persistent cluster state: the incremental dedup head's artifacts --
-  // What a production ingest keeps between batches: the cluster map
-  // (LSM-style: one FULL base version plus DELTA versions holding only
-  // the rows each batch changed, folded on read and compacted when the
-  // deltas outgrow a fraction of the base — at corpus scale the map is
-  // corpus-sized, so rewriting it per batch would make every ingest
-  // O(corpus) I/O; the delta write is O(touched + batch)), the capped
-  // band index (append-only — the amortized writeBandIndex
-  // discipline), and the ingested-id roster (how a new corpus snapshot
-  // is diffed into "the batch" without trusting id monotonicity). One
-  // pointer file carries "<latest> <base>" and flips LAST, so a reader
-  // never sees a torn map and a crash mid-update leaves the previous
-  // state live. Crash contract: delta version + pointer flip commit
-  // FIRST, index/ids appends after — a crash at any point re-runs the
-  // batch idempotently (edges are distinct()-ed and the merge is a
-  // fixpoint on already-merged maps); the only residue is duplicate
-  // index/ids rows, which cost a double-counted bucket in the cap test
-  // (recall-limiting, never wrong) and nothing in the anti-join.
-  // Compaction is pure addition (a new full version + pointer flip);
-  // versions below the base become garbage a janitor may remove.
+  // What a production ingest keeps between batches, all LSM-style
+  // versioned tables under one dir, committed TOGETHER by one atomic
+  // pointer flip (round 16 rework — the previous layout appended the
+  // index/roster AFTER the flip and documented the duplicate-row
+  // residue; the versioned commit has no residue at all):
+  //   clusters_v{n}   (doc_id, cluster_id)          v{base} full, above deltas
+  //   survivors_v{n}  (doc_id, cluster_id,
+  //                    cluster_size, quality)       per-cluster canonical
+  //                                                 survivor; doc_id NULL rows
+  //                                                 are tombstones for labels
+  //                                                 absorbed by a merge
+  //   band_index_v{n} (bk, idx_id, sig)             capped band index slice
+  //   saturated_v{n}  (bk)                          buckets that crossed
+  //                                                 BandCap — permanently
+  //                                                 ineligible (global cap)
+  //   ids_v{n}        (doc_id, quality)             the batch's roster slice,
+  //                                                 scored once at ingest
+  // The pointer file `_LATEST` carries "<latest> <base>" and is
+  // published by atomic rename (graft.StateFiles), so a reader never
+  // sees a torn pointer; every version-v artifact is written BEFORE
+  // the flip, and all reads are POINTER-BOUNDED (union of versions
+  // base..latest only). Crash contract, exact: a crash before the flip
+  // leaves orphan v-dirs no reader resolves, and the replayed batch —
+  // derived by anti-joining the COMMITTED roster — recomputes the same
+  // version into an overwrite; a crash after the flip means the batch
+  // is fully committed and the replay's anti-join finds nothing. There
+  // is no partially-ingested state to reconcile. Writers serialize
+  // through an OS-level exclusive lock (StateFiles.withWriterLock):
+  // the batch pipeline (Curate --state) and the streaming leg
+  // (clusterStateStream) are both advertised writers of ONE state dir,
+  // and a second concurrent writer FAILS LOUDLY instead of silently
+  // losing a batch's merges to a read-modify-write race. Readers never
+  // lock. Compaction is pure addition (new full versions + pointer
+  // flip); versions below the PREVIOUS base are then garbage-collected
+  // — the one-generation grace keeps any reader that resolved the
+  // pointer since the previous compaction valid while the janitor runs.
 
   private def latestPointer(dir: String): java.nio.file.Path =
     java.nio.file.Paths.get(dir, "_LATEST")
 
   /** `(latest, base)` versions from the pointer file; base = the most
-    * recent FULL map, every version above it a delta.
+    * recent FULL map, every version above it a delta. Reads/writes go
+    * through [[graft.StateFiles]]: the pointer is published with an
+    * atomic rename (a racing reader sees old or new, never torn).
     */
-  private def stateVersions(dir: String): (Int, Int) = {
-    val p = latestPointer(dir)
-    if (!java.nio.file.Files.exists(p)) return (0, 0)
-    val parts = new String(java.nio.file.Files.readAllBytes(p),
-      java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")
-    (parts(0).toInt, if (parts.length > 1) parts(1).toInt else parts(0).toInt)
-  }
+  private def stateVersions(dir: String): (Int, Int) =
+    graft.StateFiles.readPointer(dir)
 
   private def writePointer(dir: String, latest: Int, base: Int): Unit =
-    java.nio.file.Files.write(latestPointer(dir),
-      s"$latest $base".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    graft.StateFiles.writePointer(dir, latest, base)
 
   // deltas compact into a new full version once they exceed this
   // fraction of the base map's rows — the LSM read/write balance knob
@@ -1484,6 +1577,30 @@ object Dedup {
   // rows slowly but versions fast, and the fold's read cost is per
   // part dir, not per row
   private val MaxDeltaVersions = 64
+
+  /** Pointer-bounded union of one side table's version parts. */
+  private def readParts(s: SparkSession, dir: String, name: String): DataFrame = {
+    val (latest, base) = stateVersions(dir)
+    s.read.parquet((base to latest).map(v => s"$dir/${name}_v$v"): _*)
+  }
+
+  /** The stored capped band index `(bk, idx_id, sig)`. */
+  private[graft] def readBandIndex(s: SparkSession, dir: String): DataFrame =
+    readParts(s, dir, "band_index")
+
+  /** The ingested-id roster with each doc's quality score `(doc_id,
+    * quality)` — scored ONCE at ingest with the q28 kernel
+    * (bit-identical to the token-artifact supply, TokenCountFormsSpec),
+    * so no downstream consumer ever re-tokenizes the corpus for a
+    * score. This read already happens once per update (the batch
+    * anti-join), so the survivor update's first-seen lookup adds no
+    * new scan.
+    */
+  def readIdQuality(s: SparkSession, dir: String): DataFrame =
+    readParts(s, dir, "ids")
+
+  private def readSaturated(s: SparkSession, dir: String): DataFrame =
+    readParts(s, dir, "saturated").distinct()
 
   /** The stored cluster map: the base full version with every delta
     * above it folded in (latest version wins per doc). A just-compacted
@@ -1501,95 +1618,240 @@ object Dedup {
         .agg(max_by(col("cluster_id"), col("_v")).as("cluster_id"))
   }
 
+  /** The stored per-cluster survivor table `(doc_id, cluster_id,
+    * cluster_size, quality)` — one row per CLUSTERED near-dup family
+    * (singletons are implicit: any doc absent from the cluster map is
+    * its own survivor), latest version wins per cluster_id, tombstones
+    * (null doc_id — a label absorbed by a merge) dropped after the
+    * fold. Equal by construction to [[canonicalDocs]] over the current
+    * corpus restricted to clustered families: the incremental update
+    * folds each merge's absorbed-cluster survivor rows (max_by and the
+    * size sum compose over the membership partition) with the batch's
+    * first-seen members, so no full-corpus re-selection ever runs
+    * (ClusterSurvivorSpec pins the equality across chained batches).
+    */
+  def readSurvivorState(s: SparkSession, dir: String): DataFrame = {
+    val (latest, base) = stateVersions(dir)
+    val folded =
+      if (latest == base) s.read.parquet(s"$dir/survivors_v$base")
+      else
+        (base to latest)
+          .map(v => s.read.parquet(s"$dir/survivors_v$v")
+            .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+              col("quality"), lit(v).as("_v")))
+          .reduce(_ unionByName _)
+          .groupBy(col("cluster_id"))
+          .agg(max_by(struct(col("doc_id"), col("cluster_size"),
+            col("quality")), col("_v")).as("r"))
+          .select(col("r.doc_id").as("doc_id"), col("cluster_id"),
+            col("r.cluster_size").as("cluster_size"),
+            col("r.quality").as("quality"))
+    folded.filter(col("doc_id").isNotNull)
+  }
+
+  // quality scoring needs n_chars; the state APIs accept a bare
+  // (doc_id, text) frame (the streaming leg's shape) and derive it
+  private def ensureNChars(d: DataFrame): DataFrame =
+    if (d.columns.contains("n_chars")) d
+    else d.withColumn("n_chars",
+      length(coalesce(col("text"), lit(""))).cast("long"))
+
+  private def scoredIds(d: DataFrame): DataFrame =
+    TextAnalysis.withQuality(ensureNChars(d))
+      .select(col("doc_id"), col("quality"))
+
+  /** The survivor-state DELTA for one merge: re-decide ONLY the
+    * clusters the batch touched. An absorbed old cluster contributes
+    * exactly its stored survivor row (which dominates and counts all
+    * its members); first-seen docs contribute themselves, scored from
+    * the roster∪batch lookup; labels that vanished get tombstones.
+    */
+  private def survivorDelta(oldSurv: DataFrame, repMap: DataFrame,
+      newRows: DataFrame, qual: DataFrame): DataFrame = {
+    val absorbed = oldSurv
+      .join(repMap, oldSurv("cluster_id") === repMap("rep"))
+      .select(col("merged_id").as("cluster_id"), col("doc_id"),
+        col("quality"), col("cluster_size"))
+    val entered = newRows
+      .join(qual, Seq("doc_id"))
+      .select(col("cluster_id"), col("doc_id"), col("quality"),
+        lit(1L).as("cluster_size"))
+    val folded = absorbed.unionByName(entered)
+      .groupBy("cluster_id")
+      .agg(sum(col("cluster_size")).as("cluster_size"),
+        max_by(struct(col("doc_id"), col("quality")),
+          struct(col("quality"), -col("doc_id"))).as("keep"))
+      .select(col("keep.doc_id").as("doc_id"), col("cluster_id"),
+        col("cluster_size"), col("keep.quality").as("quality"))
+    // tombstone every contracted rep whose label lost the merge; reps
+    // that were never cluster ids (first-seen endpoints) produce
+    // harmless tombstones for labels that never existed — bounded by
+    // the batch and swept at the next compaction
+    val tombstones = repMap
+      .filter(col("rep") =!= col("merged_id"))
+      .select(lit(null).cast("long").as("doc_id"),
+        col("rep").as("cluster_id"),
+        lit(null).cast("long").as("cluster_size"),
+        lit(null).cast("double").as("quality"))
+    folded.select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+      col("quality")).unionByName(tombstones)
+  }
+
   /** Initialize cluster state from a full corpus: the q44 cluster loop
     * runs ONCE here; every later snapshot goes through
-    * [[updateClusterState]]'s batch-bounded merge instead.
+    * [[updateClusterState]]'s batch-bounded merge instead. Also seeds
+    * the survivor table (the q53 selection, run once — incremental
+    * after this), the scored roster, and the saturation markers for
+    * buckets already over [[BandCap]]. `trackSurvivors = false` skips
+    * the survivor/roster-quality extras for callers that only need the
+    * map+index (the q116 fixture staging).
     */
   def writeClusterState(docs: DataFrame, dir: String,
-      checkpointDir: Option[String] = None): Unit = {
-    val d = docs.select(col("doc_id"), col("text"))
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    cappedIndexRows(d).write.mode("overwrite").parquet(s"$dir/band_index")
-    d.select("doc_id").write.mode("overwrite").parquet(s"$dir/ids")
-    dupClusters(candidatePairsOf(d), checkpointDir)
-      .write.mode("overwrite").parquet(s"$dir/clusters_v1")
-    writePointer(dir, 1, 1)
-  }
+      checkpointDir: Option[String] = None,
+      trackSurvivors: Boolean = true): Unit =
+    graft.StateFiles.withWriterLock(dir) {
+      val s = docs.sparkSession
+      val d = ensureNChars(docs)
+      // one banding pass feeds the index slice AND the saturation
+      // markers (localCheckpoint: two consumers, tiny rows)
+      val sized = sigBandRows(d.select(col("doc_id"), col("text")))
+        .withColumn("bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("bk")))
+        .localCheckpoint()
+      sized.filter(col("bsz") <= BandCap)
+        .select(col("bk"), col("doc_id").as("idx_id"), col("sig"))
+        .write.mode("overwrite").parquet(s"$dir/band_index_v1")
+      sized.filter(col("bsz") > BandCap).select("bk").distinct()
+        .write.mode("overwrite").parquet(s"$dir/saturated_v1")
+      val ids =
+        if (trackSurvivors) scoredIds(d)
+        else d.select(col("doc_id"), lit(null).cast("double").as("quality"))
+      ids.write.mode("overwrite").parquet(s"$dir/ids_v1")
+      dupClusters(candidatePairsOf(d), checkpointDir)
+        .write.mode("overwrite").parquet(s"$dir/clusters_v1")
+      if (trackSurvivors)
+        canonicalDocsPreScored(s.read.parquet(s"$dir/ids_v1"),
+            s.read.parquet(s"$dir/clusters_v1"))
+          .filter(col("cluster_size") >= 2)
+          .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+            col("quality"))
+          .write.mode("overwrite").parquet(s"$dir/survivors_v1")
+      else s.emptyDataFrame
+        .select(lit(null).cast("long").as("doc_id"),
+          lit(null).cast("long").as("cluster_id"),
+          lit(null).cast("long").as("cluster_size"),
+          lit(null).cast("double").as("quality"))
+        .write.mode("overwrite").parquet(s"$dir/survivors_v1")
+      writePointer(dir, 1, 1)
+    }
 
   /** Bring stored cluster state up to date with a NEW corpus snapshot
     * (the full current corpus — the batch is derived by anti-joining
     * the ingested-id roster, so callers never hand-track deltas).
-    * Cost is proportional to the BATCH: the batch signs and joins the
-    * capped index (index side exchange-free when bucketed), bands
-    * within itself, and the component loop runs on the contracted
-    * graph only. Returns the updated map. A snapshot with no new docs
-    * returns the stored map untouched (no version bump).
+    * Cost is proportional to the BATCH: the batch signs once and joins
+    * the capped index, the component loop runs on the contracted graph
+    * only, and every write — map delta, survivor delta, index slice,
+    * roster slice, saturation markers — is O(touched + batch). Returns
+    * the updated map. A snapshot with no new docs returns the stored
+    * map untouched (no version bump).
     *
-    * Documented divergence from a from-scratch rebuild (the mega-bucket
-    * corner): cap decisions are SCOPE-LOCAL in incremental mode, so a
-    * band bucket that crosses [[BandCap]] as the corpus grows (a) keeps
-    * the edges verified before the crossing (never retroactively
-    * unlinks), and (b) can still propose WITHIN-BATCH pairs when the
-    * batch's own slice of the saturated bucket is small — both add
-    * true co-bucket merges a full rebuild's corpus-wide cap would have
-    * dropped, never remove one (the cap is a cost guard, not a
-    * semantic bound). Measured at sf0.1: one bucket crosses
-    * (127 = 111 base + 16 batch) and 2 of 4804 map rows differ —
-    * tools/IncrCluster prints the corner count per corpus.
-    * ClusterMergeSpec pins exact map equality on a growing fixture
-    * where the corner stays silent.
+    * Cap semantics (round 16): GLOBAL by default — a bucket proposes
+    * edges iff its true corpus-wide size stays within [[BandCap]], the
+    * exact eligibility a from-scratch rebuild applies, so the merged
+    * map equals the rebuild everywhere except the inherent CROSSING
+    * corner (edges committed while a bucket was still under the cap
+    * persist after it crosses — incremental ingest never retroactively
+    * unlinks; tools/IncrCluster traces every residual diff row to a
+    * crossing bucket and fails otherwise). `permissive = true` opts
+    * into the round-15 scope-local rules ([[starEdgesFromBands]] —
+    * higher recall inside saturated buckets, the 8.9%-of-rows sf10
+    * drift documented in SCALE.md round 15). The index append and
+    * saturation bookkeeping are global-style under BOTH modes, so a
+    * dir stays coherent whichever mode each batch used.
     */
   def updateClusterState(s: SparkSession, dir: String, docs: DataFrame,
-      checkpointDir: Option[String] = None): DataFrame = {
-    val d = docs.select(col("doc_id"), col("text"))
-    val batch = d.join(s.read.parquet(s"$dir/ids"), Seq("doc_id"), "left_anti")
+      checkpointDir: Option[String] = None,
+      permissive: Boolean = false,
+      maxDeltaVersions: Int = MaxDeltaVersions): DataFrame =
+    graft.StateFiles.withWriterLock(dir) {
+      updateLocked(s, dir, docs, checkpointDir, permissive, maxDeltaVersions)
+    }
+
+  private def updateLocked(s: SparkSession, dir: String, docs: DataFrame,
+      checkpointDir: Option[String], permissive: Boolean,
+      maxDeltaVersions: Int): DataFrame = {
+    val d = ensureNChars(docs)
+    val roster = readIdQuality(s, dir)
+    val batch = d.join(roster.select("doc_id"), Seq("doc_id"), "left_anti")
     if (batch.isEmpty) return readClusterState(s, dir)
-    val index = s.read.parquet(s"$dir/band_index")
+    val index = readBandIndex(s, dir)
     // sign the batch ONCE: the same (doc_id, sig, bk) frame feeds the
-    // index join, the within-batch pairs, and the index append — the
+    // bucket stats, the edge proposal, and the index append — the
     // naive three-kernel composition shingled+minhashed the batch text
     // three times (measured at sf1: 11.8 → 7.4 s update wall).
     // persist (not localCheckpoint): lineage survives executor loss.
-    val sb = sigBandRows(batch)
+    val sb = sigBandRows(batch.select(col("doc_id"), col("text")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val delta = mergeDelta(readClusterState(s, dir),
-      starEdgesFromBands(sb, index), checkpointDir)
-    // COMMIT ORDER: delta version first, pointer flip second, index/ids
-    // appends last. A crash before the flip leaves the previous map
-    // live and the batch re-runs in full; a crash after the flip but
-    // before the appends re-derives the same batch against the ALREADY
-    // MERGED map — every edge contracts to a self-loop, the delta is
-    // EMPTY, and the anti-join adds nothing, so the re-run is a
-    // fixpoint (its only residue is an empty delta version plus
-    // duplicate index/ids rows, handled as documented above). The
-    // reverse order would have an ids-append-then-crash make the batch
-    // invisible forever.
+    // one bucket-bookkeeping frame, O(batch buckets), materialized
+    // once for its three consumers (eligibility, append, saturation)
+    val stats = bucketStatsOf(sb, index, readSaturated(s, dir))
+      .localCheckpoint()
+    val edges =
+      if (permissive) starEdgesFromBands(sb, index)
+      else starEdgesGlobalCap(sb, stats)
+    val (delta, newRows, repMap) =
+      mergeDelta(readClusterState(s, dir), edges, checkpointDir)
     val (latest, base) = stateVersions(dir)
     val v = latest + 1
+    // COMMIT ORDER: every version-v artifact lands BEFORE the pointer
+    // flips, and the batch itself derives from the COMMITTED roster —
+    // a crash before the flip leaves orphan v-dirs no reader resolves
+    // and the replay overwrites them with identical content; a crash
+    // after the flip makes the replay's anti-join empty. Exactly-once
+    // state transitions with no residue (the round-15 append-after-
+    // flip layout left duplicate index/ids rows behind a post-flip
+    // crash; ClusterMergeSpec pins the rollback-replay fixpoint).
     delta.write.mode("overwrite").parquet(s"$dir/clusters_v$v")
+    val batchScored = scoredIds(batch)
+    survivorDelta(readSurvivorState(s, dir), repMap, newRows,
+        batchScored.unionByName(roster))
+      .write.mode("overwrite").parquet(s"$dir/survivors_v$v")
+    // index slice: the batch's band rows for buckets whose true size
+    // stays within the cap (the index never grows a bucket past it)
+    sb.select(col("bk"), col("doc_id").as("idx_id"), col("sig"))
+      .join(stats.filter(!col("sat") && col("t") <= BandCap).select("bk"),
+        Seq("bk"))
+      .write.mode("overwrite").parquet(s"$dir/band_index_v$v")
+    stats.filter(!col("sat") && col("t") > BandCap).select("bk")
+      .write.mode("overwrite").parquet(s"$dir/saturated_v$v")
+    batchScored.write.mode("overwrite").parquet(s"$dir/ids_v$v")
     writePointer(dir, v, base)
-    // append the batch's band rows for buckets still under the cap
-    // (combined size — the index never grows a bucket past BandCap)
-    val nr = sb.select(col("bk"), col("doc_id").as("idx_id"), col("sig"))
-    val under = nr.select("bk").unionByName(index.select("bk"))
-      .groupBy("bk").agg(count(lit(1)).as("n"))
-      .filter(col("n") <= BandCap).select("bk")
-    nr.join(under, "bk").write.mode("append").parquet(s"$dir/band_index")
-    batch.select("doc_id").write.mode("append").parquet(s"$dir/ids")
     sb.unpersist(blocking = false)
     // LSM compaction: once the deltas exceed CompactFraction of the
-    // base, fold and write a new FULL version (pure addition — a crash
-    // mid-compaction leaves the delta state live). Counts come from
-    // parquet footers, not scans.
+    // base (or maxDeltaVersions stack up), fold EVERY table into a new
+    // full version (pure addition — a crash mid-compaction leaves the
+    // delta state live), then garbage-collect versions below the
+    // PREVIOUS base: superseded by the compaction before this one, so
+    // any reader that resolved the pointer since then stays valid.
+    // Counts come from parquet footers, not scans.
     val deltaRows = (base + 1 to v)
       .map(x => s.read.parquet(s"$dir/clusters_v$x").count()).sum
     if (deltaRows > CompactFraction *
         s.read.parquet(s"$dir/clusters_v$base").count() ||
-      v - base >= MaxDeltaVersions) {
+      v - base >= maxDeltaVersions) {
       val nv = v + 1
       readClusterState(s, dir).write.mode("overwrite")
         .parquet(s"$dir/clusters_v$nv")
+      readSurvivorState(s, dir).write.mode("overwrite")
+        .parquet(s"$dir/survivors_v$nv")
+      readBandIndex(s, dir).write.mode("overwrite")
+        .parquet(s"$dir/band_index_v$nv")
+      readSaturated(s, dir).write.mode("overwrite")
+        .parquet(s"$dir/saturated_v$nv")
+      readIdQuality(s, dir).write.mode("overwrite")
+        .parquet(s"$dir/ids_v$nv")
       writePointer(dir, nv, nv)
+      gcClusterState(dir, below = Some(base))
     }
     readClusterState(s, dir)
   }
@@ -1597,9 +1859,11 @@ object Dedup {
   /** Diagnostic for the mega-bucket corner: band buckets over
     * [[BandCap]] corpus-wide whose base or batch slice (split by
     * `isBase` over doc_id) is under it — exactly the buckets where an
-    * incremental run can merge MORE than a full rebuild. Zero rows ⇒
-    * the incremental map must equal the rebuild (tools/IncrCluster
-    * enforces this).
+    * incremental run can merge MORE than a full rebuild (under the
+    * global cap, only via the CROSSING corner: the under-cap slice's
+    * edges were committed before the bucket crossed). tools/IncrCluster
+    * traces every map diff row to these buckets' membership and fails
+    * on any untraceable divergence.
     */
   private[graft] def capCornerBuckets(docs: DataFrame,
       isBase: org.apache.spark.sql.Column): DataFrame =
@@ -1612,23 +1876,35 @@ object Dedup {
       .filter(col("n_full") > BandCap &&
         (col("n_base") <= BandCap || col("n_batch") <= BandCap))
 
-  /** Garbage-collect map versions BELOW the current base — superseded
-    * by the last compaction and unreachable from any pointer state
-    * (readers resolve versions through `_LATEST`, which never points
-    * under the base). Safe to run any time after compaction; a janitor
-    * cadence, not a correctness step. Returns the number of version
-    * directories removed.
+  /** Members of [[capCornerBuckets]] — the doc population any
+    * incremental-vs-rebuild map diff must be contained in (the
+    * traceability gate tools/IncrCluster enforces).
     */
-  def gcClusterState(dir: String): Int = {
-    val (_, base) = stateVersions(dir)
-    (1 until base).count { v =>
-      val p = java.nio.file.Paths.get(dir, s"clusters_v$v")
-      java.nio.file.Files.exists(p) && {
-        import scala.jdk.CollectionConverters._
-        val files = java.nio.file.Files.walk(p).iterator().asScala.toSeq
-        files.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-        true
-      }
+  private[graft] def capCornerMembers(docs: DataFrame,
+      isBase: org.apache.spark.sql.Column): DataFrame =
+    bandRows(docs.select(col("doc_id"), col("text")))
+      .join(capCornerBuckets(docs, isBase).select("bk"), Seq("bk"))
+      .select("doc_id").distinct()
+
+  /** Garbage-collect state versions below `below` (default: the
+    * current base) — superseded by compaction and unreachable from the
+    * pointer. The in-update janitor passes the PREVIOUS base, so a
+    * reader that resolved the pointer any time since the previous
+    * compaction still finds its versions on disk (one-generation
+    * grace). Returns the number of version directories removed.
+    */
+  def gcClusterState(dir: String, below: Option[Int] = None): Int = {
+    val bound = below.getOrElse(stateVersions(dir)._2)
+    val tables = Seq("clusters", "survivors", "band_index", "saturated", "ids")
+    (1 until bound).flatMap(v => tables.map(t => (t, v))).count {
+      case (t, v) =>
+        val p = java.nio.file.Paths.get(dir, s"${t}_v$v")
+        java.nio.file.Files.exists(p) && {
+          import scala.jdk.CollectionConverters._
+          val files = java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          files.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          true
+        }
     }
   }
 
@@ -1644,7 +1920,6 @@ object Dedup {
       writeClusterState(docs, dir, checkpointDir)
       readClusterState(s, dir)
     }
-
   // Fixture form: the corpus is split 90/10 on doc_id % 10 — the base
   // corpus is clustered (the stored map a prior run would have staged),
   // the 10% batch proposes edges against the base's capped band index
@@ -1667,7 +1942,8 @@ object Dedup {
     stagedBaseStatePaths.getOrElseUpdate(key, {
       val out = Tables.stageDir(s, "graft-cstate")
       writeClusterState(
-        Tables.documents(s, d).filter(col("doc_id") % 10 =!= 9), out)
+        Tables.documents(s, d).filter(col("doc_id") % 10 =!= 9), out,
+        trackSurvivors = false)
       out
     })
   }
@@ -1675,7 +1951,7 @@ object Dedup {
   private def q116(s: SparkSession, d: String): DataFrame = {
     val dir = stagedBaseState(s, d)
     updateClusters(readClusterState(s, dir),
-      s.read.parquet(s"$dir/band_index"),
+      readBandIndex(s, dir),
       Tables.documents(s, d).filter(col("doc_id") % 10 === 9))
   }
 

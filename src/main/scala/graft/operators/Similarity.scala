@@ -1352,24 +1352,32 @@ object Similarity {
   /** One-row recall summary of an approximate ranking against a
     * sampled exact ranking: `(n_queries, mean_recall, ci_lo, ci_hi,
     * mean_rr)` — mean recall@k over the query sample with its 95%
-    * normal-approximation binomial CI (clamped to [0,1]), and mean
-    * reciprocal rank. Double sums go through DECIMAL(18,6) (registry
-    * determinism rule) so both engines aggregate exactly.
+    * normal-approximation CI from the PER-QUERY SAMPLE VARIANCE
+    * (clamped to [0,1]), and mean reciprocal rank. Per-query recall@k
+    * is a fraction in {0, 1/k, …, 1}, not a 0/1 Bernoulli outcome, so
+    * the proportion formula p(1-p)/n this used through round 15
+    * misstated the sampling error (round-15 ADVICE); the correct
+    * plug-in standard error of a mean of fractions is s/√n with
+    * s² = (Σr² − (Σr)²/n)/(n−1). Double sums go through DECIMAL(18,6)
+    * and the variance keeps one shared expression shape on both
+    * engines (registry determinism rules), so the CI is bit-exact
+    * against the oracle twin.
     */
   def annRecallSummary(exact: DataFrame, approx: DataFrame): DataFrame = {
     val per = annRecall(exact, approx)
     val n = col("n_queries").cast("double")
-    val p = (col("rsum").cast("double") / n).as("mean_recall")
+    val mean = col("rsum").cast("double") / n
+    val se = sqrt(greatest(lit(0.0),
+      (col("r2sum").cast("double") -
+        col("rsum").cast("double") * col("rsum").cast("double") / n) /
+        (n - lit(1.0)) / n))
     per.agg(count(lit(1)).as("n_queries"),
         sum(col("recall").cast("decimal(18,6)")).as("rsum"),
+        sum((col("recall") * col("recall")).cast("decimal(18,6)")).as("r2sum"),
         sum(col("rr").cast("decimal(18,6)")).as("rrsum"))
-      .select(col("n_queries"), p,
-        greatest(lit(0.0), col("rsum").cast("double") / n -
-          lit(1.96) * sqrt((col("rsum").cast("double") / n) *
-            (lit(1.0) - col("rsum").cast("double") / n) / n)).as("ci_lo"),
-        least(lit(1.0), col("rsum").cast("double") / n +
-          lit(1.96) * sqrt((col("rsum").cast("double") / n) *
-            (lit(1.0) - col("rsum").cast("double") / n) / n)).as("ci_hi"),
+      .select(col("n_queries"), mean.as("mean_recall"),
+        greatest(lit(0.0), mean - lit(1.96) * se).as("ci_lo"),
+        least(lit(1.0), mean + lit(1.96) * se).as("ci_hi"),
         (col("rrsum").cast("double") / n).as("mean_rr"))
   }
 
@@ -1442,19 +1450,24 @@ object Similarity {
        |         coalesce(rr.rr, 0.0) AS rr
        |  FROM (SELECT qid, count(*) AS n_exact FROM exact GROUP BY qid) g
        |  LEFT JOIN hits h ON g.qid = h.qid
-       |  LEFT JOIN rr ON g.qid = rr.qid)
-       |SELECT CAST(count(*) AS BIGINT) AS n_queries,
-       |       CAST(sum(CAST(recall AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_recall,
-       |       greatest(0.0, CAST(sum(CAST(recall AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) -
-       |         1.96 * sqrt((CAST(sum(CAST(recall AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)) *
-       |           (1.0 - CAST(sum(CAST(recall AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)) /
-       |           CAST(count(*) AS DOUBLE))) AS ci_lo,
-       |       least(1.0, CAST(sum(CAST(recall AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) +
-       |         1.96 * sqrt((CAST(sum(CAST(recall AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)) *
-       |           (1.0 - CAST(sum(CAST(recall AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)) /
-       |           CAST(count(*) AS DOUBLE))) AS ci_hi,
-       |       CAST(sum(CAST(rr AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_rr
-       |FROM per""".stripMargin
+       |  LEFT JOIN rr ON g.qid = rr.qid),
+       |sums AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       |         CAST(count(*) AS DOUBLE) AS n,
+       |         CAST(sum(CAST(recall AS DECIMAL(18,6))) AS DOUBLE) AS rsum,
+       |         CAST(sum(CAST(recall * recall AS DECIMAL(18,6))) AS DOUBLE) AS r2sum,
+       |         CAST(sum(CAST(rr AS DECIMAL(18,6))) AS DOUBLE) AS rrsum
+       |  FROM per)
+       |SELECT n_queries,
+       |       rsum / n AS mean_recall,
+       |       greatest(0.0, rsum / n -
+       |         1.96 * sqrt(greatest(0.0,
+       |           (r2sum - rsum * rsum / n) / (n - 1.0) / n))) AS ci_lo,
+       |       least(1.0, rsum / n +
+       |         1.96 * sqrt(greatest(0.0,
+       |           (r2sum - rsum * rsum / n) / (n - 1.0) / n))) AS ci_hi,
+       |       rrsum / n AS mean_rr
+       |FROM sums""".stripMargin
 
   // ---- q92: kNN label-noise detection ------------------------------------
   // Confident-learning-lite (Northcutt et al. 2021's observable, without

@@ -77,24 +77,18 @@ object TextAnalysis {
   // rows can ever enter the union. Reads union the parts: no fold
   // needed because a doc's rows never change.
 
-  private def tokenPointer(dir: String): java.nio.file.Path =
-    java.nio.file.Paths.get(dir, "_LATEST")
-
   /** `(latest, base)` part versions; base = the most recent COMPACTED
     * part (holds every doc up to its version), parts above it are
-    * per-batch appends. Reads union base..latest.
+    * per-batch appends. Reads union base..latest. Pointer I/O goes
+    * through [[graft.StateFiles]]: published by atomic rename, so a
+    * reader racing the flip sees the previous pointer or the new one,
+    * never a torn/empty file.
     */
-  private def tokenVersions(dir: String): (Int, Int) = {
-    val p = tokenPointer(dir)
-    if (!java.nio.file.Files.exists(p)) return (0, 0)
-    val parts = new String(java.nio.file.Files.readAllBytes(p),
-      java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")
-    (parts(0).toInt, if (parts.length > 1) parts(1).toInt else 1)
-  }
+  private def tokenVersions(dir: String): (Int, Int) =
+    graft.StateFiles.readPointer(dir, baseDefault = _ => 1)
 
   private def writeTokenPointer(dir: String, latest: Int, base: Int): Unit =
-    java.nio.file.Files.write(tokenPointer(dir),
-      s"$latest $base".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    graft.StateFiles.writePointer(dir, latest, base)
 
   // parts compact into one merged part past this count: rows never
   // change (pure union), but the fold's read cost is per part DIR, and
@@ -119,9 +113,19 @@ object TextAnalysis {
     * divergence corner at all). Same snapshot ⇒ no version bump.
     */
   def syncTokenState(s: SparkSession, dir: String, docs: DataFrame,
-      maxParts: Int = MaxTokenParts): DataFrame = {
+      maxParts: Int = MaxTokenParts): DataFrame =
+    graft.StateFiles.withWriterLock(dir) {
+      syncTokenLocked(s, dir, docs, maxParts)
+    }
+
+  // the whole read-pointer → write-part → flip critical section runs
+  // under the dir's exclusive writer lock: the streaming leg and a
+  // batch Curate run are both advertised writers of ONE token state,
+  // and two unserialized syncs would compute the same next version and
+  // silently drop one batch's rows (same contract as the cluster state)
+  private def syncTokenLocked(s: SparkSession, dir: String, docs: DataFrame,
+      maxParts: Int): DataFrame = {
     val d = docs.select(col("doc_id"), col("text"))
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val (v, base) = tokenVersions(dir)
     val batch =
       if (v == 0) d
@@ -144,8 +148,30 @@ object TextAnalysis {
       s.read.parquet((base to nv).map(x => s"$dir/ids_v$x"): _*)
         .write.mode("overwrite").parquet(s"$dir/ids_v$cv")
       writeTokenPointer(dir, cv, cv)
+      // janitor: parts below the PREVIOUS base were superseded by the
+      // compaction before this one — any reader that resolved the
+      // pointer since then never touches them (one-generation grace,
+      // the cluster-state gc discipline)
+      gcTokenState(dir, below = Some(if (v == 0) 1 else base))
     }
     readTokenState(s, dir)
+  }
+
+  /** Garbage-collect token/roster parts below `below` (default: the
+    * current base). Returns the number of part directories removed.
+    */
+  def gcTokenState(dir: String, below: Option[Int] = None): Int = {
+    val bound = below.getOrElse(tokenVersions(dir)._2)
+    (1 until bound).flatMap(v => Seq("tokens", "ids").map(t => (t, v))).count {
+      case (t, v) =>
+        val p = java.nio.file.Paths.get(dir, s"${t}_v$v")
+        java.nio.file.Files.exists(p) && {
+          import scala.jdk.CollectionConverters._
+          val files = java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          files.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          true
+        }
+    }
   }
 
   /** The `(doc_id, g, c)` ADJACENT-BIGRAM pre-aggregate, staged once per

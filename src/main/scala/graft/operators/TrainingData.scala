@@ -988,6 +988,19 @@ object TrainingData {
     * `source`, `text`) against `train`'s 8-gram set.
     */
   def benchmarkContaminationReport(train: DataFrame,
+      benchmark: DataFrame): DataFrame =
+    benchmarkContaminationReportFromGrams(gramRowsOf(train), benchmark)
+
+  /** [[benchmarkContaminationReport]] against a PRE-BUILT distinct
+    * train-gram set — the production supply (round 16): a pipeline
+    * that maintains the persisted [[writeGramIndex]] table (or stages
+    * `gramRowsOf` once, as Curate does) reports contamination for any
+    * number of benchmark suites without ever re-gramming the train
+    * corpus; with the gh-bucketed table the join is exchange-free on
+    * the index side. Spec-pinned row-identical to the text form
+    * (TrainingDataSpec).
+    */
+  def benchmarkContaminationReportFromGrams(trainGrams: DataFrame,
       benchmark: DataFrame): DataFrame = {
     // ONE pass over the benchmark gram stream: totals and leaked counts
     // fold in the same aggregation off a left join against the DISTINCT
@@ -998,7 +1011,8 @@ object TrainingData {
         explode(graft.functions.GramHashes(col("text"), 8, 16)).as("gh"))
       .dropDuplicates("doc_id", "gh")
     val perDoc = bg
-      .join(gramRowsOf(train).withColumn("hit", lit(1L)), Seq("gh"), "left")
+      .join(trainGrams.select(col("gh")).withColumn("hit", lit(1L)),
+        Seq("gh"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("hit"), lit(0L))).as("n_leaked"))
@@ -1342,6 +1356,54 @@ object TrainingData {
        |  SELECT source,
        |         CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT) AS n_tok
        |  FROM documents GROUP BY source),
+       |sc AS (
+       |  SELECT source, n_tok,
+       |         CAST(floor(sqrt(CAST(n_tok AS DOUBLE)) * ${TempScale}.0) AS BIGINT) AS w_scaled
+       |  FROM per),
+       |tot AS (SELECT CAST(sum(w_scaled) AS BIGINT) AS tot_scaled FROM sc),
+       |al AS (
+       |  SELECT source, n_tok,
+       |         (w_scaled * $EpochBudget) // tot_scaled AS alloc_tok
+       |  FROM sc CROSS JOIN tot),
+       |ep AS (
+       |  SELECT source, n_tok, alloc_tok,
+       |         alloc_tok // n_tok AS full_epochs,
+       |         alloc_tok - (alloc_tok // n_tok) * n_tok AS rem_tok
+       |  FROM al),
+       |dc AS (
+       |  SELECT *, 1.0 / CAST((CAST(1 AS BIGINT) <<
+       |           least(full_epochs, $MaxDecayEpochs)) AS DOUBLE) AS d
+       |  FROM ep)
+       |SELECT source, n_tok, alloc_tok, full_epochs,
+       |       CAST(n_tok AS DOUBLE) * (2.0 - 2.0 * d) +
+       |         CAST(rem_tok AS DOUBLE) * d AS eff_tok,
+       |       (CAST(n_tok AS DOUBLE) * (2.0 - 2.0 * d) +
+       |         CAST(rem_tok AS DOUBLE) * d) /
+       |         CAST(alloc_tok AS DOUBLE) AS utilization
+       |FROM dc""".stripMargin
+
+  // ---- q118b: epoch allocation in BPE currency (round 16) ----------------
+  // q118 allocated WHITESPACE tokens while the spenders (q102/q103/
+  // q112, Curate's packer) already price in BPE symbols — the one
+  // mixture operator left in the weaker currency. Same kernel, supply
+  // composed from the q99 tokenizer off the staged token artifact
+  // (bpeApplyFromCounts — the merge table derives once from the same
+  // artifact; zero extra corpus scans), so the training plan's
+  // allocation and its packer spend the SAME token definition.
+  private def q118b(s: SparkSession, d: String): DataFrame =
+    epochAllocation(
+      Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .join(TextAnalysis.bpeApplyFromCounts(
+            TextAnalysis.stagedTokenCounts(s, d))
+          .select(col("doc_id"), col("n_bpe_tokens")), "doc_id")
+        .groupBy(col("source")).agg(sum(col("n_bpe_tokens")).as("n_tok")),
+      EpochBudget)
+
+  private val o118b =
+    s"""WITH ${TextAnalysis.bpeCtes()},
+       |per AS (
+       |  SELECT d.source, CAST(sum(b.n_bpe_tokens) AS BIGINT) AS n_tok
+       |  FROM bpedoc b JOIN documents d USING (doc_id) GROUP BY d.source),
        |sc AS (
        |  SELECT source, n_tok,
        |         CAST(floor(sqrt(CAST(n_tok AS DOUBLE)) * ${TempScale}.0) AS BIGINT) AS w_scaled
@@ -1809,5 +1871,6 @@ object TrainingData {
     GraftQuery("q112_lang_budget", "per-language BPE token budget (fertility-aware quality-prefix selection)", q112, Some(o112)),
     GraftQuery("q113_shard_manifest", "output-file manifest cutting shuffled packs into ~fixed-token files", q113, Some(o113)),
     GraftQuery("q118_epoch_mix", "data-constrained epoch allocation (effective tokens under repetition decay)", q118, Some(o118)),
+    GraftQuery("q118b_epoch_mix_bpe", "epoch allocation in BPE currency (the packer's token definition)", q118b, Some(o118b)),
     GraftQuery("q119_benchmark_report", "per-benchmark contamination report (dirty fraction + mean leaked-gram fraction)", q119, Some(o119)))
 }

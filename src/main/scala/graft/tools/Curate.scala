@@ -117,7 +117,9 @@ object Curate {
     lazy val clusterMap: org.apache.spark.sql.DataFrame =
       stateDir match {
         case Some(sd) => Dedup.syncClusterState(spark, s"$sd/clusters",
-          docs.select("doc_id", "text"))
+          // n_chars rides along so the roster's quality scoring uses
+          // the table's column, not a re-derived length(text)
+          docs.select("doc_id", "text", "n_chars"))
         case None => Dedup.stagedClusters(spark, sfDir)
       }
     lazy val corpusTokens: org.apache.spark.sql.DataFrame =
@@ -234,12 +236,27 @@ object Curate {
     // `corpusTokens` is the incremental state when stateDir is set —
     // the artifact path every token consumer below shares. Lazy so a
     // resumed run never pays the sync/staging at construction.
-    lazy val scoredDocs = docs
-      .select(col("doc_id"), col("text"), col("lang"), col("source"),
-        col("n_chars"))
-      .join(TextAnalysis.qualityFromCountsOf(
-          docs.select(col("doc_id"), col("n_chars")), corpusTokens)
-        .select(col("doc_id"), col("quality")), Seq("doc_id"))
+    // With stateDir the quality column comes from the scored ROSTER the
+    // cluster state maintains (each doc scored ONCE at its ingest, the
+    // q28 kernel — bit-identical to the token-artifact supply below,
+    // TokenCountFormsSpec): no per-run aggregation over the corpus-×-
+    // words token rows remains in the scoring path, just a thin
+    // two-column roster join. `clusterMap` is forced first so the
+    // roster is current for this snapshot.
+    lazy val scoredDocs = {
+      val thin = docs.select(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+      stateDir match {
+        case Some(sd) =>
+          clusterMap // force the state sync before reading the roster
+          thin.join(Dedup.readIdQuality(spark, s"$sd/clusters"),
+            Seq("doc_id"))
+        case None =>
+          thin.join(TextAnalysis.qualityFromCountsOf(
+              docs.select(col("doc_id"), col("n_chars")), corpusTokens)
+            .select(col("doc_id"), col("quality")), Seq("doc_id"))
+      }
+    }
     // the survivor selection lives INSIDE the stage thunk: clustering's
     // label-propagation rounds run eagerly at construction, and a
     // resumed run that already has `deduped` on disk must not pay them.
@@ -249,11 +266,33 @@ object Curate {
     // label-propagation loop TWICE per pipeline (measured at sf1: the
     // splits stage ballooned 0.2→21.1 s before this reuse; with it the
     // map computes once and the splits join is sub-second).
+    // The state-mode stamp tag (round 16): a `--resume` run must never
+    // reuse a cluster-map-consuming artifact built under the OTHER
+    // map supply — the incremental map has a documented crossing-corner
+    // divergence from the session-staged rebuild, so the two supplies
+    // are different stamp chains even on the same corpus.
+    val stateTag = if (stateDir.isDefined) "(state)" else ""
     val deduped = stage({
-      val survivors = Dedup.canonicalDocsPreScored(scoredDocs, clusterMap)
-        .select("doc_id")
-      scoredDocs.join(survivors, Seq("doc_id"), "left_semi")
-    }, "deduped")
+      stateDir match {
+        case Some(sd) =>
+          // incremental survivor selection (round 16): the state keeps
+          // the per-cluster survivor table current under each merge, so
+          // this stage re-decides NOTHING — the only corpus-wide work
+          // left is the one anti-join that materializes the artifact
+          // (output is corpus-sized; that pass is inherent). Drop set =
+          // clustered non-survivors, an O(map) state-internal anti-join.
+          clusterMap // force the sync before reading survivor state
+          val dropSet = Dedup.readClusterState(spark, s"$sd/clusters")
+            .select("doc_id")
+            .join(Dedup.readSurvivorState(spark, s"$sd/clusters")
+              .select("doc_id"), Seq("doc_id"), "left_anti")
+          scoredDocs.join(dropSet, Seq("doc_id"), "left_anti")
+        case None =>
+          val survivors = Dedup.canonicalDocsPreScored(scoredDocs, clusterMap)
+            .select("doc_id")
+          scoredDocs.join(survivors, Seq("doc_id"), "left_semi")
+      }
+    }, "deduped", stateTag)
 
     // 1b. semantic dedup over the SURVIVING docs' embeddings (q55
     // kernel): paraphrases and templated rewrites share no long n-grams,
@@ -329,7 +368,7 @@ object Curate {
         .withColumn("split", TrainingData.splitColumnOf(
           coalesce(col("cluster_id"), col("doc_id"))))
         .drop("cluster_id")
-    }, "splits")
+    }, "splits", stateTag)
 
     // 5. decontaminate: test docs sharing an 8-gram with train are out —
     // under the STORED stage-4 split (the WithSplit form; the bare

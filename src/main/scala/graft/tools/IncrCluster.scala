@@ -42,27 +42,46 @@ object IncrCluster {
       m.count(); m
     }
 
-    // identity check against the rebuild, row for row. Divergence is
-    // allowed ONLY in the documented mega-bucket corner (scope-local
-    // cap decisions — see updateClusterState's scaladoc), which is
-    // counted here: buckets over BandCap corpus-wide whose batch slice
-    // is under it. No corner buckets => the maps must be identical.
+    // identity check against the rebuild, row for row. Under the
+    // round-16 GLOBAL cap the only permitted divergence is the
+    // CROSSING corner — edges committed while a bucket was still under
+    // BandCap persist after the corpus growth pushes it over (never-
+    // retroactively-unlink ingest; see updateClusterState's scaladoc)
+    // — and the gate is TRACEABILITY, not a mere corner count: every
+    // differing doc_id must be a member of a corner bucket, so
+    // arbitrary unrelated divergence fails even when corners exist
+    // (the round-15 `corner > 0 || diff == 0` gate checked nothing in
+    // that case). One-directionality is asserted too: the incremental
+    // map may only ADD merges, never lose or relabel one the rebuild
+    // has outside the corner population.
     val full = Dedup.dupClusters(Dedup.candidatePairsOf(docs))
-    val diff = merged.withColumnRenamed("cluster_id", "m")
+    val diffRows = merged.withColumnRenamed("cluster_id", "m")
       .join(full, Seq("doc_id"), "full_outer")
       .filter(col("m").isNull || col("cluster_id").isNull ||
         col("m") =!= col("cluster_id"))
+      .select(col("doc_id"), col("m"), col("cluster_id"))
+      .localCheckpoint()
+    val diff = diffRows.count()
+    val cornerB = Dedup.capCornerBuckets(docs, col("doc_id") % 10 =!= 9)
       .count()
-    val corner = Dedup.capCornerBuckets(docs,
-      col("doc_id") % 10 =!= 9).count()
+    val untraced = diffRows
+      .join(Dedup.capCornerMembers(docs, col("doc_id") % 10 =!= 9),
+        Seq("doc_id"), "left_anti")
+      .count()
+    // rows present in the REBUILD but missing/different in the merged
+    // map would mean the incremental head LOST a merge — never allowed
+    val lost = diffRows.filter(col("m").isNull).count()
     val rows = merged.count()
     def r(x: Double) = math.rint(x * 1000) / 1000
     println(s"""{"sf":"$sfDir","rows":$rows,"full_s":${r(fullS)},""" +
       s""""init_s":${r(initS)},"update_s":${r(updateS)},""" +
       s""""speedup":${r(fullS / updateS)},"map_diff_rows":$diff,""" +
-      s""""cap_corner_buckets":$corner}""")
-    require(corner > 0 || diff == 0,
-      s"incremental map diverged outside the cap corner: $diff rows")
+      s""""cap_corner_buckets":$cornerB,"diff_untraced":$untraced,""" +
+      s""""diff_lost_merges":$lost}""")
+    require(untraced == 0,
+      s"$untraced diff rows do not trace to any corner bucket")
+    require(lost == 0,
+      s"incremental map LOST $lost rows the rebuild has")
     spark.stop()
   }
 }

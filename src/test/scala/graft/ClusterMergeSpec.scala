@@ -59,14 +59,22 @@ class ClusterMergeSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("cstate4").toString
     Dedup.writeClusterState(docsAll.filter(col("doc_id") % 10 =!= 9), dir)
     val v1 = asMap(Dedup.updateClusterState(spark, dir, docsAll))
-    // simulate the documented crash window: the map committed but the
-    // ids append was lost — the next sync re-derives the SAME batch
-    // against the already-merged map
-    docsAll.filter(col("doc_id") % 10 =!= 9).select("doc_id")
-      .write.mode("overwrite").parquet(s"$dir/ids")
+    // simulate the documented crash window: every version-2 artifact
+    // landed but the pointer flip was LOST — roll the pointer back to
+    // v1 with orphan v2 dirs on disk. The replay derives the batch
+    // from the COMMITTED roster (which excludes it), recomputes the
+    // same version, and overwrites the orphans with identical content.
+    graft.StateFiles.writePointer(dir, 1, 1)
     val v2 = asMap(Dedup.updateClusterState(spark, dir, docsAll))
     assert(v2 == v1, "crash-replayed batch changed the merged map")
     assert(v2 == fullRebuild)
+    // post-flip replay: the same snapshot again is a no-op
+    val ptr = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "_LATEST"))
+    Dedup.updateClusterState(spark, dir, docsAll)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "_LATEST")) == ptr,
+      "replay after a completed flip must not bump the version")
   }
 
   test("gc removes only versions below the base and readers still resolve") {
@@ -79,12 +87,16 @@ class ClusterMergeSpec extends AnyFunSuite {
         java.nio.file.Paths.get(dir, "_LATEST")).trim.split("\\s+")
       (parts(0).toInt, parts(1).toInt)
     }
-    val removed = Dedup.gcClusterState(dir)
-    assert(removed == base - 1,
-      s"gc must remove exactly the versions below base=$base, got $removed")
-    (base to latest).foreach(v => assert(java.nio.file.Files.exists(
-      java.nio.file.Paths.get(dir, s"clusters_v$v")),
-      s"gc must not touch live version $v"))
+    Dedup.gcClusterState(dir)
+    val tables = Seq("clusters", "survivors", "band_index", "saturated", "ids")
+    (1 until base).foreach(v => tables.foreach(t =>
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, s"${t}_v$v")),
+        s"gc must remove ${t}_v$v below base=$base")))
+    (base to latest).foreach(v => tables.foreach(t =>
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, s"${t}_v$v")),
+        s"gc must not touch live ${t}_v$v")))
     assert(asMap(Dedup.readClusterState(spark, dir)) == fullRebuild,
       "stored map must still resolve after gc")
   }
