@@ -1782,8 +1782,16 @@ object Dedup {
       maxDeltaVersions: Int): DataFrame = {
     val d = ensureNChars(docs)
     val roster = readIdQuality(s, dir)
+    // the batch is persisted because THREE kernels consume it (the
+    // signing pass, the quality scoring, the empty check) — without
+    // the cache each re-runs the corpus-vs-roster anti-join, i.e.
+    // three corpus scans per update instead of one
     val batch = d.join(roster.select("doc_id"), Seq("doc_id"), "left_anti")
-    if (batch.isEmpty) return readClusterState(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (batch.isEmpty) {
+      batch.unpersist(blocking = false)
+      return readClusterState(s, dir)
+    }
     val index = readBandIndex(s, dir)
     // sign the batch ONCE: the same (doc_id, sig, bk) frame feeds the
     // bucket stats, the edge proposal, and the index append — the
@@ -1812,9 +1820,14 @@ object Dedup {
     // flip layout left duplicate index/ids rows behind a post-flip
     // crash; ClusterMergeSpec pins the rollback-replay fixpoint).
     delta.write.mode("overwrite").parquet(s"$dir/clusters_v$v")
-    val batchScored = scoredIds(batch)
+    // the roster slice lands first among the version-v writes so the
+    // survivor update's first-seen lookup READS IT BACK (a thin
+    // columnar read) instead of re-running the scoring pass; write
+    // order within a version is free — nothing resolves any v-file
+    // until the pointer flips
+    scoredIds(batch).write.mode("overwrite").parquet(s"$dir/ids_v$v")
     survivorDelta(readSurvivorState(s, dir), repMap, newRows,
-        batchScored.unionByName(roster))
+        s.read.parquet(s"$dir/ids_v$v").unionByName(roster))
       .write.mode("overwrite").parquet(s"$dir/survivors_v$v")
     // index slice: the batch's band rows for buckets whose true size
     // stays within the cap (the index never grows a bucket past it)
@@ -1824,9 +1837,9 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$dir/band_index_v$v")
     stats.filter(!col("sat") && col("t") > BandCap).select("bk")
       .write.mode("overwrite").parquet(s"$dir/saturated_v$v")
-    batchScored.write.mode("overwrite").parquet(s"$dir/ids_v$v")
     writePointer(dir, v, base)
     sb.unpersist(blocking = false)
+    batch.unpersist(blocking = false)
     // LSM compaction: once the deltas exceed CompactFraction of the
     // base (or maxDeltaVersions stack up), fold EVERY table into a new
     // full version (pure addition — a crash mid-compaction leaves the

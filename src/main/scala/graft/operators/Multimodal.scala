@@ -216,7 +216,10 @@ object Multimodal {
       .select(
         xxhash64(col("path")).as("media_id"),
         col("content"),
-        when(lower(col("path")).endsWith(".bmp"), "image")
+        // every format the image door sniffs (BMP/JPEG/PNG) classifies
+        // as image — round 16: .png/.jpg used to fall to "binary" and
+        // never reached the aHash door despite a decoder existing
+        when(lower(col("path")).rlike("\\.(bmp|png|jpg|jpeg)$"), "image")
           .when(lower(col("path")).endsWith(".wav"), "audio")
           .when(lower(col("path")).endsWith(".avi"), "video")
           .otherwise("binary").as("media_type"),
@@ -409,6 +412,38 @@ object Multimodal {
   private def q60(s: SparkSession, d: String): DataFrame =
     Dedup.bandedHammingPairs(imageAHashes(bmpMediaTable(s, d)),
       AHashBits, AHashBands, AHashHammingMax, AHashBandCap)
+
+  /** Cross-format media dedup VERDICTS over a raw media frame — the
+    * batch-pipeline composition of the modality×dedup matrix (round
+    * 16, Curate's `--media` stage): each modality's payloads decode to
+    * perceptual prints map-side (BMP/JPEG/PNG through one sniffing
+    * door, WAV energy, MJPEG keyframe), the banded-hamming index
+    * proposes within-modality pairs (hamming ≤ [[AHashHammingMax]],
+    * pigeonhole-exact), connected components name the copy families,
+    * and the min-id member of each family survives. Output: one row
+    * per media record `(media_id, media_type, cluster_id, keep)` —
+    * undecodable payloads are their own singletons (kept). Modalities
+    * never cross-match: an image print and an audio print share no
+    * pair source even on a hamming collision.
+    */
+  def mediaDedupVerdicts(records: Dataset[MediaRecord]): DataFrame = {
+    val pairs = Seq(imageAHashes(records), audioAHashes(records),
+        videoAHashes(records))
+      .map(h => Dedup.bandedHammingPairs(h, AHashBits, AHashBands,
+        AHashHammingMax, AHashBandCap).select(col("doc_a"), col("doc_b")))
+      .reduce(_ unionByName _)
+    val clusters = Dedup.dupClusters(pairs)
+      .withColumnRenamed("doc_id", "media_id")
+    // min-label survivor: the component's cluster_id IS its min member
+    // id, so keep ⇔ unclustered ∨ id == label. The id/type projection
+    // prunes `content` at the binaryFile scan — no payload bytes move.
+    records.toDF().select(col("media_id"), col("media_type"))
+      .join(clusters, Seq("media_id"), "left")
+      .select(col("media_id"), col("media_type"),
+        coalesce(col("cluster_id"), col("media_id")).as("cluster_id"),
+        (col("cluster_id").isNull ||
+          col("cluster_id") === col("media_id")).as("keep"))
+  }
 
   // ---- q60b/q80b: the SQL-expressible half of q60/q80, DuckDB-checked ----
   // q60/q80 are rows-only because BMP/WAV DECODE has no DuckDB twin —

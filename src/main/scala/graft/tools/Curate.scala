@@ -80,7 +80,8 @@ object Curate {
       afterSemDedup: Long, afterQuality: Long, afterMixture: Long,
       train: Long, val_ : Long, testClean: Long, testDropped: Long,
       trainPacks: Long, trainBenchDropped: Long = 0L,
-      trainTokensExcised: Long = 0L, shardFiles: Long = 0L)
+      trainTokensExcised: Long = 0L, shardFiles: Long = 0L,
+      mediaKept: Long = 0L, mediaDropped: Long = 0L)
 
   /** Injected by tests between a stage's completed write and the next
     * stage's work — the crash point of the restartability contract.
@@ -95,7 +96,8 @@ object Curate {
       failAfter: Option[String] = None,
       exciseBenchmark: Boolean = false,
       stateDir: Option[String] = None,
-      decontamMinSharedGrams: Long = 1L)
+      decontamMinSharedGrams: Long = 1L,
+      mediaDir: Option[String] = None)
       : StageCounts = {
     require(decontamMinSharedGrams >= 1L,
       "decontamMinSharedGrams must be >= 1 (1 = any shared 8-gram drops the test doc)")
@@ -217,6 +219,20 @@ object Curate {
       "corpus fails the integrity gate: " + bad
         .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", ") +
         s" (full audit at $outDir/audit)")
+
+    // 0b. (optional) media dedup over a raw media directory (round 16):
+    // binaryFile ingest → per-modality perceptual hashes map-side →
+    // banded-hamming pairs → min-id survivor verdicts — the
+    // modality×dedup matrix as a PIPELINE stage, so a corpus that
+    // ships with an image/audio/video sidecar dedups its media in the
+    // same run that curates its text. The stamp folds a listing
+    // fingerprint of the media dir (names + sizes): a changed sidecar
+    // re-runs the stage instead of resuming into stale verdicts.
+    val media = mediaDir.map { md =>
+      stage(graft.operators.Multimodal.mediaDedupVerdicts(
+          graft.operators.Multimodal.readBinaryDir(spark, md)),
+        "media_dedup", s"(media=${mediaFingerprint(md)})")
+    }
 
     // 1. cluster near-dups over the capped LSH candidate pairs, then
     // keep each cluster's HIGHEST-QUALITY member (the q53 kernel) — not
@@ -351,8 +367,22 @@ object Curate {
     // row diagnostic artifact, not a filter (the equalization in stage 3
     // already balanced token budgets; this records what a temperature
     // sampler would do instead, and `epochs` > 1 flags sources the
-    // budget would force into repetition)
-    stage(TrainingData.temperatureMixture(mixed), "mixture_report")
+    // budget would force into repetition). Round 16: the report also
+    // carries each source's BPE supply (`n_bpe_tok`) — the currency the
+    // packer actually spends (q118b's allocation input) — priced under
+    // the corpus-trained merge table off the token artifact, so the
+    // mixture plan and the pack budget can no longer quote two
+    // different token definitions.
+    stage({
+      val bpePerSource = mixed.select(col("doc_id"), col("source"))
+        .join(TextAnalysis.bpeApplyWithMerges(corpusTokens,
+            corpusTokens.join(mixed.select("doc_id"), Seq("doc_id"),
+              "left_semi"))
+          .select(col("doc_id"), col("n_bpe_tokens")), Seq("doc_id"))
+        .groupBy(col("source")).agg(sum(col("n_bpe_tokens")).as("n_bpe_tok"))
+      TrainingData.temperatureMixture(mixed)
+        .join(bpePerSource, Seq("source"))
+    }, "mixture_report")
 
     // 4. split assignment — cluster-coherent (the q101 kernel): the key
     // is the doc's q44 cluster representative, so near-dup families
@@ -405,6 +435,23 @@ object Curate {
     // The two policies write DIFFERENT stage names (bench_clean vs
     // bench_excised) so a resume can never reuse the other policy's
     // artifact through a matching stamp chain.
+    // 5a'. per-benchmark contamination REPORT (the q119 kernel, round
+    // 16): the publishable dataset-card artifact the detection stages
+    // exist for — per benchmark suite (the `source` column when the
+    // benchmark frame carries one), doc counts, dirty counts/fraction,
+    // mean leaked-gram fraction — measured against the PRE-action train
+    // split, so the report records what the corpus leaked and the next
+    // stage records what was done about it. Stage-stamped and written
+    // under both policies.
+    benchmark.foreach { b =>
+      val bsrc = if (b.columns.contains("source")) b
+        else b.withColumn("source", lit("benchmark"))
+      stage(TrainingData.benchmarkContaminationReport(
+          clean.filter(col("split") === "train").select("doc_id", "text"),
+          bsrc.select(col("doc_id"), col("source"), col("text"))),
+        "contamination_report")
+    }
+
     val (trainClean, benchDropped, excised) = benchmark match {
       case Some(b) if exciseBenchmark =>
         val trainDocs = clean.filter(col("split") === "train")
@@ -484,7 +531,22 @@ object Curate {
       trainPacks = packed.select("shard", "pack_id").distinct().count(),
       trainBenchDropped = benchDropped,
       trainTokensExcised = excised,
-      shardFiles = manifest.count())
+      shardFiles = manifest.count(),
+      mediaKept = media.fold(0L)(_.filter(col("keep")).count()),
+      mediaDropped = media.fold(0L)(_.filter(!col("keep")).count()))
+  }
+
+  /** Listing fingerprint of a media dir (names + sizes, md5'd) — the
+    * stamp-chain component that invalidates a resumed `media_dedup`
+    * stage when the sidecar's contents change.
+    */
+  private def mediaFingerprint(dir: String): String = {
+    val entries = Option(new java.io.File(dir).listFiles()).getOrElse(Array())
+      .sortBy(_.getName).map(f => s"${f.getName}:${f.length}")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(entries.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(6).map("%02x".format(_)).mkString
   }
 
   /** Restart-from-stage: re-run ONLY the packing stage (6) against a
@@ -528,12 +590,15 @@ object Curate {
       case a if a.startsWith("--decontam-min-grams=") =>
         a.stripPrefix("--decontam-min-grams=").toLong
     }.getOrElse(1L)
+    val mediaDir = args.collectFirst {
+      case a if a.startsWith("--media=") => a.stripPrefix("--media=")
+    }
     val rest = args.filterNot(a => a == "--repack" || a == "--resume" ||
       a.startsWith("--state=") || a.startsWith("--cluster-state=") ||
-      a.startsWith("--decontam-min-grams="))
+      a.startsWith("--decontam-min-grams=") || a.startsWith("--media="))
     require(rest.nonEmpty,
       "usage: Curate <sfDir> [outDir] [--repack|--resume|" +
-        "--state=DIR|--decontam-min-grams=N]")
+        "--state=DIR|--decontam-min-grams=N|--media=DIR]")
     val outDir = if (rest.length > 1) rest(1)
       else java.nio.file.Files.createTempDirectory("curate").toString
     val spark = graft.GraftSession.local("graft-curate")
@@ -545,7 +610,7 @@ object Curate {
       val t0 = System.nanoTime()
       val c = run(spark, rest(0), outDir, stageWalls = Some(walls),
         resume = args.contains("--resume"), stateDir = clusterState,
-        decontamMinSharedGrams = minGrams)
+        decontamMinSharedGrams = minGrams, mediaDir = mediaDir)
       val total = (System.nanoTime() - t0) / 1e9
       val stages = walls.map { case (n, s) => s""""$n":$s""" }.mkString("{", ",", "}")
       println(s"curate: $c -> $outDir")

@@ -259,6 +259,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "q116_cluster_merge" -> NoPairJoin, // star-edge agg: output rows = Σ bucket sizes ≈ input rows (LINEAR, the q25 measured-negative class — the quadratic clique explode never materializes); stored base state is staged parquet, CC loops checkpointed
     "q117_sampled_recall" -> NoPairJoin, // one-row aggregate over the staged sampled logs
     "q118_epoch_mix" -> NoPairJoin, // doc-level equi-join + <=|sources|-row tail
+    "q118b_epoch_mix_bpe" -> NoPairJoin, // q99 vocab join + doc-level equi-join, <=|sources|-row tail
     "q119_benchmark_report" -> NoPairJoin) // gram semi-join is match-bounded (<= benchmark gram rows), aggregates doc-keyed
 
   test("every registered query declares its pair-join pinning (and no stale entries)") {

@@ -172,6 +172,7 @@ class ScanBudgetSpec extends AnyFunSuite {
     "q116_cluster_merge" -> ((1, 0)), // batch-band signing only; the stored base state is session-staged parquet and the merge CC loop lives in checkpointed jobs
     "q117_sampled_recall" -> ((0, 0)), // scores the staged SAMPLED cos/ivf retrieval logs (r15)
     "q118_epoch_mix" -> ((1, 0)), // staged tokens + thin (doc_id, source) scan; tail is a <=|sources|-row frame
+    "q118b_epoch_mix_bpe" -> ((1, 0)), // same shape in BPE currency: staged tokens feed q99, one thin source attach
     "q119_benchmark_report" -> ((3, 0))) // benchmark grams + train grams + thin (doc_id, source) attach (gram-volume recompute boundary, the q67 class)
 
   test("every registered query has a scan budget (and no stale entries linger)") {

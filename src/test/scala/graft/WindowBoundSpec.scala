@@ -53,7 +53,8 @@ class WindowBoundSpec extends AnyFunSuite {
     "q108_cell_drift" -> 1,         // joined per-cell frame: ≤ NumCells = 16 rows (both totals in one node)
     "q110_bpe_fertility" -> 1,      // the q99 merge-rank window: ≤ 16 rows
     "q113_shard_manifest" -> 1,     // per-shard offset aggregate: ≤ 256 rows
-    "q118_epoch_mix" -> 1)          // per-source aggregate: ≤ |sources| rows
+    "q118_epoch_mix" -> 1,          // per-source aggregate: ≤ |sources| rows
+    "q118b_epoch_mix_bpe" -> 2)     // q99 merge-rank (≤16) + per-source aggregate
   // q112_lang_budget is absent by construction: its q99 merge window
   // sits BEHIND the kernel's localCheckpoint (never in the final plan)
   // and both bucket windows are partitioned by language.
@@ -96,7 +97,8 @@ class WindowBoundSpec extends AnyFunSuite {
       "q102_pack_bpe" -> Seq("take(16)"),
       "q103_budget_bpe" -> Seq("agg(bkt)", "agg(bkt)"),
       "q113_shard_manifest" -> Seq("agg(shard)"),
-      "q118_epoch_mix" -> Seq("agg(source)"))
+      "q118_epoch_mix" -> Seq("agg(source)"),
+      "q118b_epoch_mix_bpe" -> Seq("agg(source)", "take(16)"))
     expected.foreach { case (name, want) =>
       val got = unpartitioned(name).map(boundOf).sorted
       assert(got == want.sorted, s"$name window bound drifted: $got != $want")
