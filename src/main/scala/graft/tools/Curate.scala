@@ -362,27 +362,10 @@ object Curate {
       TrainingData.sourceBudgetKeep(curated).select("doc_id"),
       Seq("doc_id"), "left_semi"), "mixed")
 
-    // 3b. mixture report (q70 kernel): the α=0.5 temperature sampling
-    // weights a trainer would use over the FINAL mixture — a |sources|-
-    // row diagnostic artifact, not a filter (the equalization in stage 3
-    // already balanced token budgets; this records what a temperature
-    // sampler would do instead, and `epochs` > 1 flags sources the
-    // budget would force into repetition). Round 16: the report also
-    // carries each source's BPE supply (`n_bpe_tok`) — the currency the
-    // packer actually spends (q118b's allocation input) — priced under
-    // the corpus-trained merge table off the token artifact, so the
-    // mixture plan and the pack budget can no longer quote two
-    // different token definitions.
-    stage({
-      val bpePerSource = mixed.select(col("doc_id"), col("source"))
-        .join(TextAnalysis.bpeApplyWithMerges(corpusTokens,
-            corpusTokens.join(mixed.select("doc_id"), Seq("doc_id"),
-              "left_semi"))
-          .select(col("doc_id"), col("n_bpe_tokens")), Seq("doc_id"))
-        .groupBy(col("source")).agg(sum(col("n_bpe_tokens")).as("n_bpe_tok"))
-      TrainingData.temperatureMixture(mixed)
-        .join(bpePerSource, Seq("source"))
-    }, "mixture_report")
+    // Stage 3b (mixture report) moved AFTER bpe_counts in round 16 so
+    // its BPE supply column reads the staged pricing artifact instead
+    // of re-deriving the merge table (measured 13.2 s of sf10's run-1
+    // wall as a standalone kernel run); see stage 6a' below.
 
     // 4. split assignment — cluster-coherent (the q101 kernel): the key
     // is the doc's q44 cluster representative, so near-dup families
@@ -494,6 +477,33 @@ object Curate {
         else TextAnalysis.bpeApplyFromCounts(corpusTokens)
       priced.select(col("doc_id"), col("n_bpe_tokens").as("n_tokens"))
     }, "bpe_counts")
+
+    // 6a'. mixture report (q70 kernel, stage 3b until round 16): the
+    // α=0.5 temperature sampling weights a trainer would use over the
+    // FINAL mixture — a |sources|-row diagnostic artifact, not a filter
+    // (stage 3 already balanced token budgets; this records what a
+    // temperature sampler would do instead, and `epochs` > 1 flags
+    // sources the budget would force into repetition). Round 16: the
+    // report also carries each source's BPE supply (`n_bpe_tok`) — the
+    // currency the packer spends (q118b's allocation input) — read from
+    // the staged bpe_counts artifact (which prices the whole corpus
+    // under corpus-trained merges when no excision ran), so the mixture
+    // plan and the pack budget quote ONE token definition at zero extra
+    // kernel cost. Under EXCISE the artifact prices post-excision train
+    // text only, so this stage re-prices the pre-excision corpus (the
+    // mixture predates the excision) with one extra kernel run.
+    stage({
+      val bpeAll =
+        if (excised > 0L)
+          TextAnalysis.bpeApplyFromCounts(corpusTokens)
+            .select(col("doc_id"), col("n_bpe_tokens"))
+        else bpeCounts.select(col("doc_id"), col("n_tokens").as("n_bpe_tokens"))
+      val bpePerSource = mixed.select(col("doc_id"), col("source"))
+        .join(bpeAll, Seq("doc_id"))
+        .groupBy(col("source")).agg(sum(col("n_bpe_tokens")).as("n_bpe_tok"))
+      TrainingData.temperatureMixture(mixed)
+        .join(bpePerSource, Seq("source"))
+    }, "mixture_report")
 
     // 6b. pack the train split into fixed BPE-token budgets (q102's
     // currency — q46's whitespace packer remains the registry oracle)

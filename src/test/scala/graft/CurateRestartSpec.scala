@@ -58,8 +58,8 @@ class CurateRestartSpec extends AnyFunSuite {
     }
 
     // artifact content equality, stage by stage, against the reference
-    val stages = preCrash ++ Seq("mixed", "mixture_report", "splits",
-      "clean", "train_packed", "shard_manifest")
+    val stages = preCrash ++ Seq("mixed", "splits",
+      "clean", "mixture_report", "train_packed", "shard_manifest")
     stages.foreach { s =>
       assert(contentDigest(s"$out/$s") == contentDigest(s"$ref/$s"),
         s"stage '$s' content differs between the resumed and reference runs")

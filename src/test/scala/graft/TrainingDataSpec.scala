@@ -388,8 +388,8 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(c.input == 500) // sf0.001 documents
     // every stage reports a positive mark-based wall, in pipeline order
     assert(walls.map(_._1).toSeq == Seq("audit", "deduped", "sem_deduped",
-      "quality", "mixed", "mixture_report", "splits", "clean",
-      "bpe_counts", "train_packed", "shard_manifest"))
+      "quality", "mixed", "splits", "clean",
+      "bpe_counts", "mixture_report", "train_packed", "shard_manifest"))
     assert(walls.forall(_._2 > 0))
     assert(c.afterDedup <= c.input && c.afterDedup > 0)
     // semantic dedup only removes docs, and keeps at least the cell seeds
