@@ -513,7 +513,20 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
     val cents = centroids.getOrElse(demoCentroids(base, numCells))
-    val assigned = assignToCells(base, cents)
+    verdictsOfAssigned(assignToCells(base, cents), threshold, cellCap)
+  }
+
+  /** [[semanticDedup]]'s verdict tail over a pre-assigned `(vec_id,
+    * cid, v, nrm)` frame — split out (round 16) so the persistent
+    * semantic state can re-verdict ONLY the cells a batch touched:
+    * the q55 rule is a pure per-cell function of the cell's current
+    * membership (`kept = false ⇔ ∃ smaller same-cell twin at cosine ≥
+    * threshold`, cap on the cell's CURRENT size), so recomputing an
+    * affected cell from its full membership reproduces the
+    * from-scratch verdicts exactly.
+    */
+  private def verdictsOfAssigned(assigned: DataFrame, threshold: Double,
+      cellCap: Int): DataFrame = {
     val dups = cellPairSimsOf(assigned, cellCap)
       .filter(col("sim") >= threshold)
       .groupBy(col("vb"))
@@ -558,6 +571,181 @@ object Similarity {
 
   private def q55(s: SparkSession, d: String): DataFrame =
     semanticDedup(Tables.embeddings(s, d))
+
+  // ---- persistent semantic-dedup state (round 16) -------------------------
+  // The stage-1b cost was the last per-run non-incremental piece of
+  // Curate's dedup head (~13% of the sf10 wall, and the LARGEST
+  // recurring stage once the cluster/survivor heads went incremental).
+  // Round 15 documented why a naive persisted index was unsound: a
+  // grown corpus can REPLACE a family's survivor, and an append-only
+  // index would verdict the replacement as a duplicate of a doc no
+  // longer in the corpus. The survivor state now TRACKS exactly those
+  // exits, which unlocks the missing invalidation contract:
+  //
+  //   - centroids are FIT ONCE at init and FROZEN (the production IVF
+  //     contract — SemDeDup-class systems refit rarely and rebuild the
+  //     index when they do; re-fitting per ingest is O(corpus·iters)
+  //     and, worse, shifts every cell boundary, invalidating the whole
+  //     index). A refit = delete the state dir and re-init.
+  //   - members_v* holds the current survivor set's cell assignments
+  //     (vec_id, cid, v, nrm) LSM-style; verdicts_v* the q55 verdicts;
+  //     tombstones (null cid / null kept) mark exits, latest version
+  //     wins, same pointer/lock/commit discipline as the cluster state
+  //     (every version-v artifact before the atomic flip; the batch
+  //     derives from the COMMITTED members, so crash replays overwrite
+  //     orphans and post-flip replays are no-ops).
+  //   - per sync, ONLY the cells touched by an entry or exit recompute
+  //     — from their FULL current membership, through the exact q55
+  //     kernel — so the result is BY CONSTRUCTION identical to a
+  //     from-scratch semanticDedup of the current survivor set under
+  //     the stored centroids, with no divergence corner at all: the
+  //     verdict is a pure per-cell function of current membership
+  //     (droppers that exit resurrect their victims, new smaller twins
+  //     drop old members, cells crossing the cap in either direction
+  //     flip wholesale — all covered by the recompute, spec-pinned in
+  //     SemanticStateSpec). Work per sync is O(touched cells × cell
+  //     size²) with cell size bounded by TargetCellSize/CellCap —
+  //     batch-proportional at production cell counts (k ~ n/target).
+
+  private val SemMaxDeltaVersions = 64
+
+  private def semVersions(dir: String): (Int, Int) =
+    graft.StateFiles.readPointer(dir)
+
+  /** Current survivor cell assignments `(vec_id, cid, v, nrm)`. */
+  private[graft] def readSemMembers(s: SparkSession, dir: String): DataFrame = {
+    val (latest, base) = semVersions(dir)
+    val f =
+      if (latest == base) s.read.parquet(s"$dir/members_v$base")
+      else (base to latest)
+        .map(v => s.read.parquet(s"$dir/members_v$v")
+          .select(col("vec_id"), col("cid"), col("v"), col("nrm"),
+            lit(v).as("_v")))
+        .reduce(_ unionByName _)
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("cid"), col("v"), col("nrm")), col("_v")).as("r"))
+        .select(col("vec_id"), col("r.cid").as("cid"), col("r.v").as("v"),
+          col("r.nrm").as("nrm"))
+    f.filter(col("cid").isNotNull)
+  }
+
+  /** Current q55 verdicts `(vec_id, cid, kept, dup_of)` for the stored
+    * survivor set — equal by construction to a from-scratch
+    * [[semanticDedup]] of that set under the stored frozen centroids.
+    */
+  def readSemVerdicts(s: SparkSession, dir: String): DataFrame = {
+    val (latest, base) = semVersions(dir)
+    val f =
+      if (latest == base) s.read.parquet(s"$dir/verdicts_v$base")
+      else (base to latest)
+        .map(v => s.read.parquet(s"$dir/verdicts_v$v")
+          .select(col("vec_id"), col("cid"), col("kept"), col("dup_of"),
+            lit(v).as("_v")))
+        .reduce(_ unionByName _)
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("cid"), col("kept"), col("dup_of")),
+          col("_v")).as("r"))
+        .select(col("vec_id"), col("r.cid").as("cid"),
+          col("r.kept").as("kept"), col("r.dup_of").as("dup_of"))
+    f.filter(col("kept").isNotNull)
+  }
+
+  /** Bring the persistent semantic-dedup state up to date with the
+    * CURRENT survivor embedding set and return its verdicts. First
+    * call fits + freezes the centroids and verdicts everything; later
+    * calls tombstone exits, assign entries against the frozen
+    * centroids, and re-verdict ONLY the touched cells.
+    */
+  def syncSemanticState(s: SparkSession, dir: String, embeddings: DataFrame,
+      threshold: Double = SemThreshold, cellCap: Int = CellCap,
+      maxDeltaVersions: Int = SemMaxDeltaVersions): DataFrame =
+    graft.StateFiles.withWriterLock(dir) {
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_LATEST")))
+        semUpdateLocked(s, dir, embeddings, threshold, cellCap,
+          maxDeltaVersions)
+      else semInitLocked(s, dir, embeddings, threshold, cellCap)
+    }
+
+  private def semInitLocked(s: SparkSession, dir: String, emb: DataFrame,
+      threshold: Double, cellCap: Int): DataFrame = {
+    kmeansCentroids(emb, k = derivedNumCells(emb), iters = 2, seed = 7L)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    cellAssignments(emb, s.read.parquet(s"$dir/centroids"))
+      .write.mode("overwrite").parquet(s"$dir/members_v1")
+    verdictsOfAssigned(s.read.parquet(s"$dir/members_v1"), threshold, cellCap)
+      .write.mode("overwrite").parquet(s"$dir/verdicts_v1")
+    graft.StateFiles.writePointer(dir, 1, 1)
+    readSemVerdicts(s, dir)
+  }
+
+  private def semUpdateLocked(s: SparkSession, dir: String, emb: DataFrame,
+      threshold: Double, cellCap: Int, maxDeltaVersions: Int): DataFrame = {
+    val members = readSemMembers(s, dir)
+    // exits and entries vs the COMMITTED membership (pointer-bounded —
+    // the crash-replay anchor); both are batch-sized, localCheckpoint
+    // for their multiple consumers
+    val exited = members.select(col("vec_id"), col("cid"))
+      .join(emb.select("vec_id"), Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    val entered = emb
+      .join(members.select("vec_id"), Seq("vec_id"), "left_anti")
+    if (exited.isEmpty && entered.isEmpty) return readSemVerdicts(s, dir)
+    val eAsg = cellAssignments(entered, s.read.parquet(s"$dir/centroids"))
+      .localCheckpoint()
+    val affected = eAsg.select("cid").union(exited.select("cid")).distinct()
+    // the touched cells' FULL current membership → exact q55 verdicts
+    val affMembers = members
+      .join(exited.select("vec_id"), Seq("vec_id"), "left_anti")
+      .unionByName(eAsg)
+      .join(affected, Seq("cid"), "left_semi")
+    val affVerdicts = verdictsOfAssigned(affMembers, threshold, cellCap)
+    val (latest, base) = semVersions(dir)
+    val v = latest + 1
+    affVerdicts
+      .unionByName(exited.select(col("vec_id"),
+        lit(null).cast("long").as("cid"),
+        lit(null).cast("boolean").as("kept"),
+        lit(null).cast("long").as("dup_of")))
+      .write.mode("overwrite").parquet(s"$dir/verdicts_v$v")
+    eAsg
+      .unionByName(exited.select(col("vec_id"),
+        lit(null).cast("long").as("cid"),
+        lit(null).cast("array<double>").as("v"),
+        lit(null).cast("double").as("nrm")))
+      .write.mode("overwrite").parquet(s"$dir/members_v$v")
+    graft.StateFiles.writePointer(dir, v, base)
+    // LSM compaction + one-generation-grace gc, the cluster-state knobs
+    val deltaRows = (base + 1 to v)
+      .map(x => s.read.parquet(s"$dir/verdicts_v$x").count()).sum
+    if (deltaRows > 0.3 * s.read.parquet(s"$dir/verdicts_v$base").count() ||
+      v - base >= maxDeltaVersions) {
+      val nv = v + 1
+      readSemVerdicts(s, dir).write.mode("overwrite")
+        .parquet(s"$dir/verdicts_v$nv")
+      readSemMembers(s, dir).write.mode("overwrite")
+        .parquet(s"$dir/members_v$nv")
+      graft.StateFiles.writePointer(dir, nv, nv)
+      gcSemanticState(dir, below = Some(base))
+    }
+    readSemVerdicts(s, dir)
+  }
+
+  /** Remove semantic-state versions below `below` (default: current
+    * base); the in-update janitor passes the previous base (grace).
+    */
+  def gcSemanticState(dir: String, below: Option[Int] = None): Int = {
+    val bound = below.getOrElse(semVersions(dir)._2)
+    (1 until bound).flatMap(v => Seq("members", "verdicts").map(t => (t, v)))
+      .count { case (t, v) =>
+        val p = java.nio.file.Paths.get(dir, s"${t}_v$v")
+        java.nio.file.Files.exists(p) && {
+          import scala.jdk.CollectionConverters._
+          val files = java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          files.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          true
+        }
+      }
+  }
 
   private val o55 =
     s"""WITH v AS (

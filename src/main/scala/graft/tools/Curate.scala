@@ -130,18 +130,20 @@ object Curate {
           docs.select("doc_id", "text"))
         case None => TextAnalysis.stagedTokenCounts(spark, sfDir)
       }
-    // Stage 1b (semantic dedup) is DELIBERATELY not incremental: it
-    // operates on stage-1's SURVIVORS, and a grown corpus can REPLACE a
-    // family's survivor with a higher-quality new member — a persisted
-    // cell-survivor index would then hold the exited doc's vector and
-    // verdict its replacement as a duplicate OF A DOC NO LONGER IN THE
-    // CORPUS, silently dropping the whole family. Incremental semantics
-    // over a shifting derived set needs index invalidation (tracked
-    // survivor exits), which is a different contract from the
-    // append-only first-come-wins index the STREAMING semantic leg
-    // documents over a stable arrival order. Stage 1b is ~13% of the
-    // sf10 wall; the super-linear stages were 1 (clusters) and the
-    // corpus tokenize, both incremental above.
+    // Stage 1b (semantic dedup) was DELIBERATELY not incremental
+    // through round 15: it operates on stage-1's SURVIVORS, and a
+    // grown corpus can REPLACE a family's survivor — a naive persisted
+    // cell-survivor index would verdict the replacement as a duplicate
+    // OF A DOC NO LONGER IN THE CORPUS. Round 16 closes exactly that
+    // gap: the survivor state tracks exits, and
+    // Similarity.syncSemanticState re-verdicts ONLY the cells an entry
+    // or exit touched (tombstoned members invalidate; victims of an
+    // exited dropper resurrect; cells crossing the cap flip wholesale)
+    // under centroids FROZEN at state init — the production IVF
+    // contract; a refit is a state rebuild. With stateDir the stage is
+    // therefore exact-incremental (SemanticStateSpec pins equality to
+    // a from-scratch q55 under the stored centroids); without it the
+    // per-run fit + full verdict remains.
 
     // write a stage, then hand back the WRITTEN parquet: downstream
     // stages and counts read the file, never the stage's lineage.
@@ -325,23 +327,34 @@ object Curate {
     // sat in a replica family whose higher-quality survivor had a
     // shifted id, and the demo seed was empty).
     val semDeduped = stage({
-      // inside the thunk: the k-means fit is eager driver-side work a
-      // resumed run with `sem_deduped` on disk must not repeat
+      // inside the thunk: the k-means fit (or the state sync) is eager
+      // driver-side work a resumed run with `sem_deduped` on disk must
+      // not repeat
       val survivorEmb = Tables.embeddings(spark, sfDir)
         .join(deduped.select(col("doc_id").as("vec_id")),
           Seq("vec_id"), "left_semi")
-      // cells ∝ corpus (the q92 sf10 lesson as code): derivedNumCells
-      // keeps per-cell population ~TargetCellSize at any corpus size,
-      // where the old fixed 16 would saturate the CellCap² bound once
-      // the corpus outgrew it (at fixture scale it still derives 16)
-      val semDropped = Similarity.semanticDedup(survivorEmb,
-          centroids = Some(Similarity.kmeansCentroids(
-            survivorEmb, k = Similarity.derivedNumCells(survivorEmb),
-            iters = 2, seed = 7L)))
-        .filter(!col("kept"))
-        .select(col("vec_id").as("doc_id"))
+      val semDropped = stateDir match {
+        case Some(sd) =>
+          // incremental path (round 16): entries/exits vs the stored
+          // membership re-verdict only their cells; centroids frozen
+          // at the state's init fit
+          Similarity.syncSemanticState(spark, s"$sd/semantic", survivorEmb)
+            .filter(!col("kept"))
+            .select(col("vec_id").as("doc_id"))
+        case None =>
+          // cells ∝ corpus (the q92 sf10 lesson as code):
+          // derivedNumCells keeps per-cell population ~TargetCellSize
+          // at any corpus size, where the old fixed 16 would saturate
+          // the CellCap² bound once the corpus outgrew it
+          Similarity.semanticDedup(survivorEmb,
+              centroids = Some(Similarity.kmeansCentroids(
+                survivorEmb, k = Similarity.derivedNumCells(survivorEmb),
+                iters = 2, seed = 7L)))
+            .filter(!col("kept"))
+            .select(col("vec_id").as("doc_id"))
+      }
       deduped.join(semDropped, Seq("doc_id"), "left_anti")
-    }, "sem_deduped")
+    }, "sem_deduped", stateTag)
 
     // 2. quality gate: top half per language among the survivors —
     // threshold-broadcast form (no per-language sort partition), fed by
